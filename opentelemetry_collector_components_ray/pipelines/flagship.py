@@ -1,0 +1,143 @@
+"""Flagship pipeline: parse → enrich → route → aggregate.
+
+The Ray-Data re-expression of the reference's APM intake path
+(SURVEY.md §3.1): intake NDJSON decode (parse stage) →
+elasticapmprocessor enrichment (enrich stage) → routing-connector
+fan-out (route stage) → signaltometrics + lsminterval interval
+aggregation (aggregate stage).  Everything is one lazy streaming
+Dataset pipeline; nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Sequence
+
+import ray.data as rd
+
+from ..sources import read_transcripts
+from ..stages.aggregate import service_summary
+from ..stages.enrich import enrich_stage
+from ..stages.parse import parse_stage
+from ..stages.route import RouterConfig, route_stage, write_fanout
+
+
+def enriched_transcripts(
+    sf_dir_or_path: str, batch_size: int = 65536
+) -> rd.Dataset:
+    ds = read_transcripts(sf_dir_or_path)
+    ds = parse_stage(ds, batch_size=batch_size)
+    return enrich_stage(ds, batch_size=batch_size)
+
+
+def routed_transcripts(
+    sf_dir_or_path: str,
+    config: RouterConfig = RouterConfig(),
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    return route_stage(
+        enriched_transcripts(sf_dir_or_path, batch_size), config, batch_size
+    )
+
+
+def flagship_aggregate(
+    sf_dir_or_path: str,
+    intervals: Sequence[str] = ("1h", "24h"),
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """End-to-end: returns the multi-interval service_summary Dataset."""
+    return service_summary(
+        enriched_transcripts(sf_dir_or_path, batch_size), intervals
+    )
+
+
+def _flagship_shard_fn(
+    intervals: Sequence[str], batch_size: int, config: RouterConfig
+):
+    from ..stages.parse import parse_stage as _parse
+    from ..stages.enrich import enrich_stage as _enrich
+    from ..stages.route import route_stage as _route
+
+    def shard_fn(ds: rd.Dataset, shard_dir: str) -> Dict:
+        routed = _route(
+            _enrich(_parse(ds, batch_size), batch_size), config, batch_size
+        )
+        metrics: Dict = {"sinks": {}}
+        for sink in config.sinks:
+            sub = routed.filter(expr=f"sink == '{sink}'")
+            path = f"{shard_dir}/sinks/{sink}"
+            sub.write_parquet(path)
+            metrics["sinks"][sink] = sub.count()
+        # per-shard PARTIAL aggregate (merged by finalize_flagship):
+        # one row per (interval, window_start, role, tool) per shard
+        enr = _enrich(_parse(ds, batch_size), batch_size)
+        agg = service_summary(enr, intervals)
+        agg.write_parquet(f"{shard_dir}/agg_partial")
+        metrics["rows_in"] = ds.count()
+        return metrics
+
+    return shard_fn
+
+
+def run_flagship_sharded(
+    input_path: str,
+    out_dir: str,
+    intervals: Sequence[str] = ("1h", "24h"),
+    num_shards: int = 16,
+    batch_size: int = 65536,
+    resume: bool = True,
+    config: RouterConfig = RouterConfig(),
+) -> str:
+    """Checkpointed flagship run: shard → (route-fanout + partial agg)
+    with per-shard manifests, then a final merge of the commutative
+    partials (state/checkpoint.py).  Returns the final aggregate path."""
+    from ..state.checkpoint import completed_shard_dirs, run_sharded
+    from ray.data.aggregate import Max, Min, Sum
+
+    run_sharded(
+        input_path,
+        out_dir,
+        _flagship_shard_fn(intervals, batch_size, config),
+        num_shards=num_shards,
+        resume=resume,
+    )
+    import glob as _glob
+
+    partial_paths = [
+        f
+        for d in completed_shard_dirs(out_dir)
+        for f in sorted(_glob.glob(f"{d}/agg_partial/*.parquet"))
+    ]
+    partials = rd.read_parquet(partial_paths)
+    final = partials.groupby(
+        ["interval", "dataset", "window_start", "role", "tool"]
+    ).aggregate(
+        Sum("turn_count", alias_name="turn_count"),
+        Sum("failure_count", alias_name="failure_count"),
+        Sum("latency_sum", alias_name="latency_sum"),
+        Min("latency_min", alias_name="latency_min"),
+        Max("latency_max", alias_name="latency_max"),
+    )
+    final_path = f"{out_dir}/service_summary"
+    import shutil
+
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    final.write_parquet(final_path)
+    return final_path
+
+
+def run_flagship(
+    sf_dir_or_path: str,
+    out_dir: str,
+    intervals: Sequence[str] = ("1h", "24h"),
+    batch_size: int = 65536,
+) -> Dict[str, str]:
+    """Full run with physical sinks: per-sink routed parquet + aggregate."""
+    routed = routed_transcripts(sf_dir_or_path, batch_size=batch_size)
+    paths = write_fanout(routed, f"{out_dir}/sinks")
+    agg = flagship_aggregate(sf_dir_or_path, intervals, batch_size)
+    agg_path = f"{out_dir}/service_summary"
+    agg.write_parquet(agg_path)
+    paths["service_summary"] = agg_path
+    return paths

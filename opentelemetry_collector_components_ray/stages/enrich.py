@@ -1,0 +1,171 @@
+"""Enrich stage: scalar derivations + broadcast lookup enrichment.
+
+Scalar part (stateless tasks) — Ray-Data analogue of the
+elasticapmprocessor enrichments:
+
+- ``event_outcome`` ladder: error ⇒ failure, status ≥ 500 ⇒ failure,
+  no status ⇒ unknown, else success (reference
+  processor/elasticapmprocessor/internal/enrichments/span.go:521-547);
+- ``result_class`` from status-code class, 'HTTP 2xx' style
+  (span.go:489-514);
+- ``duration_us`` from latency (span.go:1035-1037);
+- ``service_name`` sanitize regex ``[^a-zA-Z0-9 _-]`` → ``_`` +
+  100-unit truncation (resource.go:297-307).
+
+Lookup part (actor pool) — broadcast-dict enrichment keyed on
+``tool``/``role``, the analogue of elasticmetadataprocessor's
+metadata→field copies and the static dict lookups (resource.go:250-270);
+tables ship once via ``ray.put`` and are resolved in ``__init__``
+(once per actor), lookups are vectorized ``index_in``+``take``
+(SURVEY.md §2.7) — never a shuffle join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.lookups import ROLE_MAP, TOOL_CATALOG
+
+SANITIZE_PATTERN = r"[^a-zA-Z0-9 _-]"
+SANITIZE_MAX_LEN = 100
+
+
+def sanitize_name(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Service-name sanitization (resource.go:297-307)."""
+    repl = pc.replace_substring_regex(col, SANITIZE_PATTERN, "_")
+    return pc.utf8_slice_codeunits(repl, 0, SANITIZE_MAX_LEN)
+
+
+def enrich_scalar_batch(batch: pa.Table) -> pa.Table:
+    status = batch["status"]
+    err = batch["err_code"]
+    lat = batch["latency_ms"]
+
+    has_err = pc.is_valid(err)
+    has_status = pc.is_valid(status)
+    ge500 = pc.fill_null(pc.greater_equal(status, 500), False)
+    failure = pc.or_(has_err, ge500)
+    # ladder: failure > unknown (no status, no err) > success
+    outcome = pc.if_else(
+        failure,
+        pa.scalar("failure"),
+        pc.if_else(has_status, pa.scalar("success"), pa.scalar("unknown")),
+    )
+
+    status_class = pc.cast(pc.divide(status, 100), pa.int32())
+    result_class = pc.if_else(
+        has_status,
+        pc.binary_join_element_wise(
+            pa.scalar("HTTP"),
+            pc.cast(status_class, pa.string()),
+            " ",
+        ),
+        pa.scalar("unknown"),
+    )
+    result_class = pc.if_else(
+        has_status,
+        pc.binary_join_element_wise(result_class, pa.scalar("xx"), ""),
+        pa.scalar("unknown"),
+    )
+
+    duration_us = pc.cast(pc.multiply(pc.cast(lat, pa.int64()), 1000), pa.int64())
+
+    svc_raw = pc.binary_join_element_wise(
+        batch["role"],
+        pc.if_else(pc.equal(batch["tool"], ""), pa.scalar("none"), batch["tool"]),
+        ":",
+    )
+    service_name = sanitize_name(svc_raw)
+
+    return (
+        batch.append_column("event_outcome", outcome)
+        .append_column("result_class", result_class)
+        .append_column("duration_us", duration_us)
+        .append_column("service_name", service_name)
+    )
+
+
+class LookupEnricher:
+    """Actor-pool stage holding the broadcast lookup tables.
+
+    ``__init__`` runs once per actor: resolves the ``ray.put`` refs (or
+    falls back to the in-code catalogs) and pre-builds Arrow key/value
+    arrays.  ``__call__`` runs per batch, fully vectorized.
+    """
+
+    def __init__(self, tool_ref=None, role_ref=None):
+        tool_cat = ray.get(tool_ref) if tool_ref is not None else TOOL_CATALOG
+        role_map = ray.get(role_ref) if role_ref is not None else ROLE_MAP
+        self._tool = tool_cat
+        self._role = role_map
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for col, arr in self._tool.lookup(batch["tool"]).items():
+            batch = batch.append_column(col, arr)
+        for col, arr in self._role.lookup(batch["role"]).items():
+            batch = batch.append_column(col, arr)
+        return batch
+
+
+def enrich_stage(
+    ds: rd.Dataset,
+    batch_size: int = 65536,
+    lookup_concurrency: Optional[int] = None,
+    broadcast: bool = True,
+) -> rd.Dataset:
+    """Scalar enrich (stateless tasks) then lookup enrich (actor pool)."""
+    ds = ds.map_batches(
+        enrich_scalar_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    kwargs = {}
+    if broadcast and ray.is_initialized():
+        kwargs = {
+            "fn_constructor_kwargs": {
+                "tool_ref": ray.put(TOOL_CATALOG),
+                "role_ref": ray.put(ROLE_MAP),
+            }
+        }
+    return ds.map_batches(
+        LookupEnricher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=lookup_concurrency or (1, 8),
+        num_cpus=1,
+        **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (generated from the same catalogs)
+# ---------------------------------------------------------------------------
+
+ENRICHED_SQL_COLUMNS = f"""
+  CASE WHEN err_code IS NOT NULL OR (status IS NOT NULL AND status >= 500)
+       THEN 'failure'
+       WHEN status IS NOT NULL THEN 'success'
+       ELSE 'unknown' END AS event_outcome,
+  CASE WHEN status IS NOT NULL
+       THEN 'HTTP ' || CAST(status // 100 AS VARCHAR) || 'xx'
+       ELSE 'unknown' END AS result_class,
+  CAST(latency_ms AS BIGINT) * 1000 AS duration_us,
+  substr(regexp_replace(role || ':' ||
+         CASE WHEN tool = '' THEN 'none' ELSE tool END,
+         '[^a-zA-Z0-9 _-]', '_', 'g'), 1, 100) AS service_name,
+  {TOOL_CATALOG.sql_case('tool', 'tool_category')} AS tool_category,
+  {TOOL_CATALOG.sql_case('tool', 'is_external')} AS is_external,
+  {ROLE_MAP.sql_case('role', 'role_group')} AS role_group,
+  {ROLE_MAP.sql_case('role', 'agent_name')} AS agent_name
+"""
+
+ENRICHED_SQL = (
+    "SELECT parsed.*, " + ENRICHED_SQL_COLUMNS + " FROM parsed"
+)

@@ -1,0 +1,99 @@
+"""Parse stage: vectorized field extraction from the ``text`` column.
+
+Ray-Data analogue of the intake v2 NDJSON decoder — per-line type sniff
+and typed field decode (reference receiver/elasticapmintakereceiver/
+internal/ndjsondecoder/stream.go:146-258, type sniff :907).  Instead of
+walking records, we run RE2 kernels (``pyarrow.compute.extract_regex``)
+over the whole Arrow string column per batch — zero-copy in, columnar
+out.  Rows matching no template get null derived columns and
+``parse_ok=false`` rather than raising, mirroring per-event error
+accumulation (stream.go:236-243).
+
+Stateless → plain function tasks, no actor pool needed (the regex
+objects live inside Arrow's kernel; nothing to amortize).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# RE2 syntax, named groups (required by pc.extract_regex).  These mirror
+# the tokens the synthesizer embeds (synth.py) the way the intake decoder
+# mirrors the APM intake format.
+P_HTTP = r"^(?P<method>GET|POST) (?P<path>\S+)"
+P_STATUS = r"status=(?P<status>\d+)"
+P_LATENCY = r"latency_ms=(?P<latency_ms>\d+)"
+P_TOOL = r"tool=(?P<tool_name>\w+)"
+P_ERR = r"error: (?P<err_code>\S+)"
+
+
+def _field(struct_arr: pa.ChunkedArray | pa.Array, name: str) -> pa.Array:
+    # extract_regex returns a struct array that is null on non-match;
+    # struct_field propagates the null.
+    return pc.struct_field(struct_arr, name)
+
+
+def parse_batch(batch: pa.Table) -> pa.Table:
+    """Append parsed columns (schema.PARSED_COLUMNS) to a transcript batch."""
+    text = batch["text"]
+
+    http = pc.extract_regex(text, P_HTTP)
+    status = pc.extract_regex(text, P_STATUS)
+    lat = pc.extract_regex(text, P_LATENCY)
+    tool = pc.extract_regex(text, P_TOOL)
+    err = pc.extract_regex(text, P_ERR)
+
+    method = _field(http, "method")
+    path = _field(http, "path")
+    status_i = pc.cast(_field(status, "status"), pa.int32())
+    lat_i = pc.cast(_field(lat, "latency_ms"), pa.int32())
+    tool_name = _field(tool, "tool_name")
+    err_code = _field(err, "err_code")
+
+    parse_ok = pc.or_(
+        pc.or_(pc.is_valid(method), pc.is_valid(status_i)),
+        pc.or_(pc.is_valid(tool_name), pc.is_valid(err_code)),
+    )
+
+    return (
+        batch.append_column("method", method)
+        .append_column("path", path)
+        .append_column("status", status_i)
+        .append_column("latency_ms", lat_i)
+        .append_column("tool_name", tool_name)
+        .append_column("err_code", err_code)
+        .append_column("parse_ok", parse_ok)
+    )
+
+
+def parse_stage(ds: rd.Dataset, batch_size: int = 65536) -> rd.Dataset:
+    return ds.map_batches(
+        parse_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+# SQL fragments for the DuckDB oracle — the same extraction expressed in
+# ANSI/DuckDB SQL (regexp_extract returns '' on no match → nullif).
+PARSED_SQL_COLUMNS = """
+  nullif(regexp_extract(text, '^(GET|POST) (\\S+)', 1), '') AS method,
+  nullif(regexp_extract(text, '^(GET|POST) (\\S+)', 2), '') AS path,
+  CAST(nullif(regexp_extract(text, 'status=(\\d+)', 1), '') AS INTEGER) AS status,
+  CAST(nullif(regexp_extract(text, 'latency_ms=(\\d+)', 1), '') AS INTEGER) AS latency_ms,
+  nullif(regexp_extract(text, 'tool=(\\w+)', 1), '') AS tool_name,
+  nullif(regexp_extract(text, 'error: (\\S+)', 1), '') AS err_code,
+  (regexp_matches(text, '^(GET|POST) ')
+   OR regexp_matches(text, 'status=\\d')
+   OR regexp_matches(text, 'tool=\\w')
+   OR regexp_matches(text, 'error: ')) AS parse_ok
+"""
+
+PARSED_SQL = (
+    "SELECT conv_id, turn_idx, role, text, tool, ts, "
+    + PARSED_SQL_COLUMNS
+    + " FROM transcripts"
+)

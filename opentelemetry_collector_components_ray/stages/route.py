@@ -1,0 +1,139 @@
+"""Route stage: first-match-wins fan-out to named sinks.
+
+Ray-Data analogue of the dynamic routing connector: an ordered rule
+list is evaluated first-match-wins (reference
+connector/dynamicroutingconnector/router.go:334-356), rows matching no
+rule go to the default sink (router.go:299-306), and routing NEVER
+mutates the payload (logs.go:69-71 — MutatesData false): we only append
+a ``sink`` column.
+
+The reference routes whole batches on out-of-band client metadata; a
+batch engine has no side channel, so the routing key is ordinary row
+data (SURVEY.md §1.2) and the split is a vectorized predicate cascade
+inside one ``map_batches`` — one pass, no shuffle.  The physical
+fan-out is one filtered ``write_parquet`` per sink; sinks partition the
+input exactly (routed-row equality invariant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+Predicate = Callable[[pa.Table], pa.ChunkedArray]
+
+
+@dataclass(frozen=True)
+class RouteRule:
+    sink: str
+    predicate: Predicate
+    sql: str  # the same predicate in DuckDB SQL (oracle parity)
+
+
+def _p_failure(t: pa.Table):
+    return pc.equal(t["event_outcome"], "failure")
+
+
+def _p_tool(t: pa.Table):
+    return pc.equal(t["role"], "tool")
+
+
+def _p_http(t: pa.Table):
+    return pc.is_valid(t["method"])
+
+
+DEFAULT_RULES: Tuple[RouteRule, ...] = (
+    RouteRule("errors", _p_failure, "event_outcome = 'failure'"),
+    RouteRule("tools", _p_tool, "role = 'tool'"),
+    RouteRule("http", _p_http, "method IS NOT NULL"),
+)
+DEFAULT_SINK = "general"
+
+
+@dataclass(frozen=True)
+class RouterConfig:
+    """Validated routing config (mirrors the reference's config rules:
+    README.md:128-134 — ordered rules, explicit default)."""
+
+    rules: Tuple[RouteRule, ...] = DEFAULT_RULES
+    default_sink: str = DEFAULT_SINK
+
+    def __post_init__(self):
+        names = [r.sink for r in self.rules] + [self.default_sink]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate sink names: {names}")
+        if not self.default_sink:
+            raise ValueError("default sink required")
+
+    @property
+    def sinks(self) -> Tuple[str, ...]:
+        return tuple(r.sink for r in self.rules) + (self.default_sink,)
+
+    def sql_case(self) -> str:
+        parts = ["CASE"]
+        for r in self.rules:
+            parts.append(f"WHEN {r.sql} THEN '{r.sink}'")
+        parts.append(f"ELSE '{self.default_sink}' END")
+        return " ".join(parts)
+
+
+def make_route_batch(config: RouterConfig):
+    def route_batch(batch: pa.Table) -> pa.Table:
+        # build from the last rule backwards so earlier rules win
+        sink = pa.nulls(batch.num_rows, pa.string())
+        sink = pc.fill_null(sink, config.default_sink)
+        for rule in reversed(config.rules):
+            mask = pc.fill_null(rule.predicate(batch), False)
+            sink = pc.if_else(mask, pa.scalar(rule.sink), sink)
+        return batch.append_column("sink", sink)
+
+    return route_batch
+
+
+def route_stage(
+    ds: rd.Dataset,
+    config: RouterConfig = RouterConfig(),
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    return ds.map_batches(
+        make_route_batch(config),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def write_fanout(
+    ds: rd.Dataset,
+    out_dir: str,
+    config: RouterConfig = RouterConfig(),
+    columns: Sequence[str] | None = None,
+    **write_kwargs,
+) -> Dict[str, str]:
+    """One parquet directory per sink (SURVEY.md §2.2).
+
+    Implemented as one filtered write per sink over the shared routed
+    dataset; the streaming executor only computes the routed dataset
+    once per consumption, and each write streams — no driver
+    materialization.
+    """
+    paths = {}
+    for sink in config.sinks:
+        sub = ds.filter(expr=f"sink == '{sink}'")
+        if columns:
+            sub = sub.select_columns(list(columns))
+        path = f"{out_dir.rstrip('/')}/{sink}"
+        sub.write_parquet(path, **write_kwargs)
+        paths[sink] = path
+    return paths
+
+
+ROUTED_SQL = (
+    "SELECT enriched.*, "
+    + RouterConfig().sql_case()
+    + " AS sink FROM enriched"
+)

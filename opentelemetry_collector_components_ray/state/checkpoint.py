@@ -1,0 +1,143 @@
+"""Per-partition checkpoint manifests for resumable runs.
+
+The reference survives restarts via Pebble's WAL + directory
+(processor/lsmintervalprocessor — README.md:3-6) and a persistent poll
+cursor (receiver/akamaisiemreceiver/internal/cursor/cursor.go:34-92).
+The batch-engine equivalent (north rule: "resumable from checkpoint
+with per-partition lineage + metrics"):
+
+- input files are grouped into shards; each shard runs as its own
+  bounded Ray Data pipeline writing under ``out/shard=K/``;
+- a manifest JSON per shard records lineage (input files), row counts
+  in/out per stage, wall time, and a completion marker — written
+  atomically (temp + rename) AFTER the shard's output is durable;
+- a re-run skips shards whose manifest is complete, so a killed run
+  resumes where it left off and produces identical output;
+- cross-shard aggregates are finalized from per-shard partials
+  (commutative merges — safe because delta adds commute,
+  internal/data/add.go:58-68).
+
+At 100 TB a shard is a group of parquet files (≥ a few GB each);
+shards can run with high internal parallelism while the driver loop
+provides the checkpoint boundary.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import ray.data as rd
+
+
+def list_fragments(input_path: str) -> List[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    frags = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not frags:
+        raise FileNotFoundError(f"no parquet fragments under {input_path}")
+    return frags
+
+
+def make_shards(files: Sequence[str], num_shards: int) -> List[List[str]]:
+    """Contiguous file groups; never more shards than files."""
+    n = min(num_shards, len(files))
+    out: List[List[str]] = [[] for _ in range(n)]
+    for i, f in enumerate(files):
+        out[i * n // len(files)].append(f)
+    return out
+
+
+def _manifest_dir(out_dir: str) -> str:
+    d = os.path.join(out_dir, "_manifest")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _manifest_path(out_dir: str, shard_id: int) -> str:
+    return os.path.join(_manifest_dir(out_dir), f"shard-{shard_id:05d}.json")
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_manifest(out_dir: str, shard_id: int) -> Optional[dict]:
+    p = _manifest_path(out_dir, shard_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def shard_complete(out_dir: str, shard_id: int, input_files: Sequence[str]) -> bool:
+    m = load_manifest(out_dir, shard_id)
+    return (
+        m is not None
+        and m.get("status") == "complete"
+        and m.get("input_files") == list(input_files)
+    )
+
+
+# shard_fn(shard_dataset, shard_out_dir) -> per-stage metrics dict
+ShardFn = Callable[[rd.Dataset, str], Dict]
+
+
+def run_sharded(
+    input_path: str,
+    out_dir: str,
+    shard_fn: ShardFn,
+    num_shards: int = 16,
+    resume: bool = True,
+) -> List[dict]:
+    """Run ``shard_fn`` once per shard with checkpointing.
+
+    Shard output is staged in ``shard=K.tmp`` and atomically renamed to
+    ``shard=K`` before the manifest is written, so a crash at any point
+    leaves either no trace or a complete, skippable shard.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    shards = make_shards(list_fragments(input_path), num_shards)
+    manifests = []
+    for sid, files in enumerate(shards):
+        final_dir = os.path.join(out_dir, f"shard={sid:05d}")
+        if resume and shard_complete(out_dir, sid, files):
+            manifests.append(load_manifest(out_dir, sid))
+            continue
+        stage_dir = final_dir + ".tmp"
+        for d in (final_dir, stage_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.makedirs(stage_dir)
+        t0 = time.monotonic()
+        ds = rd.read_parquet(files)
+        metrics = shard_fn(ds, stage_dir) or {}
+        os.replace(stage_dir, final_dir)
+        manifest = {
+            "shard_id": sid,
+            "status": "complete",
+            "input_files": list(files),
+            "output_dir": final_dir,
+            "wall_seconds": round(time.monotonic() - t0, 3),
+            "metrics": metrics,
+        }
+        _atomic_write_json(_manifest_path(out_dir, sid), manifest)
+        manifests.append(manifest)
+    return manifests
+
+
+def completed_shard_dirs(out_dir: str) -> List[str]:
+    dirs = []
+    for p in sorted(glob.glob(os.path.join(_manifest_dir(out_dir), "shard-*.json"))):
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("status") == "complete":
+            dirs.append(m["output_dir"])
+    return dirs

@@ -1,0 +1,107 @@
+"""Resumable sharded execution: manifests, skip-on-resume, identical output
+(FIXTURES.md resume_partial; reference Pebble restart persistence
+lsmintervalprocessor/README.md:3-6, cursor.go:57-92)."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from opentelemetry_collector_components_ray.state import checkpoint as cp
+from opentelemetry_collector_components_ray.synth import (
+    materialize_scaled_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def sharded_input(sf_dir):
+    # 4 replica part-files so sharding is real
+    return materialize_scaled_transcripts(sf_dir, repeat=4)
+
+
+def _count_fn(calls):
+    def shard_fn(ds, shard_dir):
+        calls.append(shard_dir)
+        n = ds.count()
+        ds.write_parquet(os.path.join(shard_dir, "rows"))
+        return {"rows_in": n}
+
+    return shard_fn
+
+
+def test_run_and_manifests(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "run1")
+    calls = []
+    manifests = cp.run_sharded(sharded_input, out, _count_fn(calls), num_shards=4)
+    assert len(manifests) == 4
+    assert len(calls) == 4
+    for m in manifests:
+        assert m["status"] == "complete"
+        assert m["metrics"]["rows_in"] > 0
+        assert m["input_files"]
+        assert os.path.isdir(m["output_dir"])
+    # lineage covers every input file exactly once
+    all_inputs = [f for m in manifests for f in m["input_files"]]
+    assert sorted(all_inputs) == sorted(cp.list_fragments(sharded_input))
+
+
+def test_resume_skips_completed(ray_session, sharded_input, tmp_path):
+    out = str(tmp_path / "run2")
+    calls = []
+    cp.run_sharded(sharded_input, out, _count_fn(calls), num_shards=4)
+    calls2 = []
+    cp.run_sharded(sharded_input, out, _count_fn(calls2), num_shards=4)
+    assert calls2 == []  # everything skipped
+
+
+def test_resume_after_partial_failure_identical_output(
+    ray_session, sharded_input, tmp_path
+):
+    out_clean = str(tmp_path / "clean")
+    out_crash = str(tmp_path / "crash")
+    cp.run_sharded(sharded_input, out_clean, _count_fn([]), num_shards=4)
+
+    boom = RuntimeError("injected")
+    state = {"n": 0}
+
+    def failing_fn(ds, shard_dir):
+        if state["n"] >= 2:
+            raise boom
+        state["n"] += 1
+        ds.write_parquet(os.path.join(shard_dir, "rows"))
+        return {}
+
+    with pytest.raises(RuntimeError):
+        cp.run_sharded(sharded_input, out_crash, failing_fn, num_shards=4)
+    assert len(cp.completed_shard_dirs(out_crash)) == 2
+
+    cp.run_sharded(sharded_input, out_crash, _count_fn([]), num_shards=4)
+
+    def read_all(base):
+        files = sorted(glob.glob(f"{base}/shard=*/rows/*.parquet"))
+        df = pd.concat(pq.read_table(f).to_pandas() for f in files)
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    a, b = read_all(out_clean), read_all(out_crash)
+    assert a.equals(b)
+
+
+def test_stale_manifest_on_input_change(tmp_path):
+    out = str(tmp_path / "m")
+    os.makedirs(out)
+    cp._atomic_write_json(
+        cp._manifest_path(out, 0),
+        {"status": "complete", "input_files": ["old.parquet"]},
+    )
+    assert not cp.shard_complete(out, 0, ["new.parquet"])
+
+
+def test_make_shards_balanced():
+    files = [f"f{i}" for i in range(10)]
+    shards = cp.make_shards(files, 4)
+    assert [f for s in shards for f in s] == files
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+    assert len(cp.make_shards(files, 100)) == 10  # never more shards than files

@@ -1,0 +1,99 @@
+"""Enrich stage: oracle parity + unit cases for the derivation ladders."""
+
+import pyarrow as pa
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.functions.lookups import (
+    ROLE_MAP,
+    TOOL_CATALOG,
+)
+from opentelemetry_collector_components_ray.stages.enrich import (
+    enrich_scalar_batch,
+    sanitize_name,
+)
+from opentelemetry_collector_components_ray.stages.parse import parse_batch
+
+
+def test_enrich_matches_oracle(enriched_ds, oracle, cte_prefix):
+    got = enriched_ds.to_pandas()
+    want = oracle.execute(f"{cte_prefix} SELECT * FROM enriched").df()
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def _parsed(texts, roles=None, tools=None):
+    n = len(texts)
+    return parse_batch(
+        pa.table(
+            {
+                "conv_id": ["c"] * n,
+                "turn_idx": pa.array(range(n), pa.int32()),
+                "role": roles or ["user"] * n,
+                "text": texts,
+                "tool": tools or [""] * n,
+                "ts": pa.array([0] * n, pa.timestamp("us")),
+            }
+        )
+    )
+
+
+def test_outcome_ladder():
+    # mirrors span.go:521-547: error ⇒ failure; >=500 ⇒ failure;
+    # no status ⇒ unknown; else success
+    t = enrich_scalar_batch(
+        _parsed(
+            [
+                "status=200 latency_ms=1",
+                "status=404 latency_ms=1",
+                "status=500 latency_ms=1",
+                "tool=x status=200 latency_ms=1 error: boom",
+                "no tokens here",
+            ]
+        )
+    )
+    assert t["event_outcome"].to_pylist() == [
+        "success",
+        "success",
+        "failure",
+        "failure",
+        "unknown",
+    ]
+    assert t["result_class"].to_pylist() == [
+        "HTTP 2xx",
+        "HTTP 4xx",
+        "HTTP 5xx",
+        "HTTP 2xx",
+        "unknown",
+    ]
+
+
+def test_duration_us():
+    t = enrich_scalar_batch(_parsed(["latency_ms=250 status=200", "none"]))
+    assert t["duration_us"].to_pylist() == [250000, None]
+
+
+def test_sanitize_name():
+    # resource.go:297-307: [^a-zA-Z0-9 _-] -> '_', truncate 100
+    arr = sanitize_name(pa.array(["a:b/c%d e-f_g", "x" * 200]))
+    assert arr.to_pylist()[0] == "a_b_c_d e-f_g"
+    assert len(arr.to_pylist()[1]) == 100
+
+
+def test_lookup_defaults_for_unknown_keys():
+    out = TOOL_CATALOG.lookup(pa.array(["sql", "zzz-not-a-tool", ""]))
+    assert out["tool_category"].to_pylist() == ["code", "unknown", ""]
+    assert out["is_external"].to_pylist() == [False, False, False]
+    out = ROLE_MAP.lookup(pa.array(["tool", "martian"]))
+    assert out["role_group"].to_pylist() == ["machine", "unknown"]
+    assert out["agent_name"].to_pylist() == ["tool-runner", "unknown"]
+
+
+def test_lookup_sql_case_matches_python(oracle):
+    # the generated CASE expression and the vectorized lookup agree
+    keys = list(TOOL_CATALOG.rows) + ["nope"]
+    got = TOOL_CATALOG.lookup(pa.array(keys))["tool_category"].to_pylist()
+    case = TOOL_CATALOG.sql_case("k", "tool_category")
+    want = [
+        oracle.execute(f"SELECT {case} FROM (SELECT '{k}' AS k)").fetchone()[0]
+        for k in keys
+    ]
+    assert got == want
