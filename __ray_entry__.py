@@ -21,6 +21,9 @@ from collections.abc import Callable
 from typing import Any
 
 from opentelemetry_collector_components_ray.stages import aggregate as _agg
+from opentelemetry_collector_components_ray.stages import ann as _ann
+from opentelemetry_collector_components_ray.stages import dedup as _dedup
+from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages.enrich import ENRICHED_SQL
 from opentelemetry_collector_components_ray.stages.parse import PARSED_SQL
 from opentelemetry_collector_components_ray.stages.route import ROUTED_SQL
@@ -115,8 +118,110 @@ def _q_capped_tools(sf_dir: str):
     return _agg.capped_tool_summary(enriched_transcripts(sf_dir), limit=4)
 
 
+def _q_latency_histogram(sf_dir: str):
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+
+    return _agg.latency_histogram(enriched_transcripts(sf_dir), ("24h",))
+
+
+def _q_expo_histogram(sf_dir: str):
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+
+    return _agg.expo_latency_histogram(enriched_transcripts(sf_dir), "24h")
+
+
+def _q_event_counts(sf_dir: str):
+    import ray.data as rd
+
+    return _agg.windowed_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        keys=["event_type"],
+        ts_col="ts",
+        value_col=None,
+        interval="1h",
+    )
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_stats(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    return dedup.dedup_stats(_docs(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    return dedup.minhash_near_dups(_docs(sf_dir), threshold=0.8)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    return dedup.simhash_near_dups(_docs(sf_dir), hamming_k=3)
+
+
+def _q_token_counts(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import text
+
+    return text.token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import text
+
+    return text.quality_scores(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import text
+
+    return text.lang_id(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import text
+
+    return text.fingerprints(_docs(sf_dir))
+
+
+def _q_cosine_topk(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import ann
+
+    embs = _embs(sf_dir)
+    return ann.cosine_topk(embs, embs.filter(expr="vec_id < 5"), k=10)
+
+
+def _q_cosine_neardup(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import ann
+
+    return ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.99)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # transcript pipeline (north-rule flagship)
         "t_transcripts": _q_transcripts,
         "t_parse": _q_parse,
         "t_enrich": _q_enrich,
@@ -125,6 +230,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
+        "t_latency_histogram": _q_latency_histogram,
+        "t_expo_histogram": _q_expo_histogram,  # rows-only (list column)
+        "e_event_counts": _q_event_counts,
+        # training-data ops: dedup / text analysis / similarity search
+        "d_exact_dedup": _q_exact_dedup,
+        "d_dedup_stats": _q_dedup_stats,
+        "d_minhash_pairs": _q_minhash_pairs,  # rows-only (LSH)
+        "d_simhash_pairs": _q_simhash_pairs,  # rows-only (LSH)
+        "d_token_counts": _q_token_counts,
+        "d_quality": _q_quality,
+        "d_lang_id": _q_lang_id,
+        "d_fingerprints": _q_fingerprints,
+        "e_cosine_topk": _q_cosine_topk,
+        "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
     }
 
 
@@ -143,4 +262,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_latest_state": f"{_CTE} {_agg.LATEST_STATE_SQL}",
         "t_capped_tools": f"{_CTE} {_agg.capped_tool_summary_sql(4)}",
+        "t_latency_histogram": (
+            f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"
+        ),
+        # t_expo_histogram: bucket-run list column + base-2 downscale
+        # merge is not SQL-expressible → rows-only; semantics unit-tested
+        # in tests/test_histograms.py.
+        "e_event_counts": (
+            f"SELECT {_agg.window_start_sql('1h')} AS window_start, "
+            "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "d_exact_dedup": _dedup.EXACT_DEDUP_SQL,
+        "d_dedup_stats": _dedup.DEDUP_STATS_SQL,
+        # d_minhash_pairs / d_simhash_pairs / e_cosine_neardup: LSH
+        # candidate generation is not SQL-expressible → rows-only check;
+        # recall is tested against brute force in tests/test_dedup.py
+        # and tests/test_ann.py.
+        "d_token_counts": _text.TOKEN_COUNTS_SQL,
+        "d_quality": _text.QUALITY_SCORES_SQL,
+        "d_lang_id": _text.lang_id_sql(),
+        "d_fingerprints": _text.FINGERPRINTS_SQL,
+        "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
     }

@@ -1,0 +1,162 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs
+plus scaling efficiency (the sandbox evidence for the north rule's
+N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# scale factor for the bench input: replicate conversations so the run
+# measures throughput, not fixed overhead (sf0.1 → 100k turns × 120 = 12M)
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "120"))
+OUT = os.environ.get("GRAFT_BENCH_OUT", "/tmp/occr_bench_out")
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    r = fn()
+    return time.perf_counter() - t0, r
+
+
+def main() -> None:
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from opentelemetry_collector_components_ray.pipelines.flagship import (
+        flagship_aggregate,
+        routed_transcripts,
+        enriched_transcripts,
+    )
+    from opentelemetry_collector_components_ray.stages import aggregate as agg
+    from opentelemetry_collector_components_ray.stages.parse import parse_stage
+    from opentelemetry_collector_components_ray.stages.route import write_fanout
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.synth import (
+        materialize_scaled_transcripts,
+    )
+
+    inp = materialize_scaled_transcripts(SF_DIR, REPEAT)
+    n_turns = read_transcripts(inp).count()  # also warms the page cache
+
+    queries = {}
+
+    # headline: full parse→enrich→route→fanout-write + aggregate write;
+    # run twice (fresh output dir each time), report steady-state (min)
+    # and keep the cold run visible
+    def headline():
+        import ray.data as rd
+
+        from opentelemetry_collector_components_ray.stages.aggregate import (
+            service_summary,
+        )
+
+        shutil.rmtree(OUT, ignore_errors=True)
+        routed = routed_transcripts(inp)
+        write_fanout(routed, f"{OUT}/sinks")
+        # aggregate from the routed parquet (no parse/enrich recompute)
+        service_summary(
+            rd.read_parquet(f"{OUT}/sinks"), ("1h", "24h")
+        ).write_parquet(f"{OUT}/service_summary")
+
+    cold, _ = _timed(headline)
+    warm, _ = _timed(headline)
+    queries["flagship_e2e_cold"] = cold
+    queries["flagship_e2e"] = min(cold, warm)
+
+    queries["parse_count"], _ = _timed(
+        lambda: parse_stage(read_transcripts(inp)).count()
+    )
+    queries["enrich_count"], _ = _timed(
+        lambda: enriched_transcripts(inp).count()
+    )
+    queries["service_summary"], _ = _timed(
+        lambda: flagship_aggregate(inp, ("1h", "24h")).count()
+    )
+    queries["latest_state"], _ = _timed(
+        lambda: agg.latest_state(enriched_transcripts(inp)).count()
+    )
+
+    val = queries["flagship_e2e"]
+    print(
+        json.dumps(
+            {
+                "metric": "flagship parse→enrich→route→aggregate e2e",
+                "value": round(val, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in queries.items()},
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "n_turns": n_turns,
+                "turns_per_sec": round(n_turns / val, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8→32 cpus)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_turns": r_hi["n_turns"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -19,7 +19,7 @@ from ..sources import read_transcripts
 from ..stages.aggregate import service_summary
 from ..stages.enrich import enrich_stage
 from ..stages.parse import parse_stage
-from ..stages.route import RouterConfig, route_stage, write_fanout
+from ..stages.route import RouterConfig, route_stage, write_fanout  # noqa: F401
 
 
 def enriched_transcripts(
@@ -62,18 +62,27 @@ def _flagship_shard_fn(
         routed = _route(
             _enrich(_parse(ds, batch_size), batch_size), config, batch_size
         )
-        metrics: Dict = {"sinks": {}}
-        for sink in config.sinks:
-            sub = routed.filter(expr=f"sink == '{sink}'")
-            path = f"{shard_dir}/sinks/{sink}"
-            sub.write_parquet(path)
-            metrics["sinks"][sink] = sub.count()
-        # per-shard PARTIAL aggregate (merged by finalize_flagship):
-        # one row per (interval, window_start, role, tool) per shard
-        enr = _enrich(_parse(ds, batch_size), batch_size)
-        agg = service_summary(enr, intervals)
+        # ONE pass over the raw shard: single-pass partitioned fan-out
+        # write; aggregation then reads the routed parquet back (cheap,
+        # disk-backed) instead of recomputing parse+enrich.
+        write_fanout(routed, f"{shard_dir}/sinks", config)
+        from ray.data.aggregate import Count
+
+        sink_counts = (
+            rd.read_parquet(f"{shard_dir}/sinks", columns=["sink"])
+            .groupby("sink")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+        )
+        routed_back = rd.read_parquet(f"{shard_dir}/sinks")
+        agg = service_summary(routed_back, intervals)
         agg.write_parquet(f"{shard_dir}/agg_partial")
-        metrics["rows_in"] = ds.count()
+        metrics: Dict = {
+            "sinks": dict(
+                zip(sink_counts["sink"], sink_counts["n"].astype(int))
+            ),
+            "rows_in": int(sink_counts["n"].sum()),
+        }
         return metrics
 
     return shard_fn
@@ -91,8 +100,12 @@ def run_flagship_sharded(
     """Checkpointed flagship run: shard → (route-fanout + partial agg)
     with per-shard manifests, then a final merge of the commutative
     partials (state/checkpoint.py).  Returns the final aggregate path."""
+    from ..stages.aggregate import (
+        SERVICE_SUMMARY_KEYS,
+        SERVICE_SUMMARY_MERGE,
+        merge_partials,
+    )
     from ..state.checkpoint import completed_shard_dirs, run_sharded
-    from ray.data.aggregate import Max, Min, Sum
 
     run_sharded(
         input_path,
@@ -109,14 +122,8 @@ def run_flagship_sharded(
         for f in sorted(_glob.glob(f"{d}/agg_partial/*.parquet"))
     ]
     partials = rd.read_parquet(partial_paths)
-    final = partials.groupby(
-        ["interval", "dataset", "window_start", "role", "tool"]
-    ).aggregate(
-        Sum("turn_count", alias_name="turn_count"),
-        Sum("failure_count", alias_name="failure_count"),
-        Sum("latency_sum", alias_name="latency_sum"),
-        Min("latency_min", alias_name="latency_min"),
-        Max("latency_max", alias_name="latency_max"),
+    final = merge_partials(
+        partials, SERVICE_SUMMARY_KEYS, SERVICE_SUMMARY_MERGE
     )
     final_path = f"{out_dir}/service_summary"
     import shutil

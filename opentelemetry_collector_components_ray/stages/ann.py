@@ -1,0 +1,222 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- :func:`cosine_topk` — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one float64 matmul
+  against it, emits a per-batch partial top-k, and a tiny final merge
+  takes the global top-k.  The shuffle moves k rows per (query, block),
+  never the corpus.
+- :func:`lsh_cosine_buckets` / :func:`cosine_near_dup_pairs` — the
+  scale path for all-pairs similarity: random-hyperplane signs (SimHash
+  for cosine) bucket vectors so only same-bucket pairs are compared.
+- Ranking ties are broken on (round(sim, 6) DESC, vec_id ASC) so
+  results are deterministic and float-summation-order differences
+  (numpy vs SQL) cannot flip an ordering the oracle checks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _matrix(col) -> np.ndarray:
+    """(n, d) float64 from a list<float> column."""
+    arr = col.to_numpy(zero_copy_only=False)
+    return np.stack(arr).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class TopKScorer:
+    """Actor: holds the broadcast normalized query matrix; per batch
+    computes cosine vs all queries and emits the batch-local top-k."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qm = q["matrix"]  # already normalized, (nq, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch[self.vec_col]))
+        sims = m @ self.qm.T  # (n, nq)
+        sims = np.round(sims, 6)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            # top-k by (sim desc, vec_id asc) — lexsort ascending keys
+            order = np.lexsort((ids, -col))[:k]
+            out_q.append(np.full(k, qid, dtype=np.int64))
+            out_id.append(ids[order])
+            out_sim.append(col[order])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id).astype(np.int64),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+
+def cosine_topk(
+    ds: rd.Dataset,
+    query_ds: rd.Dataset,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Global top-k neighbours per query (including the query row itself
+    if it is part of ``ds``); deterministic rank/tie-break, see module
+    docstring.  Output: (query_id, vec_id, sim, rank)."""
+    qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
+    qm = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
+    queries_ref = ray.put(
+        {"qids": qdf[id_col].to_numpy().astype(np.int64), "matrix": qm}
+    )
+
+    partials = ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", as_index=False, sort=True).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df.reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+def cosine_topk_sql(k: int = 10, n_queries: int = 5) -> str:
+    """DuckDB twin: list_cosine_similarity + window rank, same rounding
+    and tie-break."""
+    return f"""
+SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 6)
+                    DESC, e.vec_id ASC) AS rank
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < {n_queries}
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path for all-pairs cosine)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(d: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(d, n_bits))
+
+
+class HyperplaneHasher:
+    def __init__(self, d: int, n_bits: int, id_col: str, vec_col: str,
+                 seed: int = 42):
+        self.h = _hyperplanes(d, n_bits, seed)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col])
+        signs = (m @ self.h) > 0  # (n, n_bits)
+        key = np.zeros(len(m), dtype=np.int64)
+        for b in range(signs.shape[1]):
+            key = (key << 1) | signs[:, b]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": key,
+                self.vec_col: batch[self.vec_col],
+            }
+        )
+
+
+def cosine_near_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Embedding near-duplicate pairs: hyperplane-LSH buckets, exact
+    cosine verification within each bucket (vectorized).  Recall < 1 by
+    construction (pairs split across all buckets are missed) — the
+    candidate-generation trade every LSH makes; tested against brute
+    force on crafted dups in tests.  Output (id_a < id_b, sim ≥ τ)."""
+    hashed = ds.map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={
+            "d": dim,
+            "n_bits": n_bits,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.array([], dtype="int64"),
+                 "id_b": pd.array([], dtype="int64"),
+                 "sim": pd.array([], dtype="float64")}
+            )
+        ids = df[id_col].to_numpy().astype(np.int64)
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sims = np.round(m @ m.T, 6)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[iu][mask]})
+
+    pairs = hashed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    return pairs.repartition(1).map_batches(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]).sort_values(
+            ["id_a", "id_b"]
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )

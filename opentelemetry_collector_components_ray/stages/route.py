@@ -112,24 +112,33 @@ def write_fanout(
     out_dir: str,
     config: RouterConfig = RouterConfig(),
     columns: Sequence[str] | None = None,
+    num_output_blocks: int | None = None,
     **write_kwargs,
 ) -> Dict[str, str]:
     """One parquet directory per sink (SURVEY.md §2.2).
 
-    Implemented as one filtered write per sink over the shared routed
-    dataset; the streaming executor only computes the routed dataset
-    once per consumption, and each write streams — no driver
-    materialization.
+    SINGLE-PASS fan-out: one hive-partitioned ``write_parquet`` on the
+    ``sink`` column — every routed dataset batch is computed exactly
+    once and split at write time (``out/sink=<name>/``).  A per-sink
+    filtered write would re-execute the whole upstream pipeline once
+    per sink, which is wrong at scale.
+
+    ``num_output_blocks`` coalesces before the write: each write task
+    emits one file per sink it sees, so N input blocks × S sinks files
+    — with many small input blocks that produces a swarm of tiny files
+    that slows every later read.  Pick it so output files land near
+    the ~100 MB+ range at your data size.
     """
-    paths = {}
-    for sink in config.sinks:
-        sub = ds.filter(expr=f"sink == '{sink}'")
-        if columns:
-            sub = sub.select_columns(list(columns))
-        path = f"{out_dir.rstrip('/')}/{sink}"
-        sub.write_parquet(path, **write_kwargs)
-        paths[sink] = path
-    return paths
+    if columns:
+        cols = list(columns)
+        if "sink" not in cols:
+            cols.append("sink")
+        ds = ds.select_columns(cols)
+    if num_output_blocks:
+        ds = ds.repartition(num_output_blocks)
+    base = out_dir.rstrip("/")
+    ds.write_parquet(base, partition_cols=["sink"], **write_kwargs)
+    return {sink: f"{base}/sink={sink}" for sink in config.sinks}
 
 
 ROUTED_SQL = (

@@ -1,0 +1,205 @@
+"""Text analysis over the ``documents`` table.
+
+Training-data-pipeline ops: token counting, quality scoring, n-gram
+language ID, content fingerprinting.  All stateless vectorized
+``map_batches`` (Arrow/pandas kernels, compiled regexes at module
+scope); each op carries a DuckDB-SQL twin generated from the SAME
+constants so the oracle can verify it exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + a BPE-ish sub-token regex)
+# ---------------------------------------------------------------------------
+
+# BPE-ish: runs of letters, runs of digits, or a single non-space symbol
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        ws = pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        )
+        # empty string → one empty token from split; count as 0
+        ws = pc.if_else(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(txt)), 0),
+                        pa.scalar(0, pa.int32()), ws)
+        bpe = pc.count_substring_regex(txt, BPE_RE)
+        n_chars = pc.utf8_length(txt)
+        return (
+            batch.append_column("n_tokens", pc.cast(ws, pa.int64()))
+            .append_column("n_bpe_tokens", pc.cast(bpe, pa.int64()))
+            .append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT documents.*,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+STOPWORDS: Sequence[str] = (
+    "the", "a", "of", "to", "and", "in", "is", "it", "for", "on",
+)
+_STOP_PATTERN = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def quality_scores(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Quality heuristics: mean word length, stopword ratio, alpha ratio.
+
+    The shape mirrors quality-filter stages in public training-data
+    pipelines (C4/Gopher-style heuristics); thresholds are left to the
+    caller — this stage only scores.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        n_chars = pc.utf8_length(txt)
+        n_words = pc.count_substring_regex(txt, r"\w+")
+        n_stop = pc.count_substring_regex(txt, _STOP_PATTERN)
+        n_alpha = pc.count_substring_regex(txt, r"[a-zA-Z]")
+        nw_safe = pc.max_element_wise(n_words, 1)
+        nc_safe = pc.max_element_wise(n_chars, 1)
+        stop_ratio = pc.round(
+            pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(nw_safe, pa.float64())),
+            ndigits=6,
+        )
+        alpha_ratio = pc.round(
+            pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(nc_safe, pa.float64())),
+            ndigits=6,
+        )
+        mean_word_len = pc.round(
+            pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(nw_safe, pa.float64())),
+            ndigits=6,
+        )
+        return (
+            batch.append_column("n_words", pc.cast(n_words, pa.int64()))
+            .append_column("stop_ratio", stop_ratio)
+            .append_column("alpha_ratio", alpha_ratio)
+            .append_column("mean_word_len", mean_word_len)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUALITY_SCORES_SQL = f"""
+SELECT documents.*,
+  CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_words,
+  round(len(regexp_extract_all(text, '{_STOP_PATTERN}'))
+        / greatest(len(regexp_extract_all(text, '\\w+')), 1)::DOUBLE, 6)
+    AS stop_ratio,
+  round(len(regexp_extract_all(text, '[a-zA-Z]'))
+        / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio,
+  round(len(regexp_extract_all(text, '[a-zA-Z]'))
+        / greatest(len(regexp_extract_all(text, '\\w+')), 1)::DOUBLE, 6)
+    AS mean_word_len
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word heuristic, deterministic + SQL-twinnable)
+# ---------------------------------------------------------------------------
+
+# marker vocabularies per language; scored by occurrence count, argmax
+# with ties broken by language code order (deterministic)
+LANG_MARKERS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "zh": ("zh",),  # synthetic corpus carries no CJK — placeholder marker
+}
+LANGS = sorted(LANG_MARKERS)
+
+
+def _lang_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+def lang_id(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """n-gram/marker language ID: counts marker words per language,
+    argmax (ties → first language code alphabetically, 'und' when no
+    marker hits at all)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        scores = [
+            pc.count_substring_regex(txt, _lang_pattern(l)).to_numpy(
+                zero_copy_only=False
+            )
+            for l in LANGS
+        ]
+        m = np.stack(scores, axis=1)  # (n, n_langs)
+        best = np.argmax(m, axis=1)  # first max wins (LANGS sorted)
+        detected = np.where(
+            m.max(axis=1) > 0, np.array(LANGS, dtype=object)[best], "und"
+        )
+        return batch.append_column(
+            "lang_detected", pa.array(detected, pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id_sql() -> str:
+    score = {
+        l: f"len(regexp_extract_all(text, '{_lang_pattern(l)}'))"
+        for l in LANGS
+    }
+    greatest = "greatest(" + ", ".join(score[l] for l in LANGS) + ")"
+    case = "CASE "
+    for l in LANGS:  # first max wins in sorted order
+        case += f"WHEN {score[l]} = {greatest} THEN '{l}' "
+    case += "END"
+    return f"""
+SELECT documents.*,
+  CASE WHEN {greatest} = 0 THEN 'und' ELSE {case} END AS lang_detected
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Content fingerprint (md5 hex — matches DuckDB's md5()) computed
+    per unique value to amortize the per-string Python call."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        uniq, inv = np.unique(df[text_col].to_numpy(dtype=object), return_inverse=True)
+        digests = np.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in uniq], dtype=object
+        )
+        df = df.copy()
+        df["fingerprint"] = digests[inv]
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+FINGERPRINTS_SQL = "SELECT documents.*, md5(text) AS fingerprint FROM documents"

@@ -165,36 +165,49 @@ def scaled_transcripts_path(sf_dir: str, repeat: int) -> str:
 
 
 def materialize_scaled_transcripts(
-    sf_dir: str, repeat: int, force: bool = False
+    sf_dir: str, repeat: int, force: bool = False, chunks: int = 2
 ) -> str:
     """Bench-scale variant: replicate every conversation ``repeat`` times
-    (``conv_id || '-r<k>'``), deterministic, written as one parquet file
-    per replica so reads parallelize.  Used only for throughput runs —
-    correctness uses the 1x table."""
+    (``conv_id || '-r<k>'``), deterministic, written as ``repeat × chunks``
+    parquet files so reads parallelize well past the core count (a
+    20-file input caps a 32-CPU run at 20 fused read→transform tasks).
+    Used only for throughput runs — correctness uses the 1x table."""
     import duckdb
+
+    import shutil
 
     out_dir = scaled_transcripts_path(sf_dir, repeat)
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done) and not force:
-        return out_dir
+        with open(done) as f:
+            if f.read().strip() == f"{repeat}x{chunks}":
+                return out_dir
     base = materialize_transcripts(sf_dir)
+    # regenerating (new layout or force): never leave stale part files
+    # from a previous layout behind
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     try:
+        con.execute(
+            f"CREATE TEMP TABLE base AS SELECT * FROM read_parquet('{base}')"
+        )
         for k in range(repeat):
-            part = os.path.join(out_dir, f"part-{k:05d}.parquet")
-            if os.path.exists(part) and not force:
-                continue
-            tmp = part + ".tmp"
-            con.execute(
-                f"COPY (SELECT conv_id || '-r{k}' AS conv_id, turn_idx, "
-                f"role, text, tool, ts "
-                f"FROM read_parquet('{base}')) "
-                f"TO '{tmp}' (FORMAT PARQUET)"
-            )
-            os.replace(tmp, part)
+            for c in range(chunks):
+                part = os.path.join(
+                    out_dir, f"part-{k:05d}-{c:03d}.parquet"
+                )
+                tmp = part + ".tmp"
+                con.execute(
+                    f"COPY (SELECT conv_id || '-r{k}' AS conv_id, turn_idx, "
+                    f"role, text, tool, ts FROM base "
+                    f"WHERE hash(conv_id) % {chunks} = {c}) "
+                    f"TO '{tmp}' (FORMAT PARQUET)"
+                )
+                os.replace(tmp, part)
         with open(done, "w") as f:
-            f.write(str(repeat))
+            f.write(f"{repeat}x{chunks}")
     finally:
         con.close()
     return out_dir

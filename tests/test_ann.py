@@ -1,0 +1,53 @@
+"""Similarity search: brute-force top-k vs SQL oracle; LSH near-dup recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.stages import ann
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+
+
+def test_cosine_topk_matches_oracle(emb_ds, oracle):
+    queries = emb_ds.filter(expr="vec_id < 5")
+    got = ann.cosine_topk(emb_ds, queries, k=10).to_pandas()
+    want = oracle.execute(ann.cosine_topk_sql(k=10, n_queries=5)).df()
+    assert_frames_equal(got, want, ["query_id", "rank"])
+
+
+def test_topk_self_is_rank_one(emb_ds):
+    queries = emb_ds.filter(expr="vec_id < 3")
+    got = ann.cosine_topk(emb_ds, queries, k=5).to_pandas()
+    top1 = got[got["rank"] == 1]
+    assert (top1.query_id.to_numpy() == top1.vec_id.to_numpy()).all()
+    assert (top1.sim == 1.0).all()
+
+
+def _emb_with_dups(n=200, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.normal(size=(n, d))
+    rows = [(i, m[i].astype(np.float32).tolist()) for i in range(n)]
+    # inject near-identical vectors
+    for j, i in enumerate([4, 60, 123]):
+        v = m[i] + rng.normal(scale=0.01, size=d)
+        rows.append((n + j, v.astype(np.float32).tolist()))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+
+def test_cosine_near_dup_pairs_finds_injected(ray_session):
+    import ray.data as rd
+
+    df = _emb_with_dups()
+    got = ann.cosine_near_dup_pairs(
+        rd.from_pandas(df), threshold=0.99, dim=16
+    ).to_pandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert {(4, 200), (60, 201), (123, 202)} <= pairs
+    assert (got.sim >= 0.99).all()

@@ -1,0 +1,111 @@
+"""Dedup stages: exact vs oracle; MinHash-LSH & SimHash vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.stages import dedup
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet").materialize()
+
+
+def test_exact_dedup_matches_oracle(docs_ds, oracle):
+    got = dedup.exact_dedup(docs_ds).to_pandas()
+    want = oracle.execute(dedup.EXACT_DEDUP_SQL).df()
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_dedup_stats_matches_oracle(docs_ds, oracle):
+    got = dedup.dedup_stats(docs_ds)
+    want = oracle.execute(dedup.DEDUP_STATS_SQL).df()
+    assert_frames_equal(got, want, ["n_docs"])
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 3, 9, 1],
+            "text": ["same", "same", "other", "same"],
+        }
+    )
+    out = dedup.exact_dedup(rd.from_pandas(df)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [1, 9]
+
+
+def _corpus_with_near_dups(n=120, seed=7):
+    """Random word docs + injected near-duplicate pairs."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(vocab, size=40))
+        rows.append((i, " ".join(words)))
+    # inject near dups: copy doc i -> doc n+i with 2 words changed
+    for j, i in enumerate([3, 17, 42]):
+        words = rows[i][1].split()
+        words[0] = "changed0"
+        words[20] = "changed20"
+        rows.append((n + j, " ".join(words)))
+    # and one exact dup
+    rows.append((n + 50, rows[5][1]))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_minhash_near_dups_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    df = _corpus_with_near_dups()
+    got = (
+        dedup.minhash_near_dups(rd.from_pandas(df), threshold=0.8)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = dedup.brute_force_jaccard_pairs(df, 0.8)
+    assert got[["id_a", "id_b"]].values.tolist() == (
+        want[["id_a", "id_b"]].values.tolist()
+    )
+    assert len(got) >= 4  # 3 injected near dups + 1 exact dup
+    np.testing.assert_allclose(got.jaccard, want.jaccard, atol=1e-6)
+
+
+def test_minhash_no_false_negatives_on_exact_dups(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c d e f", "a b c d e f", "x y z q r s"]}
+    )
+    got = dedup.minhash_near_dups(rd.from_pandas(df), threshold=0.99).to_pandas()
+    assert got[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    assert got.jaccard.iloc[0] == 1.0
+
+
+def test_simhash_near_dups_finds_injected(ray_session):
+    import ray.data as rd
+
+    df = _corpus_with_near_dups()
+    got = (
+        dedup.simhash_near_dups(rd.from_pandas(df), hamming_k=6)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    # exact dup must be found (hamming 0)
+    assert (5, 170) in pairs
+    assert got.set_index(["id_a", "id_b"]).loc[(5, 170), "hamming"] == 0
+
+
+def test_shingles_deterministic():
+    a = dedup._shingles("the quick brown fox jumps", 3)
+    b = dedup._shingles("the quick brown fox jumps", 3)
+    assert (a == b).all()
+    assert len(a) == 3  # 5 words → 3 tri-shingles

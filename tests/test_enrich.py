@@ -87,6 +87,29 @@ def test_lookup_defaults_for_unknown_keys():
     assert out["agent_name"].to_pylist() == ["tool-runner", "unknown"]
 
 
+def test_actor_pool_lookup_matches_stateless(ray_session, sf_dir):
+    """The actor-pool path (broadcast refs resolved in __init__) and the
+    stateless path produce identical output."""
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.enrich import enrich_stage
+    from opentelemetry_collector_components_ray.stages.parse import parse_stage
+
+    parsed = parse_stage(read_transcripts(sf_dir))
+    a = (
+        enrich_stage(parsed, use_actor_pool=True, lookup_concurrency=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        enrich_stage(parsed, use_actor_pool=False)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_lookup_sql_case_matches_python(oracle):
     # the generated CASE expression and the vectorized lookup agree
     keys = list(TOOL_CATALOG.rows) + ["nope"]

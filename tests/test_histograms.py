@@ -1,0 +1,84 @@
+"""Histogram merge kernels vs the reference's golden semantics
+(lsminterval add.go:70-107 explicit, expo/merge.go + scale.go expo)."""
+
+import numpy as np
+import pytest
+
+from opentelemetry_collector_components_ray.functions.histograms import (
+    DEFAULT_MAX_EXPO_BUCKETS,
+    ExpoHist,
+    ExplicitHist,
+    bucketize,
+)
+
+
+def test_bucketize_le_semantics():
+    # bucket i holds values <= bounds[i]; last bucket = overflow
+    counts = bucketize(np.array([10.0, 50.0, 51.0, 5000.0]), [50.0, 250.0])
+    assert counts.tolist() == [2, 1, 1]
+
+
+def test_explicit_merge_same_bounds():
+    a = ExplicitHist.from_values(np.array([10.0, 300.0]), [50.0, 250.0])
+    b = ExplicitHist.from_values(np.array([40.0, 60.0]), [50.0, 250.0])
+    a.merge(b)
+    assert a.counts.tolist() == [2, 1, 1]
+    assert a.count == 4
+    assert a.sum == 410.0
+    assert a.min == 10.0 and a.max == 300.0
+
+
+def test_explicit_merge_bounds_mismatch_resets():
+    """add.go:70-107: mismatched bounds ⇒ reset to incoming histogram."""
+    a = ExplicitHist.from_values(np.array([10.0]), [50.0])
+    b = ExplicitHist.from_values(np.array([1.0, 2.0]), [5.0, 10.0])
+    a.merge(b)
+    assert a.bounds == (5.0, 10.0)
+    assert a.counts.tolist() == b.counts.tolist()
+    assert a.count == 2
+
+
+def test_expo_from_values_roundtrip():
+    vals = np.array([1.0, 2.0, 4.0, 100.0])
+    h = ExpoHist.from_values(vals, scale=2)
+    assert h.count == 4
+    assert h.sum == pytest.approx(107.0)
+    assert h.counts.sum() == 4  # all positive values bucketed
+
+
+def test_expo_downscale_preserves_total():
+    vals = np.exp(np.linspace(0, 8, 100))
+    h = ExpoHist.from_values(vals, scale=6)
+    total = h.counts.sum()
+    h.downscale(2)
+    assert h.scale == 2
+    assert h.counts.sum() == total
+
+
+def test_expo_merge_aligns_scales_and_counts():
+    a = ExpoHist.from_values(np.array([1.0, 2.0, 3.0]), scale=5)
+    b = ExpoHist.from_values(np.array([10.0, 20.0]), scale=2)
+    a.merge(b)
+    assert a.scale == 2  # coarser of the two
+    assert a.count == 5
+    assert a.counts.sum() == 5
+
+
+def test_expo_merge_caps_buckets():
+    """merged run capped at 160 buckets by further downscaling
+    (config/config.go:14-16)."""
+    lo = ExpoHist.from_values(np.array([1e-30]), scale=7)
+    hi = ExpoHist.from_values(np.array([1e30]), scale=7)
+    lo.merge(hi)
+    assert lo.counts.size <= DEFAULT_MAX_EXPO_BUCKETS
+    assert lo.counts.sum() == 2
+
+
+def test_expo_merge_commutative():
+    rng = np.random.RandomState(0)
+    x, y = rng.lognormal(size=50), rng.lognormal(size=70)
+    a = ExpoHist.from_values(x, 4).merge(ExpoHist.from_values(y, 4))
+    b = ExpoHist.from_values(y, 4).merge(ExpoHist.from_values(x, 4))
+    assert a.scale == b.scale and a.offset == b.offset
+    assert a.counts.tolist() == b.counts.tolist()
+    assert a.count == b.count

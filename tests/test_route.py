@@ -47,7 +47,11 @@ def test_sinks_partition_input_exactly(ray_session, enriched_ds, sf_dir, tmp_pat
     paths = write_fanout(
         routed, str(tmp_path), columns=["conv_id", "turn_idx", "text"]
     )
-    parts = [pq.read_table(p).to_pandas() for p in paths.values()]
+    parts = [
+        pq.read_table(p, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+        for p in paths.values()
+        if os.path.isdir(p)
+    ]
     import pandas as pd
 
     union = (

@@ -1,0 +1,54 @@
+"""Text analysis stages vs their generated SQL twins."""
+
+import pytest
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.stages import text as T
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet").materialize()
+
+
+def test_token_counts_matches_oracle(docs_ds, oracle):
+    got = T.token_counts(docs_ds).to_pandas()
+    want = oracle.execute(T.TOKEN_COUNTS_SQL).df()
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_quality_scores_matches_oracle(docs_ds, oracle):
+    got = T.quality_scores(docs_ds).to_pandas()
+    want = oracle.execute(T.QUALITY_SCORES_SQL).df()
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_lang_id_matches_oracle(docs_ds, oracle):
+    got = T.lang_id(docs_ds).to_pandas()
+    want = oracle.execute(T.lang_id_sql()).df()
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_fingerprints_matches_oracle(docs_ds, oracle):
+    got = T.fingerprints(docs_ds).to_pandas()
+    want = oracle.execute(T.FINGERPRINTS_SQL).df()
+    assert_frames_equal(got, want, ["doc_id"])
+
+
+def test_token_counts_unit(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b  c", "", "hi42!x"]}
+    )
+    out = (
+        T.token_counts(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.n_tokens.tolist() == [3, 0, 1]
+    # BPE-ish: 'hi' '42' '!' 'x' → 4
+    assert out.n_bpe_tokens.tolist() == [3, 0, 4]

@@ -1,0 +1,80 @@
+"""Windowed generic counts, latency histogram, expo histogram stages."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.stages import aggregate as agg
+
+
+def test_windowed_counts_events_matches_oracle(ray_session, sf_dir, oracle):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    got = agg.windowed_counts(
+        ds, keys=["event_type"], ts_col="ts", value_col="value",
+        interval="1h",
+    ).to_pandas()
+    w = agg.window_start_sql("1h")
+    want = oracle.execute(
+        f"""SELECT {w} AS window_start, event_type,
+                   COUNT(*) AS n, SUM(value) AS value_sum
+            FROM events GROUP BY 1, 2"""
+    ).df()
+    # float sums: compare rounded (summation order differs)
+    got["value_sum"] = got["value_sum"].round(6)
+    want["value_sum"] = want["value_sum"].round(6)
+    assert_frames_equal(got, want, ["window_start", "event_type"])
+
+
+def test_latency_histogram_matches_oracle(enriched_ds, oracle, cte_prefix):
+    got = agg.latency_histogram(enriched_ds, ("24h",)).to_pandas()
+    want = oracle.execute(
+        f"{cte_prefix} {agg.latency_histogram_sql(('24h',))}"
+    ).df()
+    assert_frames_equal(
+        got, want, ["interval", "window_start", "role", "bucket_idx"]
+    )
+
+
+def test_latency_histogram_counts_sum_to_rows(enriched_ds):
+    got = agg.latency_histogram(enriched_ds, ("24h",)).to_pandas()
+    n_measured = (
+        enriched_ds.to_pandas()["latency_ms"].notna().sum()
+    )
+    assert got.bucket_count.sum() == n_measured
+
+
+def test_expo_latency_histogram_totals(enriched_ds):
+    got = agg.expo_latency_histogram(enriched_ds, "24h").to_pandas()
+    pdf = enriched_ds.to_pandas()
+    measured = pdf[pdf.latency_ms.notna()]
+    assert got["count"].sum() == len(measured)
+    assert got["hsum"].sum() == pytest.approx(measured.latency_ms.sum())
+    # bucket runs hold every positive measurement
+    pos = (measured.latency_ms > 0).sum()
+    assert sum(sum(c) for c in got["counts"]) == pos
+    # zero latencies land in zero_count
+    assert got["zero_count"].sum() == (measured.latency_ms <= 0).sum()
+
+
+def test_expo_latency_histogram_partition_invariant(ray_session, enriched_ds):
+    """Same result regardless of block layout (merge commutes)."""
+    a = (
+        agg.expo_latency_histogram(enriched_ds, "24h")
+        .to_pandas()
+        .sort_values(["window_start", "role"])
+        .reset_index(drop=True)
+    )
+    b = (
+        agg.expo_latency_histogram(
+            enriched_ds.repartition(7), "24h", batch_size=500
+        )
+        .to_pandas()
+        .sort_values(["window_start", "role"])
+        .reset_index(drop=True)
+    )
+    assert a.drop(columns=["counts"]).equals(b.drop(columns=["counts"]))
+    for x, y in zip(a["counts"], b["counts"]):
+        assert list(x) == list(y)
