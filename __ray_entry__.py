@@ -23,9 +23,11 @@ from typing import Any
 from opentelemetry_collector_components_ray.stages import aggregate as _agg
 from opentelemetry_collector_components_ray.stages import ann as _ann
 from opentelemetry_collector_components_ray.stages import dedup as _dedup
+from opentelemetry_collector_components_ray.stages import remap as _remap
 from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages.enrich import ENRICHED_SQL
 from opentelemetry_collector_components_ray.stages.parse import PARSED_SQL
+from opentelemetry_collector_components_ray.stages import route as _route_mod
 from opentelemetry_collector_components_ray.stages.route import ROUTED_SQL
 from opentelemetry_collector_components_ray.synth import TRANSCRIPTS_SQL
 
@@ -146,6 +148,32 @@ def _q_event_counts(sf_dir: str):
     )
 
 
+def _q_ecs_remap(sf_dir: str):
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+    from opentelemetry_collector_components_ray.stages.remap import remap_stage
+
+    return remap_stage(enriched_transcripts(sf_dir))
+
+
+def _q_cardinality_route(sf_dir: str):
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+    from opentelemetry_collector_components_ray.stages.route import (
+        cardinality_route,
+    )
+
+    return cardinality_route(enriched_transcripts(sf_dir))
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    return dedup.word_jaccard_pairs(_docs(sf_dir), threshold=0.5, max_id=400)
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
 
@@ -230,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
+        "t_ecs_remap": _q_ecs_remap,
+        "t_cardinality_route": _q_cardinality_route,
+        "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
         "t_expo_histogram": _q_expo_histogram,  # rows-only (list column)
         "e_event_counts": _q_event_counts,
@@ -262,6 +293,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_latest_state": f"{_CTE} {_agg.LATEST_STATE_SQL}",
         "t_capped_tools": f"{_CTE} {_agg.capped_tool_summary_sql(4)}",
+        "t_ecs_remap": f"{_CTE} {_remap.RemapSpec().sql_select('enriched')}",
+        "t_cardinality_route": f"{_CTE} {_route_mod.cardinality_route_sql()}",
+        "d_jaccard_pairs": _dedup.word_jaccard_pairs_sql(0.5, 400),
         "t_latency_histogram": (
             f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"
         ),

@@ -93,6 +93,25 @@ def main() -> None:
     queries["flagship_e2e_cold"] = cold
     queries["flagship_e2e"] = min(cold, warm)
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        val = queries["flagship_e2e"]
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship parse→enrich→route→aggregate e2e",
+                    "value": round(val, 3),
+                    "unit": "sec",
+                    "queries": {k: round(v, 3) for k, v in queries.items()},
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                    "n_turns": n_turns,
+                    "turns_per_sec": round(n_turns / val, 1),
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
     queries["parse_count"], _ = _timed(
         lambda: parse_stage(read_transcripts(inp)).count()
     )
@@ -125,8 +144,19 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    """Two fresh-process parallelism levels on the same input.
+
+    Each level runs TWICE (headline only) and takes the per-level min —
+    cross-process runs vary ±20% with filesystem/page-cache state, and
+    the steady-state minimum is the defensible throughput number.
+    """
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -135,6 +165,10 @@ def scaling() -> None:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        return min((run_once(ncpu) for _ in range(2)),
+                   key=lambda r: r["value"])
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)

@@ -30,6 +30,13 @@ def _matrix(col) -> np.ndarray:
     return np.stack(arr).astype(np.float64)
 
 
+def round_half_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
+    """Round ties away from zero — matches DuckDB/SQL round() so oracle
+    hashes compare equal (np.round is half-to-even)."""
+    scale = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -52,7 +59,7 @@ class TopKScorer:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(batch[self.vec_col]))
         sims = m @ self.qm.T  # (n, nq)
-        sims = np.round(sims, 6)
+        sims = round_half_away(sims, 6)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
         for j, qid in enumerate(self.qids):
@@ -119,14 +126,20 @@ def cosine_topk(
 
 def cosine_topk_sql(k: int = 10, n_queries: int = 5) -> str:
     """DuckDB twin: list_cosine_similarity + window rank, same rounding
-    and tie-break."""
+    and tie-break.  Embeddings are cast to DOUBLE[] because DuckDB
+    computes list_cosine_similarity in the list's own precision
+    (float32 here), which diverges from the engine's float64 math at
+    the 6th decimal."""
     return f"""
 SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), 6) AS sim,
+         round(list_cosine_similarity(
+             CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+           AS sim,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, e.embedding), 6)
+           ORDER BY round(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
                     DESC, e.vec_id ASC) AS rank
   FROM embeddings q CROSS JOIN embeddings e
   WHERE q.vec_id < {n_queries}
@@ -203,7 +216,7 @@ def cosine_near_dup_pairs(
             )
         ids = df[id_col].to_numpy().astype(np.int64)
         m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-        sims = np.round(m @ m.T, 6)
+        sims = round_half_away(m @ m.T, 6)
         iu = np.triu_indices(len(ids), k=1)
         mask = sims[iu] >= threshold
         a, b = ids[iu[0][mask]], ids[iu[1][mask]]

@@ -35,6 +35,7 @@ import ray
 import ray.data as rd
 
 from ..functions.sketches import hash64
+from .ann import round_half_away
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -273,7 +274,7 @@ class JaccardVerifier:
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
-                "jaccard": pa.array(np.round(jac, 6)),
+                "jaccard": pa.array(round_half_away(jac, 6)),
             }
         )
 
@@ -345,8 +346,106 @@ def brute_force_jaccard_pairs(
             jac = inter / union if union else 1.0
             if jac >= threshold:
                 a, b = sorted((int(ids[i]), int(ids[j])))
-                rows.append((a, b, round(jac, 6)))
+                rows.append((a, b, float(round_half_away(np.float64(jac), 6))))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard pairs — exhaustive over a bounded subset,
+# SQL-twinnable (the oracle cross-joins with list_intersect), so the
+# exact-similarity math gets a value-level correctness gate that the
+# LSH paths (sampling-based candidate generation) cannot provide.
+# ---------------------------------------------------------------------------
+
+
+class WordJaccardScorer:
+    """Actor: broadcast word-set index for the subset; each batch of
+    left docs scores against every subset doc (blocked all-pairs)."""
+
+    def __init__(self, docs_ref, text_col: str, id_col: str,
+                 threshold: float):
+        docs = ray.get(docs_ref)
+        self.ids = docs[id_col].to_numpy()
+        self.sets = [
+            np.unique(np.asarray(t.split(" "), dtype=object))
+            for t in docs[text_col]
+        ]
+        self.sizes = np.array([s.size for s in self.sets])
+        self.threshold = threshold
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        for i, t in zip(ids, texts):
+            s = np.unique(np.asarray(t.split(" "), dtype=object))
+            for j in range(len(self.ids)):
+                other = int(self.ids[j])
+                if other <= int(i):
+                    continue  # emit each unordered pair once (a < b)
+                inter = np.intersect1d(s, self.sets[j],
+                                       assume_unique=True).size
+                union = s.size + self.sizes[j] - inter
+                jac = inter / union if union else 1.0
+                if jac >= self.threshold:
+                    out_a.append(int(i))
+                    out_b.append(other)
+                    out_j.append(float(round_half_away(np.float64(jac), 6)))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+
+def word_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    max_id: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Exact word-set Jaccard over doc pairs with id < max_id (bounded
+    subset keeps the O(n²) honest; LSH is the path for the full set)."""
+    subset = docs.filter(expr=f"{id_col} < {max_id}")
+    small = subset.select_columns([id_col, text_col]).to_pandas()
+    ref = ray.put(small)
+    return subset.map_batches(
+        WordJaccardScorer,
+        fn_constructor_kwargs={
+            "docs_ref": ref,
+            "text_col": text_col,
+            "id_col": id_col,
+            "threshold": threshold,
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def word_jaccard_pairs_sql(threshold: float = 0.5, max_id: int = 400) -> str:
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(
+         len(list_intersect(a.ws, b.ws))
+         / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))::DOUBLE,
+       6) AS jaccard
+FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      FROM documents WHERE doc_id < {max_id}) a
+JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      FROM documents WHERE doc_id < {max_id}) b
+  ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))
+      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))::DOUBLE
+      >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,108 @@ ROUTED_SQL = (
     + RouterConfig().sql_case()
     + " AS sink FROM enriched"
 )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality-based routing — the dynamic routing connector's actual
+# decision rule: estimate the cardinality of measure_by combinations per
+# partition key, route to the FIRST pipeline whose max_cardinality ≥
+# estimate, thresholds ascending with a final catch-all
+# (router.go:287-297 HLL recording, 334-356 first-threshold selection,
+# config rules README.md:128-134).  Batch translation: the TTL decision
+# cache disappears (decisions are a pure function of the bounded input,
+# SURVEY.md §2.10) and the per-key estimate is an exact two-phase
+# distinct at test scale / a mergeable HLL at large key counts.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CardinalityRouterConfig:
+    """Ascending (threshold, sink) pairs; last threshold must be the
+    catch-all (None = .inf, README.md:128-134)."""
+
+    key: str = "conv_id"
+    measure_by: Tuple[str, ...] = ("role", "tool")
+    rules: Tuple[Tuple[int | None, str], ...] = (
+        (2, "low_card"),
+        (6, "mid_card"),
+        (None, "high_card"),
+    )
+
+    def __post_init__(self):
+        ts = [t for t, _ in self.rules]
+        if ts[-1] is not None:
+            raise ValueError("last threshold must be the catch-all (None)")
+        finite = [t for t in ts if t is not None]
+        if finite != sorted(finite) or len(set(finite)) != len(finite):
+            raise ValueError(f"thresholds must be ascending/unique: {ts}")
+        sinks = [s for _, s in self.rules]
+        if len(set(sinks)) != len(sinks):
+            raise ValueError(f"duplicate sinks: {sinks}")
+
+    def sink_for(self, card: int) -> str:
+        for t, sink in self.rules:
+            if t is None or card <= t:
+                return sink
+        raise AssertionError("unreachable (catch-all)")
+
+    def sql_case(self, card_expr: str) -> str:
+        parts = ["CASE"]
+        for t, sink in self.rules:
+            if t is None:
+                parts.append(f"ELSE '{sink}' END")
+            else:
+                parts.append(f"WHEN {card_expr} <= {t} THEN '{sink}'")
+        return " ".join(parts)
+
+
+def cardinality_route(
+    ds: rd.Dataset,
+    config: CardinalityRouterConfig = CardinalityRouterConfig(),
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """Per-key routing decisions: (key, combo_card, sink).
+
+    Two-phase exact distinct: per-batch dedup of (key, measure_by…)
+    combos, coalesce, count distinct per key, map through thresholds.
+    Partitioning assumption: the deduped combo set (≤ keys ×
+    |measure-space|) fits one worker; beyond that swap the final
+    reduce for per-key-bucket HLL sketches (functions/sketches.py)."""
+    import pandas as pd
+
+    cols = [config.key, *config.measure_by]
+
+    def dedup_batch(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df[cols].drop_duplicates()
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        combos = df.drop_duplicates()
+        card = (
+            combos.groupby(config.key, as_index=False)
+            .size()
+            .rename(columns={"size": "combo_card"})
+        )
+        card["combo_card"] = card["combo_card"].astype("int64")
+        card["sink"] = card["combo_card"].map(config.sink_for)
+        return card
+
+    partials = ds.map_batches(
+        dedup_batch, batch_format="pandas", batch_size=batch_size
+    )
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def cardinality_route_sql(
+    config: CardinalityRouterConfig = CardinalityRouterConfig(),
+) -> str:
+    combo = ", ".join(config.measure_by)
+    case = config.sql_case("combo_card")
+    return f"""
+SELECT {config.key}, combo_card, {case} AS sink FROM (
+  SELECT {config.key}, CAST(COUNT(*) AS BIGINT) AS combo_card
+  FROM (SELECT DISTINCT {config.key}, {combo} FROM enriched)
+  GROUP BY {config.key}
+)
+"""

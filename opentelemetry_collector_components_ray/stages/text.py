@@ -83,17 +83,21 @@ def quality_scores(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         n_alpha = pc.count_substring_regex(txt, r"[a-zA-Z]")
         nw_safe = pc.max_element_wise(n_words, 1)
         nc_safe = pc.max_element_wise(n_chars, 1)
+        # half_towards_infinity = ties away from zero, matching DuckDB's
+        # round() so the oracle hash compares bit-equal (Arrow's default
+        # half_to_even differs on exact ties like 0.8203125)
+        rmode = "half_towards_infinity"
         stop_ratio = pc.round(
             pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(nw_safe, pa.float64())),
-            ndigits=6,
+            ndigits=6, round_mode=rmode,
         )
         alpha_ratio = pc.round(
             pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(nc_safe, pa.float64())),
-            ndigits=6,
+            ndigits=6, round_mode=rmode,
         )
         mean_word_len = pc.round(
             pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(nw_safe, pa.float64())),
-            ndigits=6,
+            ndigits=6, round_mode=rmode,
         )
         return (
             batch.append_column("n_words", pc.cast(n_words, pa.int64()))

@@ -1,0 +1,64 @@
+"""Multimodal binary-column stages: schema, decode plumbing, sampling."""
+
+import numpy as np
+import pytest
+
+from opentelemetry_collector_components_ray.stages.multimodal import (
+    IMAGE_SCHEMA,
+    DecodeImages,
+    FakeImageDecoder,
+    decode_stage,
+    frame_sample,
+    synth_image_table,
+)
+
+
+def test_synth_schema_and_determinism():
+    a = synth_image_table(16)
+    b = synth_image_table(16)
+    assert a.schema.equals(IMAGE_SCHEMA)
+    assert a.equals(b)
+
+
+def test_decoder_roundtrip():
+    t = synth_image_table(4)
+    dec = FakeImageDecoder()
+    img = dec.decode(t["payload"][0].as_py())
+    assert img.shape == (t["height"][0].as_py(), t["width"][0].as_py())
+    assert img.dtype == np.uint8
+
+
+def test_decoder_rejects_bad_magic():
+    with pytest.raises(ValueError):
+        FakeImageDecoder().decode(b"NOPE" + b"\x00" * 16)
+
+
+def test_decode_stage_features(ray_session):
+    import ray.data as rd
+
+    t = synth_image_table(50)
+    out = decode_stage(rd.from_arrow(t), target=(4, 4)).to_pandas()
+    assert len(out) == 50
+    assert "payload" not in out.columns  # heavy bytes dropped post-decode
+    assert (out.pixel_mean > 0).all()
+    assert all(len(v) == 16 for v in out.thumb)  # 4x4 thumbnails
+    # features deterministic across runs / layouts
+    out2 = (
+        decode_stage(rd.from_arrow(t).repartition(5), target=(4, 4),
+                     batch_size=7)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    out = out.sort_values("image_id").reset_index(drop=True)
+    assert out.pixel_mean.tolist() == out2.pixel_mean.tolist()
+
+
+def test_frame_sample(ray_session):
+    import ray.data as rd
+
+    t = synth_image_table(32)
+    out = frame_sample(rd.from_arrow(t), every_k=4).to_pandas()
+    assert sorted(out.image_id) == list(range(0, 32, 4))
+    out3 = frame_sample(rd.from_arrow(t), every_k=3).to_pandas()
+    assert sorted(out3.image_id) == list(range(0, 32, 3))
