@@ -22,6 +22,9 @@ from typing import Any
 
 from opentelemetry_collector_components_ray.stages import aggregate as _agg
 from opentelemetry_collector_components_ray.stages import ann as _ann
+from opentelemetry_collector_components_ray.stages import (
+    conversation as _conv,
+)
 from opentelemetry_collector_components_ray.stages import dedup as _dedup
 from opentelemetry_collector_components_ray.stages import remap as _remap
 from opentelemetry_collector_components_ray.stages import text as _text
@@ -148,6 +151,27 @@ def _q_event_counts(sf_dir: str):
     )
 
 
+def _q_conv_stats(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import conversation
+
+    return conversation.conv_stats(read_transcripts(sf_dir))
+
+
+def _q_conv_head(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import conversation
+
+    return conversation.conv_head(read_transcripts(sf_dir), k=3)
+
+
+def _q_approx_convs(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import conversation
+
+    return conversation.approx_distinct_convs(read_transcripts(sf_dir))
+
+
 def _q_ecs_remap(sf_dir: str):
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
@@ -258,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
+        "t_conv_stats": _q_conv_stats,
+        "t_conv_head": _q_conv_head,
+        "t_approx_convs": _q_approx_convs,  # rows-only (HLL estimate)
         "t_ecs_remap": _q_ecs_remap,
         "t_cardinality_route": _q_cardinality_route,
         "d_jaccard_pairs": _q_jaccard_pairs,
@@ -293,6 +320,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_latest_state": f"{_CTE} {_agg.LATEST_STATE_SQL}",
         "t_capped_tools": f"{_CTE} {_agg.capped_tool_summary_sql(4)}",
+        "t_conv_stats": f"{_CTE} {_conv.CONV_STATS_SQL}",
+        "t_conv_head": f"{_CTE} {_conv.conv_head_sql(3)}",
+        # t_approx_convs: HLL estimate (±1%) cannot hash-match an exact
+        # oracle → rows-only; accuracy asserted in tests/test_conversation.py
         "t_ecs_remap": f"{_CTE} {_remap.RemapSpec().sql_select('enriched')}",
         "t_cardinality_route": f"{_CTE} {_route_mod.cardinality_route_sql()}",
         "d_jaccard_pairs": _dedup.word_jaccard_pairs_sql(0.5, 400),

@@ -1,0 +1,53 @@
+"""Conversation-level ops: stats, ordered head, HLL distinct."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.stages import conversation as C
+
+
+@pytest.fixture(scope="module")
+def transcripts_ds(ray_session, sf_dir):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+
+    return read_transcripts(sf_dir).materialize()
+
+
+def test_conv_stats_matches_oracle(transcripts_ds, oracle, cte_prefix):
+    got = C.conv_stats(transcripts_ds).to_pandas()
+    want = oracle.execute(f"{cte_prefix} {C.CONV_STATS_SQL}").df()
+    assert_frames_equal(got, want, ["conv_id"])
+
+
+def test_conv_head_matches_oracle(transcripts_ds, oracle, cte_prefix):
+    got = C.conv_head(transcripts_ds, k=3).to_pandas()
+    want = oracle.execute(f"{cte_prefix} {C.conv_head_sql(3)}").df()
+    assert_frames_equal(got, want, ["conv_id"])
+
+
+def test_conv_head_order_dependent(ray_session):
+    """Shuffled input must still produce turn_idx-ordered heads."""
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": np.array([3, 0, 2, 1], dtype=np.int32),
+            "text": ["d", "a", "c", "b"],
+        }
+    )
+    out = C.conv_head(rd.from_pandas(df), k=3).to_pandas()
+    assert out.head_text.tolist() == ["a | b | c"]
+
+
+def test_approx_distinct_convs_within_error(transcripts_ds, oracle, cte_prefix):
+    got = C.approx_distinct_convs(transcripts_ds).set_index("role")
+    exact = oracle.execute(
+        f"{cte_prefix} SELECT role, COUNT(DISTINCT conv_id) AS n "
+        "FROM transcripts GROUP BY role"
+    ).df().set_index("role")
+    for role in exact.index:
+        e, a = exact.loc[role, "n"], got.loc[role, "approx_convs"]
+        assert abs(a - e) / max(e, 1) < 0.05, (role, e, a)
