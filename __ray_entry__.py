@@ -151,6 +151,22 @@ def _q_event_counts(sf_dir: str):
     )
 
 
+def _q_image_features(sf_dir: str):
+    """Multimodal plumbing demo: deterministic synthetic binary images
+    (no external data; count scales with the sf's documents table) →
+    actor-pool decode → features.  Decode kernel is a stub (no codecs
+    in this env) — plumbing is real; rows-only check."""
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        decode_stage,
+        synth_image_table,
+    )
+
+    n = max(64, _docs(sf_dir).count() // 10)
+    return decode_stage(rd.from_arrow(synth_image_table(n)))
+
+
 def _q_conv_stats(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -302,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_fingerprints": _q_fingerprints,
         "e_cosine_topk": _q_cosine_topk,
         "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
+        "m_image_features": _q_image_features,  # rows-only (stub codec)
     }
 
 

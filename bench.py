@@ -125,6 +125,32 @@ def main() -> None:
         lambda: agg.latest_state(enriched_transcripts(inp)).count()
     )
 
+    # training-data ops over the documents/embeddings tables (sf-sized)
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import (
+        ann as ann_mod,
+        dedup as dedup_mod,
+        text as text_mod,
+    )
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    queries["doc_token_counts"], _ = _timed(
+        lambda: text_mod.token_counts(docs).count()
+    )
+    queries["doc_exact_dedup"], _ = _timed(
+        lambda: dedup_mod.exact_dedup(docs).count()
+    )
+    queries["doc_minhash_pairs"], _ = _timed(
+        lambda: dedup_mod.minhash_near_dups(docs, threshold=0.8).count()
+    )
+    queries["emb_cosine_topk"], _ = _timed(
+        lambda: ann_mod.cosine_topk(
+            embs, embs.filter(expr="vec_id < 5"), k=10
+        ).count()
+    )
+
     val = queries["flagship_e2e"]
     print(
         json.dumps(

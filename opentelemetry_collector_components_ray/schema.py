@@ -47,6 +47,7 @@ PARSED_COLUMNS = pa.schema(
         ("latency_ms", pa.int32()),    # null when absent
         ("tool_name", pa.string()),    # tool=<w> token from text, null when absent
         ("err_code", pa.string()),     # 'error: <code>' token, null when absent
+        ("weight", pa.float64()),      # sampling weight 2^p from 'p=<k>', 1.0 default
         ("parse_ok", pa.bool_()),      # any token matched (parse-miss flag)
     ]
 )

@@ -27,6 +27,10 @@ P_STATUS = r"status=(?P<status>\d+)"
 P_LATENCY = r"latency_ms=(?P<latency_ms>\d+)"
 P_TOOL = r"tool=(?P<tool_name>\w+)"
 P_ERR = r"error: (?P<err_code>\S+)"
+# sampling weight: 'p=<k>' ⇒ the turn represents 2^k original turns —
+# the tracestate p-value → AdjustedCount parse (reference
+# elasticapmprocessor span.go:1005-1033); absent ⇒ weight 1.0
+P_PVALUE = r"\bp=(?P<p>\d+)\b"
 
 
 def _field(struct_arr: pa.ChunkedArray | pa.Array, name: str) -> pa.Array:
@@ -52,6 +56,12 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     tool_name = _field(tool, "tool_name")
     err_code = _field(err, "err_code")
 
+    pv = pc.extract_regex(text, P_PVALUE)
+    p_exp = pc.cast(_field(pv, "p"), pa.float64())
+    weight = pc.fill_null(
+        pc.power(pa.scalar(2.0), p_exp), 1.0
+    )
+
     parse_ok = pc.or_(
         pc.or_(pc.is_valid(method), pc.is_valid(status_i)),
         pc.or_(pc.is_valid(tool_name), pc.is_valid(err_code)),
@@ -64,6 +74,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         .append_column("latency_ms", lat_i)
         .append_column("tool_name", tool_name)
         .append_column("err_code", err_code)
+        .append_column("weight", weight)
         .append_column("parse_ok", parse_ok)
     )
 
@@ -86,6 +97,9 @@ PARSED_SQL_COLUMNS = """
   CAST(nullif(regexp_extract(text, 'latency_ms=(\\d+)', 1), '') AS INTEGER) AS latency_ms,
   nullif(regexp_extract(text, 'tool=(\\w+)', 1), '') AS tool_name,
   nullif(regexp_extract(text, 'error: (\\S+)', 1), '') AS err_code,
+  coalesce(power(2.0, CAST(nullif(
+    regexp_extract(text, '\\bp=(\\d+)\\b', 1), '') AS DOUBLE)), 1.0)
+    AS weight,
   (regexp_matches(text, '^(GET|POST) ')
    OR regexp_matches(text, 'status=\\d')
    OR regexp_matches(text, 'tool=\\w')

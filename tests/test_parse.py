@@ -52,6 +52,19 @@ def test_parse_extracts_fields():
     assert d["parse_ok"] == [True, True, False]
 
 
+def test_weight_pvalue_parse():
+    # tracestate p-value analogue (span.go:1005-1033): p=k ⇒ weight 2^k
+    t = parse_batch(
+        _mini(
+            [
+                "GET /x status=200 latency_ms=1 p=3",
+                "GET /x status=200 latency_ms=1",
+            ]
+        )
+    )
+    assert t["weight"].to_pylist() == [8.0, 1.0]
+
+
 def test_parse_miss_is_not_an_error():
     # parse-miss rows flow through with null derived cols (the analogue
     # of per-event error accumulation, stream.go:236-243)
