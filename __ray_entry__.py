@@ -281,6 +281,16 @@ def _q_cosine_topk(sf_dir: str):
     return ann.cosine_topk(embs, embs.filter(expr="vec_id < 5"), k=10)
 
 
+def _q_ivf_topk(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import ann
+
+    embs = _embs(sf_dir)
+    return ann.ivf_topk(
+        embs, embs.filter(expr="vec_id < 5"), k=10, n_centroids=16,
+        nprobe=8,
+    )
+
+
 def _q_cosine_neardup(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import ann
 
@@ -318,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_fingerprints": _q_fingerprints,
         "e_cosine_topk": _q_cosine_topk,
         "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
+        "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
         "m_image_features": _q_image_features,  # rows-only (stub codec)
     }
 

@@ -148,6 +148,170 @@ SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k — the scale path for search.
+#
+# Brute force touches every vector per query; IVF trains coarse
+# centroids once (driver-side k-means on a deterministic sample —
+# small-side state, like every broadcast in this engine), assigns each
+# vector to its nearest centroid in a vectorized map_batches, and at
+# query time probes only the nprobe closest centroid buckets.  At
+# cluster scale the assignment column doubles as a parquet partition
+# key so probes prune at the read.
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_limit: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded Lloyd k-means on a bounded head sample (deterministic).
+    Returns (n_centroids, d) L2-normalized float64 centroids."""
+    sample = ds.limit(sample_limit).select_columns([vec_col]).to_pandas()
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)),
+                        replace=False)]
+    for _ in range(iters):
+        # round before argmax: BLAS-thread summation-order jitter
+        # (~1e-15) must not flip near-tie assignments between runs
+        sims = np.round(m @ cent.T, 9)
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssigner:
+    def __init__(self, cent_ref, vec_col: str):
+        self.cent = ray.get(cent_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch[self.vec_col]))
+        assign = (
+            np.round(m @ self.cent.T, 9).argmax(axis=1).astype(np.int64)
+        )
+        return batch.append_column("centroid_id", pa.array(assign))
+
+
+class IvfScorer:
+    """Per batch: score each query only against rows in its probed
+    centroid buckets."""
+
+    def __init__(self, ctx_ref, k: int, id_col: str, vec_col: str):
+        ctx = ray.get(ctx_ref)
+        self.qids = ctx["qids"]
+        self.qm = ctx["matrix"]
+        self.probes = ctx["probes"]  # (nq, nprobe) centroid ids
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cents = batch["centroid_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch[self.vec_col]))
+        out_q, out_id, out_sim = [], [], []
+        for j, qid in enumerate(self.qids):
+            mask = np.isin(cents, self.probes[j])
+            if not mask.any():
+                continue
+            sub = m[mask]
+            sub_ids = ids[mask]
+            sims = round_half_away(sub @ self.qm[j], 6)
+            k = min(self.k, len(sub_ids))
+            order = np.lexsort((sub_ids, -sims))[:k]
+            out_q.append(np.full(k, qid, dtype=np.int64))
+            out_id.append(sub_ids[order])
+            out_sim.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id).astype(np.int64),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query_ds: rd.Dataset,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Approximate top-k: IVF probe of the nprobe nearest centroid
+    buckets per query.  Recall < 1 by construction (neighbours living
+    in unprobed buckets are missed) — recall vs brute force is asserted
+    in tests/test_ann.py; raise nprobe to trade speed for recall."""
+    cent = train_centroids(ds, n_centroids, vec_col)
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
+    qm = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
+    probes = np.argsort(-np.round(qm @ cent.T, 9), axis=1)[:, :nprobe]
+    ctx_ref = ray.put(
+        {
+            "qids": qdf[id_col].to_numpy().astype(np.int64),
+            "matrix": qm,
+            "probes": probes,
+        }
+    )
+    partials = assigned.map_batches(
+        IvfScorer,
+        fn_constructor_kwargs={
+            "ctx_ref": ctx_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", as_index=False, sort=True).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df.reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path for all-pairs cosine)
 # ---------------------------------------------------------------------------
 

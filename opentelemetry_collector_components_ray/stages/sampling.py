@@ -1,0 +1,119 @@
+"""Deterministic, layout-independent sampling & dataset splitting.
+
+``Dataset.random_sample`` depends on block layout and RNG state; a
+training-data pipeline needs samples and train/val/test splits that are
+REPRODUCIBLE across runs, partitionings and cluster sizes, and that
+keep whole groups (conversations) together.  Both ops here key off
+``md5(key)`` — a pure function of the row — so any two runs agree row
+for row, and both have exact DuckDB twins.
+
+The hex-prefix trick: the first 8 hex chars of md5 are uniform in
+[0, 16^8); comparing them LEXICOGRAPHICALLY against a hex threshold
+implements `u < fraction` with zero float math, identically in Python
+and SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_SPACE = 16 ** 8
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(min(_SPACE, int(round(fraction * _SPACE))), "08x")
+
+
+def _md5_prefix(values: np.ndarray) -> np.ndarray:
+    uniq, inv = np.unique(values.astype(object), return_inverse=True)
+    h = np.array(
+        [hashlib.md5(str(s).encode()).hexdigest()[:8] for s in uniq],
+        dtype=object,
+    )
+    return h[inv]
+
+
+def deterministic_sample(
+    ds: rd.Dataset, key: str, fraction: float
+) -> rd.Dataset:
+    """Keep rows whose md5(key) prefix < fraction — group-preserving
+    (every row of a kept key is kept) and layout-independent."""
+    thr = _hex_threshold(fraction)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        pref = _md5_prefix(df[key].to_numpy())
+        return df[pref < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def deterministic_sample_sql(
+    key: str, fraction: float, relation: str = "transcripts"
+) -> str:
+    thr = _hex_threshold(fraction)
+    return (
+        f"SELECT * FROM {relation} "
+        f"WHERE substr(md5({key}), 1, 8) < '{thr}'"
+    )
+
+
+DEFAULT_SPLITS: Tuple[Tuple[str, float], ...] = (
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+)
+
+
+def assign_split(
+    ds: rd.Dataset,
+    key: str,
+    splits: Sequence[Tuple[str, float]] = DEFAULT_SPLITS,
+) -> rd.Dataset:
+    """Append a ``split`` column: whole groups land in one split, with
+    the requested proportions, stable across runs and layouts."""
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bounds = []
+    acc = 0.0
+    for name, frac in splits:
+        acc += frac
+        bounds.append((name, _hex_threshold(acc)))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        pref = _md5_prefix(df[key].to_numpy())
+        out = np.empty(len(df), dtype=object)
+        remaining = np.ones(len(df), dtype=bool)
+        for name, hi in bounds:
+            m = remaining & (pref < hi)
+            out[m] = name
+            remaining &= ~m
+        out[remaining] = bounds[-1][0]  # float-edge stragglers
+        df = df.copy()
+        df["split"] = out
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def assign_split_sql(
+    key: str,
+    splits: Sequence[Tuple[str, float]] = DEFAULT_SPLITS,
+    relation: str = "transcripts",
+) -> str:
+    acc = 0.0
+    cases = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        cases.append(
+            f"WHEN substr(md5({key}), 1, 8) < '{_hex_threshold(acc)}' "
+            f"THEN '{name}'"
+        )
+    last = splits[-1][0]
+    case = "CASE " + " ".join(cases) + f" ELSE '{last}' END"
+    return f"SELECT {relation}.*, {case} AS split FROM {relation}"

@@ -1,0 +1,67 @@
+"""Deterministic sampling / splitting: oracle parity, group cohesion."""
+
+import pandas as pd
+import pytest
+
+from conftest import assert_frames_equal
+from opentelemetry_collector_components_ray.stages import sampling as S
+
+
+@pytest.fixture(scope="module")
+def transcripts_ds(ray_session, sf_dir):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+
+    return read_transcripts(sf_dir).materialize()
+
+
+def test_sample_matches_oracle(transcripts_ds, oracle, cte_prefix):
+    got = S.deterministic_sample(transcripts_ds, "conv_id", 0.5).to_pandas()
+    want = oracle.execute(
+        f"{cte_prefix} {S.deterministic_sample_sql('conv_id', 0.5)}"
+    ).df()
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_split_matches_oracle(transcripts_ds, oracle, cte_prefix):
+    got = S.assign_split(transcripts_ds, "conv_id").to_pandas()
+    want = oracle.execute(
+        f"{cte_prefix} {S.assign_split_sql('conv_id')}"
+    ).df()
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_groups_stay_whole(transcripts_ds):
+    out = S.assign_split(transcripts_ds, "conv_id").to_pandas()
+    per_conv = out.groupby("conv_id")["split"].nunique()
+    assert (per_conv == 1).all()
+
+
+def test_layout_independent(ray_session, transcripts_ds):
+    a = (
+        S.deterministic_sample(transcripts_ds, "conv_id", 0.3)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        S.deterministic_sample(
+            transcripts_ds.repartition(7), "conv_id", 0.3
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_split_fractions_validated():
+    with pytest.raises(ValueError):
+        S.assign_split(None, "k", splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_sample_fraction_roughly_honored(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [f"g{i}" for i in range(5000)]})
+    out = S.deterministic_sample(rd.from_pandas(df), "k", 0.25).to_pandas()
+    assert 0.2 < len(out) / 5000 < 0.3
