@@ -27,6 +27,9 @@ from opentelemetry_collector_components_ray.stages import (
 )
 from opentelemetry_collector_components_ray.stages import dedup as _dedup
 from opentelemetry_collector_components_ray.stages import remap as _remap
+from opentelemetry_collector_components_ray.stages import (
+    sampling as _sampling,
+)
 from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages.enrich import ENRICHED_SQL
 from opentelemetry_collector_components_ray.stages.parse import PARSED_SQL
@@ -149,6 +152,22 @@ def _q_event_counts(sf_dir: str):
         value_col=None,
         interval="1h",
     )
+
+
+def _q_sample(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import sampling
+
+    return sampling.deterministic_sample(
+        read_transcripts(sf_dir), "conv_id", 0.5
+    )
+
+
+def _q_split(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import sampling
+
+    return sampling.assign_split(read_transcripts(sf_dir), "conv_id")
 
 
 def _q_image_features(sf_dir: str):
@@ -308,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
+        "t_sample": _q_sample,
+        "t_split": _q_split,
         "t_conv_stats": _q_conv_stats,
         "t_conv_head": _q_conv_head,
         "t_approx_convs": _q_approx_convs,  # rows-only (HLL estimate)
@@ -348,6 +369,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_latest_state": f"{_CTE} {_agg.LATEST_STATE_SQL}",
         "t_capped_tools": f"{_CTE} {_agg.capped_tool_summary_sql(4)}",
+        "t_sample": (
+            f"{_CTE} "
+            f"{_sampling.deterministic_sample_sql('conv_id', 0.5)}"
+        ),
+        "t_split": f"{_CTE} {_sampling.assign_split_sql('conv_id')}",
         "t_conv_stats": f"{_CTE} {_conv.CONV_STATS_SQL}",
         "t_conv_head": f"{_CTE} {_conv.conv_head_sql(3)}",
         # t_approx_convs: HLL estimate (±1%) cannot hash-match an exact
