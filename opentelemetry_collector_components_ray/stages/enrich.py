@@ -80,7 +80,14 @@ def enrich_scalar_batch(batch: pa.Table) -> pa.Table:
         pc.if_else(pc.equal(batch["tool"], ""), pa.scalar("none"), batch["tool"]),
         ":",
     )
-    service_name = sanitize_name(svc_raw)
+    # (role, tool) is low-cardinality: dictionary-encode and run the
+    # sanitize regex over the ~50 distinct values, not every row
+    svc_dict = pc.dictionary_encode(svc_raw)
+    if isinstance(svc_dict, pa.ChunkedArray):
+        svc_dict = svc_dict.combine_chunks()
+    service_name = pc.take(
+        sanitize_name(svc_dict.dictionary), svc_dict.indices
+    )
 
     return (
         batch.append_column("event_outcome", outcome)
