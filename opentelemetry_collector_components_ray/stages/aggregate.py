@@ -250,6 +250,37 @@ FROM enriched GROUP BY 1, 2, 3"""
     return " UNION ALL ".join(parts)
 
 
+def aggregate_with_passthrough(
+    ds: rd.Dataset,
+    passthrough_expr: str = "parse_ok == False",
+    aggregate_expr: str = "parse_ok == True",
+    intervals: Sequence[str] = ("1h", "24h"),
+    batch_size: int = 131072,
+):
+    """Split consume: rows matching ``passthrough_expr`` bypass
+    aggregation and flow through UNCHANGED; the rest are aggregated.
+
+    Mirrors lsminterval's pass-through of gauges and (configurably)
+    summaries while sums/histograms aggregate
+    (processor/lsmintervalprocessor/processor.go:286-336, gauges
+    :298-302, summaries :303-311).  Our batch analogue keys the split
+    on a row predicate (no metric-type column exists; parse-miss rows
+    are the natural 'not aggregatable' class).
+
+    Returns ``(aggregated, passthrough)`` datasets.  Each is consumed
+    independently; for bounded inputs consumed more than once,
+    materialize upstream first.  Both predicates are given explicitly
+    (Ray's filter-expression parser has no ``not``); they must
+    partition the rows.
+    """
+    agg_rows = ds.filter(expr=aggregate_expr)
+    pass_rows = ds.filter(expr=passthrough_expr)
+    return (
+        service_summary(agg_rows, intervals, batch_size),
+        pass_rows,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cumulative latest-timestamp-wins (merger/datapoints.go:65-79): per
 # conversation, the newest turn replaces older ones; out-of-order input

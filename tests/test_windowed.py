@@ -46,6 +46,26 @@ def test_latency_histogram_counts_sum_to_rows(enriched_ds):
     assert got.bucket_count.sum() == n_measured
 
 
+def test_aggregate_with_passthrough(enriched_ds):
+    """Passthrough rows flow unchanged; aggregation covers the rest
+    (lsminterval gauge/summary pass-through, processor.go:286-336)."""
+    agg_ds, passthrough = agg.aggregate_with_passthrough(
+        enriched_ds, intervals=("24h",)
+    )
+    pdf = enriched_ds.to_pandas()
+    miss = pdf[~pdf.parse_ok]
+    got_pass = (
+        passthrough.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got_pass.equals(
+        miss.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    got_agg = agg_ds.to_pandas()
+    assert got_agg.turn_count.sum() == (len(pdf) - len(miss))
+
+
 def test_expo_latency_histogram_totals(enriched_ds):
     got = agg.expo_latency_histogram(enriched_ds, "24h").to_pandas()
     pdf = enriched_ds.to_pandas()
