@@ -154,6 +154,21 @@ def _q_event_counts(sf_dir: str):
     )
 
 
+def _q_sessionize(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import conversation
+
+    return conversation.sessionize(
+        read_transcripts(sf_dir), gap_seconds=3600 * 24
+    )
+
+
+def _q_top_tools(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+
+    return _agg.top_tools(read_transcripts(sf_dir), k=5)
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import sampling
@@ -327,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
+        "t_sessionize": _q_sessionize,
+        "t_top_tools": _q_top_tools,
         "t_sample": _q_sample,
         "t_split": _q_split,
         "t_conv_stats": _q_conv_stats,
@@ -369,6 +386,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_latest_state": f"{_CTE} {_agg.LATEST_STATE_SQL}",
         "t_capped_tools": f"{_CTE} {_agg.capped_tool_summary_sql(4)}",
+        "t_sessionize": f"{_CTE} {_conv.sessionize_sql(3600 * 24)}",
+        "t_top_tools": f"{_CTE} {_agg.top_tools_sql(5)}",
         "t_sample": (
             f"{_CTE} "
             f"{_sampling.deterministic_sample_sql('conv_id', 0.5)}"

@@ -463,6 +463,36 @@ def windowed_counts(
     return merge_partials(partials, ["window_start"] + keys, specs)
 
 
+def top_tools(ds: rd.Dataset, k: int = 5, batch_size: int = 131072) -> rd.Dataset:
+    """Top-k tools by turn count — the §2.8 value top-k: per-batch
+    combiner, tree merge, then ``Dataset.sort`` + ``limit`` with a
+    deterministic tie-break (count DESC, tool ASC)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"tool": batch["tool"]})
+        g = t.group_by(["tool"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tool", "turn_count"])
+
+    merged = merge_partials(
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ),
+        ["tool"],
+        [("turn_count", "sum")],
+    )
+    return merged.sort(
+        ["turn_count", "tool"], descending=[True, False]
+    ).limit(k)
+
+
+def top_tools_sql(k: int = 5) -> str:
+    return (
+        "SELECT tool, COUNT(*) AS turn_count FROM transcripts "
+        f"GROUP BY tool ORDER BY turn_count DESC, tool ASC LIMIT {k}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windowed explicit-bound latency histogram
 # (transaction.duration.histogram spec config.go:341-344 + the

@@ -116,6 +116,69 @@ FROM transcripts WHERE turn_idx < {k} GROUP BY conv_id
 """
 
 
+def sessionize(
+    ds: rd.Dataset,
+    gap_seconds: int = 1800,
+    batch_size: int = 131072,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Split conversations into sessions at inactivity gaps > gap.
+
+    The streaming-window translation (SURVEY.md §2.10): treat each
+    conversation as an ordered log, sort within its hash bucket, and
+    compute session boundaries vectorized (a gap opens a new session).
+    Appends ``session_idx`` (0-based per conversation).  Ordering
+    contract: (conv_id, ts, turn_idx) is the total order, matching the
+    SQL window specification.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["conv_id", "turn_idx", "ts"]]
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["conv_id", "ts", "turn_idx"], kind="mergesort"
+        ).reset_index(drop=True)
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        conv = df["conv_id"].to_numpy()
+        new_conv = np.empty(len(df), dtype=bool)
+        new_conv[0:1] = True
+        new_conv[1:] = conv[1:] != conv[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0:1] = False
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        boundary = (~new_conv) & gap
+        # session_idx = cumulative boundaries within conv
+        cum = np.cumsum(boundary.astype(np.int64))
+        conv_start_cum = np.where(new_conv, cum, 0)
+        conv_start_cum = np.maximum.accumulate(conv_start_cum)
+        df["session_idx"] = cum - conv_start_cum
+        return df
+
+    return _bucketed(ds, partial, reduce_bucket, batch_size, num_buckets)
+
+
+SESSIONIZE_SQL = """
+SELECT conv_id, turn_idx, ts,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(prev_ts) > {gap_us}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+           AS prev_ts
+  FROM transcripts
+)
+"""
+
+
+def sessionize_sql(gap_seconds: int = 1800) -> str:
+    return SESSIONIZE_SQL.replace("{gap_us}", str(gap_seconds * 1_000_000))
+
+
 def approx_distinct_convs(
     ds: rd.Dataset, batch_size: int = 131072
 ) -> pd.DataFrame:

@@ -42,6 +42,56 @@ def test_conv_head_order_dependent(ray_session):
     assert out.head_text.tolist() == ["a | b | c"]
 
 
+def test_sessionize_matches_oracle(transcripts_ds, oracle, cte_prefix):
+    got = C.sessionize(transcripts_ds, gap_seconds=3600 * 24).to_pandas()
+    want = oracle.execute(
+        f"{cte_prefix} {C.sessionize_sql(3600 * 24)}"
+    ).df()
+    assert_frames_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_sessionize_gap_boundaries(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4 + ["b"],
+            "turn_idx": np.array([0, 1, 2, 3, 0], dtype=np.int32),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:10:00",  # same session (gap 10m)
+                    "2024-01-01 01:00:00",  # new session (gap 50m > 30m)
+                    "2024-01-01 01:20:00",  # same session
+                    "2024-01-01 09:00:00",  # conv b starts at 0
+                ]
+            ),
+        }
+    )
+    out = (
+        C.sessionize(rd.from_pandas(df), gap_seconds=1800)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+    )
+    assert out.session_idx.tolist() == [0, 0, 1, 1, 0]
+
+
+def test_top_tools_matches_oracle(transcripts_ds, oracle, cte_prefix):
+    from opentelemetry_collector_components_ray.stages import aggregate as agg
+
+    got = agg.top_tools(transcripts_ds, k=5).to_pandas()
+    want = oracle.execute(
+        f"{cte_prefix} {agg.top_tools_sql(5)}"
+    ).df()
+    # value top-k: ORDER matters here, so compare in rank order
+    got = got.reset_index(drop=True)
+    want = want.reset_index(drop=True)[got.columns]
+    assert got.tool.tolist() == want.tool.tolist()
+    assert got.turn_count.astype("int64").tolist() == (
+        want.turn_count.astype("int64").tolist()
+    )
+
+
 def test_approx_distinct_convs_within_error(transcripts_ds, oracle, cte_prefix):
     got = C.approx_distinct_convs(transcripts_ds).set_index("role")
     exact = oracle.execute(
