@@ -154,6 +154,25 @@ def _q_event_counts(sf_dir: str):
     )
 
 
+def _q_conv_join(sf_dir: str):
+    """Hash-partitioned join of two derived per-conversation tables
+    (functions/join.py tier-2; both sides scale with conversations)."""
+    from opentelemetry_collector_components_ray.functions.join import hash_join
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import conversation
+
+    stats = conversation.conv_stats(read_transcripts(sf_dir)).select_columns(
+        ["conv_id", "n_turns"]
+    )
+    latest = _agg.latest_state(enriched_transcripts(sf_dir)).select_columns(
+        ["conv_id", "last_status", "last_outcome"]
+    )
+    return hash_join(stats, latest, on="conv_id", num_partitions=8)
+
+
 def _q_sessionize(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -342,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
+        "t_conv_join": _q_conv_join,
         "t_sessionize": _q_sessionize,
         "t_top_tools": _q_top_tools,
         "t_sample": _q_sample,
@@ -386,6 +406,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_latest_state": f"{_CTE} {_agg.LATEST_STATE_SQL}",
         "t_capped_tools": f"{_CTE} {_agg.capped_tool_summary_sql(4)}",
+        "t_conv_join": (
+            f"{_CTE} SELECT s.conv_id, s.n_turns, l.last_status, "
+            "l.last_outcome "
+            f"FROM ({_conv.CONV_STATS_SQL}) s "
+            f"JOIN ({_agg.LATEST_STATE_SQL}) l USING (conv_id)"
+        ),
         "t_sessionize": f"{_CTE} {_conv.sessionize_sql(3600 * 24)}",
         "t_top_tools": f"{_CTE} {_agg.top_tools_sql(5)}",
         "t_sample": (
