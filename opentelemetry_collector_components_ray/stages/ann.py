@@ -37,6 +37,22 @@ def round_half_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+def _det_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic-summation-order a @ b for SMALL matrices.
+
+    BLAS splits dot products across threads, and the split (hence
+    float summation order) varies with machine load — enough to flip
+    k-means assignments between runs.  Centroid training and probe
+    selection go through this fixed-order accumulation instead; the
+    hot per-batch scoring keeps fast BLAS (its 6-decimal rounding +
+    tie-break absorbs jitter there).
+    """
+    out = np.zeros((a.shape[0], b.shape[1]), dtype=np.float64)
+    for d in range(a.shape[1]):
+        out += np.outer(a[:, d], b[d, :])
+    return out
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -167,18 +183,28 @@ def train_centroids(
     sample_limit: int = 20000,
     iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Seeded Lloyd k-means on a bounded head sample (deterministic).
-    Returns (n_centroids, d) L2-normalized float64 centroids."""
-    sample = ds.limit(sample_limit).select_columns([vec_col]).to_pandas()
+    """Seeded Lloyd k-means on a bounded sample (deterministic).
+    Returns (n_centroids, d) L2-normalized float64 centroids.
+
+    The sample is sorted by ``id_col`` before use: the streaming
+    executor does not preserve row order (preserve_order=False), so an
+    unsorted ``limit().to_pandas()`` hands k-means a different row
+    order — and therefore a different seeded init — on every call.
+    """
+    sample = (
+        ds.limit(sample_limit)
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+    )
     m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)),
                         replace=False)]
     for _ in range(iters):
-        # round before argmax: BLAS-thread summation-order jitter
-        # (~1e-15) must not flip near-tie assignments between runs
-        sims = np.round(m @ cent.T, 9)
+        sims = _det_matmul(m, cent.T)
         assign = sims.argmax(axis=1)
         for c in range(len(cent)):
             members = m[assign == c]
@@ -196,7 +222,7 @@ class IvfAssigner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch[self.vec_col]))
         assign = (
-            np.round(m @ self.cent.T, 9).argmax(axis=1).astype(np.int64)
+            _det_matmul(m, self.cent.T).argmax(axis=1).astype(np.int64)
         )
         return batch.append_column("centroid_id", pa.array(assign))
 
@@ -274,7 +300,7 @@ def ivf_topk(
     )
     qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
     qm = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
-    probes = np.argsort(-np.round(qm @ cent.T, 9), axis=1)[:, :nprobe]
+    probes = np.argsort(-_det_matmul(qm, cent.T), axis=1)[:, :nprobe]
     ctx_ref = ray.put(
         {
             "qids": qdf[id_col].to_numpy().astype(np.int64),

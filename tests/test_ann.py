@@ -34,16 +34,16 @@ def test_ivf_topk_recall_vs_brute_force(emb_ds):
     queries = emb_ds.filter(expr="vec_id < 5")
     brute = ann.cosine_topk(emb_ds, queries, k=10).to_pandas()
     ivf = ann.ivf_topk(
-        emb_ds, queries, k=10, n_centroids=16, nprobe=8
+        emb_ds, queries, k=10, n_centroids=16, nprobe=10
     ).to_pandas()
     recalls = []
     for q in brute.query_id.unique():
         want = set(brute[brute.query_id == q].vec_id)
         got = set(ivf[ivf.query_id == q].vec_id)
         recalls.append(len(want & got) / len(want))
-    # k-means runs vary slightly across processes (BLAS-thread float
-    # summation order); nprobe=8/16 keeps mean recall comfortably high
-    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # training is now fully deterministic (sorted sample + fixed-order
+    # matmul), so this is a stable number, not a flaky bound
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
     # self-match must survive probing (query's own bucket is probed)
     top1 = ivf[ivf["rank"] == 1]
     assert (top1.query_id.to_numpy() == top1.vec_id.to_numpy()).all()
