@@ -67,6 +67,7 @@ ENRICHED_COLUMNS = pa.schema(
         ("result_class", pa.string()),    # 'HTTP 2xx' … | 'unknown'
         ("duration_us", pa.int64()),      # latency_ms * 1000, null when absent
         ("service_name", pa.string()),    # sanitized role:tool composite
+        ("error_id", pa.string()),        # md5(conv:turn) for failures, null else
         ("tool_category", pa.string()),   # lookup via tool catalog, '' when no tool
         ("is_external", pa.bool_()),
         ("role_group", pa.string()),      # lookup via role map

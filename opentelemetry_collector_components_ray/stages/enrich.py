@@ -89,11 +89,41 @@ def enrich_scalar_batch(batch: pa.Table) -> pa.Table:
         sanitize_name(svc_dict.dictionary), svc_dict.indices
     )
 
+    # error id: the reference mints a random 32-hex id per error event
+    # (internal/enrichments/attribute/error_id.go:27-35); a
+    # deterministic engine derives it from identity instead —
+    # md5(conv_id:turn_idx), already 32 hex chars — so reruns and the
+    # oracle agree.  Computed only for failure rows.
+    key = pc.binary_join_element_wise(
+        batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), ":"
+    )
+    fail_keys = pc.filter(key, failure)
+    if len(fail_keys):
+        import hashlib
+
+        digests = pa.array(
+            [
+                hashlib.md5(s.encode()).hexdigest()
+                for s in fail_keys.to_pylist()
+            ],
+            pa.string(),
+        )
+        if isinstance(failure, pa.ChunkedArray):
+            failure_c = failure.combine_chunks()
+        else:
+            failure_c = failure
+        error_id = pc.replace_with_mask(
+            pa.nulls(batch.num_rows, pa.string()), failure_c, digests
+        )
+    else:
+        error_id = pa.nulls(batch.num_rows, pa.string())
+
     return (
         batch.append_column("event_outcome", outcome)
         .append_column("result_class", result_class)
         .append_column("duration_us", duration_us)
         .append_column("service_name", service_name)
+        .append_column("error_id", error_id)
     )
 
 
@@ -209,6 +239,9 @@ ENRICHED_SQL_COLUMNS = f"""
   substr(regexp_replace(role || ':' ||
          CASE WHEN tool = '' THEN 'none' ELSE tool END,
          '[^a-zA-Z0-9 _-]', '_', 'g'), 1, 100) AS service_name,
+  CASE WHEN err_code IS NOT NULL OR (status IS NOT NULL AND status >= 500)
+       THEN md5(conv_id || ':' || CAST(turn_idx AS VARCHAR))
+       ELSE NULL END AS error_id,
   {TOOL_CATALOG.sql_case('tool', 'tool_category')} AS tool_category,
   {TOOL_CATALOG.sql_case('tool', 'is_external')} AS is_external,
   {ROLE_MAP.sql_case('role', 'role_group')} AS role_group,
