@@ -115,6 +115,20 @@ def _to_table(rows, meta, path, errors=()) -> pa.Table:
     text = [r.get("text", "") for r in rows]
     tool = [r.get("tool", "") for r in rows]
     ts = [r.get("ts") for r in rows]
+    # global-label shadow routing (ndjsondecoder routeTarget
+    # stream.go:304, flushBatch :688): an event overriding a
+    # stream-global key is flagged and carries its override, so the
+    # router can split it into a per-override "shadow" sink
+    session = [
+        str(r["session"]) if r.get("session") not in (None, "")
+        else meta["session"]
+        for r in rows
+    ]
+    shadow = [
+        r.get("session") not in (None, "")
+        and str(r["session"]) != meta["session"]
+        for r in rows
+    ]
     err_rows = [
         {"line": ln, "reason": why, "path": path} for ln, why in errors
     ]
@@ -126,8 +140,9 @@ def _to_table(rows, meta, path, errors=()) -> pa.Table:
             "text": pa.array(text, pa.string()),
             "tool": pa.array(tool, pa.string()),
             "ts": _ts_array(ts),
-            "session": pa.array([meta["session"]] * n, pa.string()),
+            "session": pa.array(session, pa.string()),
             "agent": pa.array([meta["agent"]] * n, pa.string()),
+            "shadow": pa.array(shadow, pa.bool_()),
             "decode_errors": pa.array(
                 [json.dumps(err_rows)] * n if n else [], pa.string()
             ),

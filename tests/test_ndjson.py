@@ -55,6 +55,20 @@ def test_missing_metadata_line():
     assert t["session"][0].as_py() == ""
 
 
+def test_shadow_routing_on_metadata_override():
+    """Per-event metadata overrides flag the row for shadow routing
+    (ndjsondecoder routeTarget stream.go:304, flushBatch :688)."""
+    data = GOLDEN + (
+        b'{"turn": {"conv_id": "c1", "turn_idx": 2, "role": "user", '
+        b'"text": "t", "tool": "", "ts": "2024-01-01T00:00:02", '
+        b'"session": "s-override"}}\n'
+    )
+    t = decode_stream(data)
+    d = t.to_pydict()
+    assert d["shadow"] == [False, False, True]
+    assert d["session"] == ["s-1", "s-1", "s-override"]
+
+
 def test_read_ndjson_dataset_and_parse_compose(ray_session, tmp_path):
     """NDJSON source feeds the normal parse stage unchanged."""
     from opentelemetry_collector_components_ray.stages.parse import parse_stage
