@@ -149,17 +149,97 @@ class MinHasher:
         self.num_perm = num_perm
         self.a, self.b = _perm_params(num_perm, seed)
 
+    def _flat_shingles(self, texts):
+        """Vectorized word-k-shingle hashes for a batch.
+
+        No per-document Python loop: one Arrow lowercase+split pass,
+        one vocabulary-amortized word hash, then the k-shingle hash is
+        a fixed-multiplier combination of adjacent word hashes computed
+        on the flat array with document boundaries masked out.
+        Returns (flat_shingle_hashes, doc_offsets, doc_lengths).
+        """
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        arr = _pa.array(texts, _pa.string())
+        words_list = _pc.split_pattern_regex(
+            _pc.utf8_lower(arr), r"\W+"
+        )
+        flat_words = np.asarray(
+            _pc.list_flatten(words_list).to_pylist(), dtype=object
+        )
+        word_counts = np.asarray(
+            _pc.list_value_length(words_list), dtype=np.int64
+        )
+        keep = flat_words != ""  # split artifacts at string edges
+        h = np.zeros(len(flat_words), dtype=np.uint64)
+        if keep.any():
+            h[keep] = hash64(flat_words[keep])
+        # recompute per-doc word counts after dropping empties
+        doc_ids = np.repeat(np.arange(len(texts)), word_counts)
+        doc_ids = doc_ids[keep]
+        h = h[keep]
+        word_counts = np.bincount(doc_ids, minlength=len(texts)).astype(
+            np.int64
+        )
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(word_counts[:-1], out=offsets[1:])
+
+        k = self.k
+        n = len(h)
+        # shingle at position i combines words i..i+k-1 (valid when all
+        # inside the same doc); docs shorter than k use their full run
+        mults = [np.uint64(0x9E3779B97F4A7C15 + 2 * j + 1) for j in range(k)]
+        ncomb = max(n - k + 1, 0)
+        comb = np.zeros(ncomb, dtype=np.uint64)
+        for j in range(k):
+            comb = comb + mults[j] * h[j : ncomb + j]
+        ends = offsets + word_counts
+
+        # valid shingle start positions: whole window inside one doc
+        doc_of = np.repeat(np.arange(len(texts)), word_counts)[:ncomb]
+        idx = np.arange(ncomb)
+        valid = (
+            (idx + k - 1 < ends[doc_of]) if ncomb else np.zeros(0, bool)
+        )
+        vd, vs = doc_of[valid], comb[valid]
+        # distinct per doc, vectorized: lexsort then drop adjacent dups
+        order = np.lexsort((vs, vd))
+        vd, vs = vd[order], vs[order]
+        if len(vd):
+            keep2 = np.empty(len(vd), dtype=bool)
+            keep2[0] = True
+            keep2[1:] = (vd[1:] != vd[:-1]) | (vs[1:] != vs[:-1])
+            vd, vs = vd[keep2], vs[keep2]
+
+        lengths = np.bincount(vd, minlength=len(texts)).astype(np.int64)
+        # docs shorter than k words (rare): one shingle over the full run
+        short = np.nonzero(lengths == 0)[0]
+        if len(short):
+            extra_d, extra_s = [], []
+            for d in short:
+                s, e = offsets[d], ends[d]
+                acc = np.uint64(0)
+                for j, w in enumerate(range(s, e)):
+                    acc = acc + mults[j] * h[w]
+                extra_d.append(d)
+                extra_s.append(acc)
+            vd = np.concatenate([vd, np.array(extra_d, dtype=np.int64)])
+            vs = np.concatenate([vs, np.array(extra_s, dtype=np.uint64)])
+            order = np.lexsort((vs, vd))
+            vd, vs = vd[order], vs[order]
+            lengths = np.bincount(vd, minlength=len(texts)).astype(np.int64)
+
+        off = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=off[1:])
+        return vs, off, lengths
+
     def signatures(self, texts) -> np.ndarray:
         """(n_docs, num_perm) uint64 via flattened reduceat — one numpy
-        pass per permutation, no per-document Python loop in the hash."""
-        sh = [_shingles(t, self.k) for t in texts]
-        lengths = np.array([len(s) for s in sh])
-        flat = (
-            np.concatenate(sh) if sh else np.empty(0, np.uint64)
-        ) & _MERSENNE
-        offsets = np.zeros(len(sh), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        sigs = np.empty((len(sh), self.num_perm), dtype=np.uint64)
+        pass per permutation, no per-document Python regex loop."""
+        flat, offsets, _ = self._flat_shingles(texts)
+        flat = flat & _MERSENNE
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
         for i in range(self.num_perm):
             vals = (self.a[i] * flat + self.b[i]) % _MERSENNE
             sigs[:, i] = np.minimum.reduceat(vals, offsets)
@@ -182,6 +262,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     coarse_buckets: int = 1024,
+    distributed: bool = False,
 ) -> rd.Dataset:
     """Banded LSH: explode signatures to (band, band_hash, id) rows,
     co-locate by ``band_hash % coarse_buckets`` (ONE groupby whose group
@@ -218,14 +299,6 @@ def lsh_candidate_pairs(
 
     exploded = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        b = batch["bhash"].to_numpy().astype(np.uint64)
-        return batch.append_column(
-            "coarse", pa.array((b % coarse_buckets).astype(np.int64))
-        )
-
-    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow")
-
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
         dup = df[df.duplicated(["band", "bhash"], keep=False)]
         if dup.empty:
@@ -236,14 +309,33 @@ def lsh_candidate_pairs(
         out.columns = ["id_a", "id_b"]
         return out
 
-    cand = exploded.groupby("coarse").map_groups(
-        pairs_in_group, batch_format="pandas"
-    )
-    # distinct across bands/groups (candidate set is small)
-    return cand.repartition(1).map_batches(
-        lambda df: df.drop_duplicates(),
-        batch_format="pandas",
-        batch_size=None,
+    if distributed:
+        # scale path: hash-shuffle bucket co-location; group count is
+        # bounded by coarse_buckets so per-group Python overhead stays
+        # fixed while bucket contents stay worker-sized
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            b = batch["bhash"].to_numpy().astype(np.uint64)
+            return batch.append_column(
+                "coarse", pa.array((b % coarse_buckets).astype(np.int64))
+            )
+
+        cand = (
+            exploded.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse")
+            .map_groups(
+                lambda df: pairs_in_group(df.drop(columns=["coarse"])),
+                batch_format="pandas",
+            )
+        )
+        return cand.repartition(1).map_batches(
+            lambda df: df.drop_duplicates(),
+            batch_format="pandas",
+            batch_size=None,
+        )
+    # small/medium path: exploded rows are tiny (bands × ndocs); one
+    # coalesce + one vectorized pass beats the sort-shuffle's fixed cost
+    return exploded.repartition(1).map_batches(
+        pairs_in_group, batch_format="pandas", batch_size=None
     )
 
 
@@ -256,17 +348,26 @@ class JaccardVerifier:
 
     def __init__(self, docs_ref, text_col: str, id_col: str, k: int):
         docs = ray.get(docs_ref) if docs_ref is not None else None
-        self.index: Dict[int, np.ndarray] = {
-            int(i): _shingles(t, k)
-            for i, t in zip(docs[id_col], docs[text_col])
-        }
+        # shingle sets are built LAZILY: only docs that actually appear
+        # in candidate pairs pay the shingling cost (candidates ≪ corpus)
+        self._texts: Dict[int, str] = dict(
+            zip((int(i) for i in docs[id_col]), docs[text_col])
+        )
+        self._k = k
+        self.index: Dict[int, np.ndarray] = {}
+
+    def _sh(self, i: int) -> np.ndarray:
+        s = self.index.get(i)
+        if s is None:
+            s = self.index[i] = _shingles(self._texts[i], self._k)
+        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ida = batch["id_a"].to_pylist()
         idb = batch["id_b"].to_pylist()
         jac = np.empty(len(ida))
         for i, (x, y) in enumerate(zip(ida, idb)):
-            sx, sy = self.index[int(x)], self.index[int(y)]
+            sx, sy = self._sh(int(x)), self._sh(int(y))
             inter = np.intersect1d(sx, sy, assume_unique=True).size
             union = sx.size + sy.size - inter
             jac[i] = inter / union if union else 1.0
@@ -554,19 +655,10 @@ def simhash_near_dups(
         )
         return out.drop_duplicates(["id_a", "id_b"])
 
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        b = batch["bval"].to_numpy().astype(np.uint64)
-        return batch.append_column(
-            "coarse", pa.array((b % 256).astype(np.int64))
-        )
-
-    cand = (
-        exploded.map_batches(add_coarse, batch_format="pyarrow")
-        .groupby("coarse")
-        .map_groups(pairs_in_group, batch_format="pandas")
-    )
-    uniq = cand.repartition(1).map_batches(
-        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+    # small/medium path: one coalesce + one vectorized pass (see
+    # lsh_candidate_pairs for the hash-shuffle scale path)
+    uniq = exploded.repartition(1).map_batches(
+        lambda df: pairs_in_group(df).drop_duplicates(["id_a", "id_b"]),
         batch_format="pandas",
         batch_size=None,
     )
