@@ -110,6 +110,7 @@ def _partial_service_summary(intervals: Sequence[str]):
                     "role": batch["role"],
                     "tool": batch["tool"],
                     "fail": fail,
+                    "weight": batch["weight"],
                     "latency_ms": batch["latency_ms"],
                 }
             )
@@ -117,6 +118,10 @@ def _partial_service_summary(intervals: Sequence[str]):
                 [
                     ([], "count_all"),
                     ("fail", "sum"),
+                    # AdjustedCount-weighted count: the signaltometrics
+                    # specs sum the sampling weight, not 1, per event
+                    # (elasticapmconnector config.go:354-374)
+                    ("weight", "sum"),
                     ("latency_ms", "sum"),
                     ("latency_ms", "min"),
                     ("latency_ms", "max"),
@@ -129,6 +134,7 @@ def _partial_service_summary(intervals: Sequence[str]):
                     "tool",
                     "turn_count",
                     "failure_count",
+                    "weighted_count",
                     "latency_sum",
                     "latency_min",
                     "latency_max",
@@ -153,6 +159,7 @@ SERVICE_SUMMARY_KEYS = ["interval", "dataset", "window_start", "role", "tool"]
 SERVICE_SUMMARY_MERGE: List[Tuple[str, str]] = [
     ("turn_count", "sum"),
     ("failure_count", "sum"),
+    ("weighted_count", "sum"),
     ("latency_sum", "sum"),
     ("latency_min", "min"),
     ("latency_max", "max"),
@@ -240,6 +247,7 @@ SELECT {w} AS window_start, role, tool,
        COUNT(*) AS turn_count,
        CAST(SUM(CASE WHEN event_outcome = 'failure' THEN 1 ELSE 0 END)
             AS BIGINT) AS failure_count,
+       SUM(weight) AS weighted_count,
        CAST(SUM(latency_ms) AS BIGINT) AS latency_sum,
        MIN(latency_ms) AS latency_min,
        MAX(latency_ms) AS latency_max,
