@@ -23,6 +23,14 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True,
                    help="transcript parquet file/dir, or an sf dir")
     p.add_argument("--out", required=True, help="output root")
+    p.add_argument(
+        "--job",
+        default="flagship",
+        choices=("flagship", "dedup", "ndjson"),
+        help="flagship: sharded parse→enrich→route→aggregate over "
+        "parquet; dedup: exact-dedup a documents parquet; ndjson: "
+        "flagship over NDJSON stream files",
+    )
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--intervals", default="1h,24h")
     p.add_argument("--batch-size", type=int, default=65536)
@@ -58,6 +66,52 @@ def main(argv=None) -> int:
         os.path.join(inp, "events.parquet")
     ):
         inp = materialize_transcripts(inp)
+
+    if args.job == "dedup":
+        import ray.data as rd
+
+        from .stages.dedup import exact_dedup
+
+        src = (
+            os.path.join(args.input, "documents.parquet")
+            if os.path.isdir(args.input)
+            and os.path.exists(
+                os.path.join(args.input, "documents.parquet")
+            )
+            else args.input
+        )
+        out_path = f"{args.out}/deduped"
+        exact_dedup(rd.read_parquet(src)).write_parquet(out_path)
+        print(json.dumps({"status": "ok", "deduped": out_path}))
+        ray.shutdown()
+        return 0
+
+    if args.job == "ndjson":
+        from .pipelines.flagship import flagship_aggregate
+        from .sources.ndjson import read_ndjson_transcripts
+        from .stages.enrich import enrich_stage
+        from .stages.parse import parse_stage
+        from .stages.route import route_stage, write_fanout
+        from .stages.aggregate import service_summary
+
+        ds = read_ndjson_transcripts(args.input)
+        routed = route_stage(
+            enrich_stage(parse_stage(ds, args.batch_size), args.batch_size)
+        )
+        write_fanout(routed, f"{args.out}/sinks")
+        import ray.data as rd
+
+        service_summary(
+            rd.read_parquet(f"{args.out}/sinks"),
+            tuple(args.intervals.split(",")),
+        ).write_parquet(f"{args.out}/service_summary")
+        print(
+            json.dumps(
+                {"status": "ok", "aggregate": f"{args.out}/service_summary"}
+            )
+        )
+        ray.shutdown()
+        return 0
 
     final = run_flagship_sharded(
         inp,
