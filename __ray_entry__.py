@@ -142,6 +142,14 @@ def _q_expo_histogram(sf_dir: str):
     return _agg.expo_latency_histogram(enriched_transcripts(sf_dir), "24h")
 
 
+def _q_latency_quantiles(sf_dir: str):
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+
+    return _agg.latency_quantiles(enriched_transcripts(sf_dir), "24h")
+
+
 def _q_event_counts(sf_dir: str):
     import ray.data as rd
 
@@ -374,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
         "t_expo_histogram": _q_expo_histogram,  # rows-only (list column)
+        "t_latency_quantiles": _q_latency_quantiles,  # rows-only (sketch)
         "e_event_counts": _q_event_counts,
         # training-data ops: dedup / text analysis / similarity search
         "d_exact_dedup": _q_exact_dedup,

@@ -175,6 +175,27 @@ class ExpoHist:
         return self
 
 
+def expo_quantile(h: ExpoHist, q: float) -> float:
+    """Quantile from the bucket CDF (upper bound of the crossing
+    bucket; zeros count below every positive bucket).  Relative error
+    is bounded by one bucket width, base^1 - 1 = 2^(2^-scale) - 1
+    (~4.4% at scale 4) — the summary-metric analogue the reference
+    exports as quantile values on summary datapoints."""
+    total = h.zero_count + int(h.counts.sum())
+    if total == 0:
+        return float("nan")
+    target = q * total
+    if target <= h.zero_count:
+        return 0.0
+    c = h.zero_count
+    base_log2 = 2.0 ** (-h.scale)
+    for i, n in enumerate(h.counts):
+        c += int(n)
+        if c >= target:
+            return float(2.0 ** ((h.offset + i + 1) * base_log2))
+    return float(2.0 ** ((h.offset + len(h.counts)) * base_log2))
+
+
 def _copy(h: ExpoHist) -> ExpoHist:
     return ExpoHist(h.scale, h.offset, h.counts.copy(), h.count, h.sum,
                     h.zero_count)

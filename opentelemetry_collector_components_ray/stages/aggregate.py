@@ -731,6 +731,44 @@ def expo_latency_histogram(
     )
 
 
+def latency_quantiles(
+    ds: rd.Dataset,
+    interval: str = "24h",
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    scale: int = 4,
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """Approximate latency quantiles per (window_start, role), derived
+    from the merged exponential histogram — the summary-metric shape
+    (quantile values on summary datapoints,
+    internal/data/add.go summaries; transaction.duration.summary spec
+    config.go:346-350).  Error bound = one expo bucket (~2^(2^-scale)-1
+    relative); asserted vs exact percentiles in tests."""
+    from ..functions.histograms import ExpoHist, expo_quantile
+
+    hist = expo_latency_histogram(ds, interval, scale, batch_size)
+
+    def add_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        for q in qs:
+            col = []
+            for _, row in df.iterrows():
+                h = ExpoHist(
+                    int(row["scale"]), int(row["offset"]),
+                    np.asarray(row["counts"], dtype=np.int64),
+                    int(row["count"]), float(row["hsum"]),
+                    int(row["zero_count"]),
+                )
+                col.append(round(expo_quantile(h, q), 6))
+            df[f"p{int(q * 100)}"] = col
+        return df.drop(columns=["counts"])
+
+    return hist.map_batches(
+        add_quantiles, batch_format="pandas", batch_size=None
+    )
+
+
 def capped_tool_summary_sql(limit: int = 4) -> str:
     # nested subqueries (not CTEs) so this composes after the shared
     # WITH-prefix the oracle queries are built from

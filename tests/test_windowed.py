@@ -79,6 +79,41 @@ def test_expo_latency_histogram_totals(enriched_ds):
     assert got["zero_count"].sum() == (measured.latency_ms <= 0).sum()
 
 
+def test_latency_quantiles_within_bucket_error(enriched_ds):
+    """Expo-histogram quantiles within one bucket width (~4.4% at
+    scale 4) of exact percentiles."""
+    got = agg.latency_quantiles(enriched_ds, "24h", (0.5, 0.95)).to_pandas()
+    pdf = enriched_ds.to_pandas()
+    pdf = pdf[pdf.latency_ms.notna()]
+    ts_us = pdf["ts"].astype("int64")
+    pdf = pdf.assign(
+        window_start=pd.to_datetime(
+            (ts_us // agg.INTERVALS_US["24h"]) * agg.INTERVALS_US["24h"],
+            unit="us",
+        )
+    )
+    tol = 2 ** (2 ** -4) - 1 + 0.01  # one bucket width + slack
+    checked = 0
+    for _, row in got.iterrows():
+        grp = pdf[
+            (pdf.window_start == row.window_start) & (pdf.role == row.role)
+        ].latency_ms
+        if len(grp) < 10:
+            continue
+        svals = np.sort(grp.to_numpy())
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            # comparator = the actual order statistic the histogram CDF
+            # crossing corresponds to (ceil(q*n)-th smallest)
+            k = max(int(np.ceil(q * len(svals))) - 1, 0)
+            exact = float(svals[k])
+            if exact <= 0:
+                continue
+            rel = abs(row[col] - exact) / exact
+            assert rel <= tol, (row.window_start, row.role, col, row[col], exact)
+            checked += 1
+    assert checked >= 10  # the assertion exercised real groups
+
+
 def test_expo_latency_histogram_partition_invariant(ray_session, enriched_ds):
     """Same result regardless of block layout (merge commutes)."""
     a = (
