@@ -89,6 +89,44 @@ def test_minhash_no_false_negatives_on_exact_dups(ray_session):
     assert got.jaccard.iloc[0] == 1.0
 
 
+def test_lsh_distributed_path_equals_default(ray_session):
+    """The hash-shuffle candidate path (scale) and the coalesce path
+    (default) produce the same candidate set."""
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.dedup import (
+        MinHasher,
+        lsh_candidate_pairs,
+    )
+
+    df = _corpus_with_near_dups()
+    sigs = (
+        rd.from_pandas(df)
+        .map_batches(
+            MinHasher,
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+            num_cpus=1,
+        )
+        .materialize()
+    )
+    a = (
+        lsh_candidate_pairs(sigs, distributed=False)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        lsh_candidate_pairs(sigs, distributed=True)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) >= 4
+
+
 def test_simhash_near_dups_finds_injected(ray_session):
     import ray.data as rd
 
