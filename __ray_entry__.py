@@ -311,6 +311,12 @@ def _q_simhash_pairs(sf_dir: str):
     return dedup.simhash_near_dups(_docs(sf_dir), hamming_k=3)
 
 
+def _q_minhash_dedup_keep(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    return dedup.minhash_dedup_keep(_docs(sf_dir))
+
+
 def _q_token_counts(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import text
 
@@ -389,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_stats": _q_dedup_stats,
         "d_minhash_pairs": _q_minhash_pairs,  # rows-only (LSH)
         "d_simhash_pairs": _q_simhash_pairs,  # rows-only (LSH)
+        "d_minhash_dedup_keep": _q_minhash_dedup_keep,  # rows-only (LSH clusters)
         "d_token_counts": _q_token_counts,
         "d_quality": _q_quality,
         "d_lang_id": _q_lang_id,

@@ -451,6 +451,109 @@ def brute_force_jaccard_pairs(
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
 
+def minhash_clusters(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_rounds: int = 20,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Near-duplicate CLUSTERS via LSH-bucket label propagation.
+
+    Pairwise enumeration is quadratic in cluster size — a corpus where
+    one document has 10^4 near-copies produces 10^8 pairs from one
+    cluster.  Dedup does not need the pairs: it needs connected
+    components of the LSH-bucket graph.  Min-label propagation over
+    (bucket → members) edges converges in O(cluster diameter) rounds,
+    each a vectorized pass — total work linear in bands × docs
+    (the guide's candidate-graph → connected-components pattern).
+
+    Edges are shared-LSH-bucket (estimated-similarity) links; clusters
+    are therefore approximate in the same way candidates are.  The
+    propagation runs on collected (bucket_key, id) arrays — ~16 int64s
+    per doc, so ~1.6 GB per 10^8 docs on the driver; beyond that run
+    the same iteration distributed (groupby bucket → min; join back).
+
+    Returns (id_col, cluster_id) — cluster_id is the min doc id of the
+    component.
+    """
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "k": k,
+            "num_perm": num_perm,
+        },
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        s = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(
+            np.uint64
+        )
+        n = len(ids)
+        outb, outi = [], []
+        for bnd in range(bands):
+            chunk = s[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            h = np.full(n, np.uint64(bnd + 1), dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
+            outb.append(h.astype(np.int64))
+            outi.append(ids)
+        return pa.table(
+            {"bkey": np.concatenate(outb), id_col: np.concatenate(outi)}
+        )
+
+    ex = sigs.map_batches(explode, batch_format="pyarrow").to_pandas()
+    bkey = ex["bkey"].to_numpy()
+    ids = ex[id_col].to_numpy().astype(np.int64)
+
+    # dense relabel of bucket keys and ids
+    ukeys, b_idx = np.unique(bkey, return_inverse=True)
+    uids, d_idx = np.unique(ids, return_inverse=True)
+    label = uids.copy()  # per unique doc: current component label
+
+    for _ in range(max_rounds):
+        # bucket label = min over members; member label = min over buckets
+        bucket_min = np.full(len(ukeys), np.iinfo(np.int64).max)
+        np.minimum.at(bucket_min, b_idx, label[d_idx])
+        new_label = label.copy()
+        np.minimum.at(new_label, d_idx, bucket_min[b_idx])
+        if np.array_equal(new_label, label):
+            break
+        label = new_label
+
+    out = pd.DataFrame({id_col: uids, "cluster_id": label})
+    return rd.from_pandas(out)
+
+
+def minhash_dedup_keep(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> rd.Dataset:
+    """Survivors after near-dup clustering: the min-id doc per cluster
+    (deterministic, mirrors exact_dedup's survivor rule)."""
+    clusters = minhash_clusters(docs, text_col, id_col, **kwargs)
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col] == df["cluster_id"]][[id_col]]
+
+    return clusters.repartition(1).map_batches(
+        survivors, batch_format="pandas", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram (word-set) Jaccard pairs — exhaustive over a bounded subset,
 # SQL-twinnable (the oracle cross-joins with list_intersect), so the

@@ -142,6 +142,40 @@ def test_simhash_near_dups_finds_injected(ray_session):
     assert got.set_index(["id_a", "id_b"]).loc[(5, 170), "hamming"] == 0
 
 
+def test_minhash_clusters_group_replicas(ray_session):
+    """Label propagation groups each replica family into one cluster
+    with the min id as representative — no pairwise enumeration."""
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.dedup import (
+        minhash_clusters,
+        minhash_dedup_keep,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for fam in range(30):
+        words = list(rng.choice(vocab, size=60))
+        for rep in range(5):
+            w = list(words)
+            if rep:
+                w[rep] = f"alt{rep}"  # near-copy
+            rows.append((fam * 100 + rep, " ".join(w)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    cl = minhash_clusters(rd.from_pandas(df)).to_pandas()
+    assert len(cl) == len(df)
+    # every member of family f labelled with its min id f*100
+    cl["family"] = cl.doc_id // 100
+    per_fam = cl.groupby("family")["cluster_id"].nunique()
+    assert (per_fam == 1).all()
+    assert (cl.cluster_id == cl.family * 100).all()
+
+    keep = minhash_dedup_keep(rd.from_pandas(df)).to_pandas()
+    assert sorted(keep.doc_id) == [f * 100 for f in range(30)]
+
+
 def test_shingles_deterministic():
     a = dedup._shingles("the quick brown fox jumps", 3)
     b = dedup._shingles("the quick brown fox jumps", 3)
