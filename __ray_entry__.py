@@ -358,6 +358,12 @@ def _q_ivf_topk(sf_dir: str):
     )
 
 
+def _q_embedding_clusters(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import ann
+
+    return ann.embedding_clusters(_embs(sf_dir))
+
+
 def _q_cosine_neardup(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import ann
 
@@ -403,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_topk": _q_cosine_topk,
         "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
+        "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
         "m_image_features": _q_image_features,  # rows-only (stub codec)
     }
 

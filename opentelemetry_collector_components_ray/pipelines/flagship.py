@@ -77,11 +77,20 @@ def _flagship_shard_fn(
         routed_back = rd.read_parquet(f"{shard_dir}/sinks")
         agg = service_summary(routed_back, intervals)
         agg.write_parquet(f"{shard_dir}/agg_partial")
+        # per-stage execution stats (wall/cpu/rows per operator) go into
+        # the shard manifest alongside lineage — the metrics half of the
+        # "per-partition lineage + metrics" requirement
+        stats_txt = ""
+        try:
+            stats_txt = agg.stats()
+        except Exception:
+            pass
         metrics: Dict = {
             "sinks": dict(
                 zip(sink_counts["sink"], sink_counts["n"].astype(int))
             ),
             "rows_in": int(sink_counts["n"].sum()),
+            "agg_stage_stats": stats_txt[-2000:],
         }
         return metrics
 

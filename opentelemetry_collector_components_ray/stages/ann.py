@@ -369,6 +369,52 @@ class HyperplaneHasher:
         )
 
 
+def embedding_clusters(
+    ds: rd.Dataset,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Embedding near-duplicate CLUSTERS: multiple independent
+    hyperplane hash tables (union of bucket edges raises recall), then
+    the same min-label propagation used by MinHash cluster dedup —
+    linear in docs, no pairwise enumeration.  Returns
+    (id_col, cluster_id)."""
+    import pandas as _pd
+
+    from .dedup import label_propagation
+
+    hashers = [
+        _hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)
+    ]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        outb, outi = [], []
+        for t, h in enumerate(hashers):
+            signs = (m @ h) > 0
+            key = np.full(len(m), np.int64(t + 1))
+            for b in range(signs.shape[1]):
+                key = (key << 1) | signs[:, b]
+            outb.append(key)
+            outi.append(ids)
+        return pa.table(
+            {"bkey": np.concatenate(outb), id_col: np.concatenate(outi)}
+        )
+
+    ex = ds.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=8192,
+    ).to_pandas()
+    out = label_propagation(
+        ex["bkey"].to_numpy(), ex[id_col].to_numpy()
+    ).rename(columns={"id": id_col})
+    return rd.from_pandas(out)
+
+
 def cosine_near_dup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,

@@ -514,16 +514,25 @@ def minhash_clusters(
         )
 
     ex = sigs.map_batches(explode, batch_format="pyarrow").to_pandas()
-    bkey = ex["bkey"].to_numpy()
-    ids = ex[id_col].to_numpy().astype(np.int64)
+    out = label_propagation(
+        ex["bkey"].to_numpy(), ex[id_col].to_numpy().astype(np.int64),
+        max_rounds,
+    )
+    out = out.rename(columns={"id": id_col})
+    return rd.from_pandas(out)
 
-    # dense relabel of bucket keys and ids
-    ukeys, b_idx = np.unique(bkey, return_inverse=True)
+
+def label_propagation(
+    bucket_keys: np.ndarray, ids: np.ndarray, max_rounds: int = 20
+) -> pd.DataFrame:
+    """Connected components of the (bucket ↔ member) bipartite graph by
+    min-label propagation; fully vectorized per round, converges in
+    O(component diameter) rounds.  Returns (id, cluster_id=min id of
+    component)."""
+    ukeys, b_idx = np.unique(bucket_keys, return_inverse=True)
     uids, d_idx = np.unique(ids, return_inverse=True)
-    label = uids.copy()  # per unique doc: current component label
-
+    label = uids.copy()
     for _ in range(max_rounds):
-        # bucket label = min over members; member label = min over buckets
         bucket_min = np.full(len(ukeys), np.iinfo(np.int64).max)
         np.minimum.at(bucket_min, b_idx, label[d_idx])
         new_label = label.copy()
@@ -531,9 +540,7 @@ def minhash_clusters(
         if np.array_equal(new_label, label):
             break
         label = new_label
-
-    out = pd.DataFrame({id_col: uids, "cluster_id": label})
-    return rd.from_pandas(out)
+    return pd.DataFrame({"id": uids, "cluster_id": label})
 
 
 def minhash_dedup_keep(

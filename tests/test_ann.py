@@ -67,6 +67,28 @@ def _emb_with_dups(n=200, d=16, seed=3):
     return pd.DataFrame(rows, columns=["vec_id", "embedding"])
 
 
+def test_embedding_clusters_group_near_copies(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for fam in range(20):
+        base = rng.normal(size=16)
+        for rep in range(4):
+            v = base + rng.normal(scale=0.01, size=16)
+            rows.append((fam * 10 + rep, v.astype(np.float32).tolist()))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    cl = ann.embedding_clusters(
+        rd.from_pandas(df), dim=16, n_bits=10, n_tables=4
+    ).to_pandas()
+    cl["family"] = cl.vec_id // 10
+    per_fam = cl.groupby("family")["cluster_id"].nunique()
+    # near-identical vectors share all hyperplane signs w.h.p.
+    assert (per_fam == 1).mean() >= 0.9
+    # distinct random families should (mostly) not merge
+    assert cl.cluster_id.nunique() >= 15
+
+
 def test_cosine_near_dup_pairs_finds_injected(ray_session):
     import ray.data as rd
 
