@@ -26,6 +26,9 @@ from opentelemetry_collector_components_ray.stages import (
     conversation as _conv,
 )
 from opentelemetry_collector_components_ray.stages import dedup as _dedup
+from opentelemetry_collector_components_ray.stages import (
+    relational as _rel,
+)
 from opentelemetry_collector_components_ray.stages import remap as _remap
 from opentelemetry_collector_components_ray.stages import (
     sampling as _sampling,
@@ -210,6 +213,18 @@ def _q_split(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import sampling
 
     return sampling.assign_split(read_transcripts(sf_dir), "conv_id")
+
+
+def _q_pricing_summary(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import relational
+
+    return relational.pricing_summary(sf_dir)
+
+
+def _q_revenue_by_year(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import relational
+
+    return relational.revenue_by_year(sf_dir)
 
 
 def _q_image_features(sf_dir: str):
@@ -411,6 +426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
         "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
         "m_image_features": _q_image_features,  # rows-only (stub codec)
+        # relational demos over the TPC-H-ish tables
+        "r_pricing_summary": _q_pricing_summary,
+        "r_revenue_by_year": _q_revenue_by_year,
     }
 
 
@@ -470,4 +488,6 @@ def oracle_sql() -> dict[str, str]:
         "d_lang_id": _text.lang_id_sql(),
         "d_fingerprints": _text.FINGERPRINTS_SQL,
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
+        "r_pricing_summary": _rel.PRICING_SUMMARY_SQL,
+        "r_revenue_by_year": _rel.REVENUE_BY_YEAR_SQL,
     }

@@ -1,0 +1,145 @@
+"""Relational demo queries over the TPC-H-ish tables.
+
+Not part of the reference's surface (the collector has no relational
+layer) — these exist to show the same engine primitives (column-pruned
+reads, filter pushdown, per-batch combiners, tree merge) express
+classic analytics directly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .aggregate import merge_partials
+
+
+def pricing_summary(sf_dir: str, batch_size: int = 131072) -> rd.Dataset:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/counts with
+    derived disc_price and charge; reads only the six needed columns."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(1.0, batch["l_tax"]))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"],
+                "price": batch["l_extendedprice"],
+                "disc_price": disc_price,
+                "charge": charge,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("qty", "sum"),
+                ("price", "sum"),
+                ("disc_price", "sum"),
+                ("charge", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "sum_charge",
+                "count_order",
+            ]
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    merged = merge_partials(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "sum"),
+            ("sum_base_price", "sum"),
+            ("sum_disc_price", "sum"),
+            ("sum_charge", "sum"),
+            ("count_order", "sum"),
+        ],
+    )
+
+    def round6(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(
+                i, c, pc.round(t[c], ndigits=2,
+                               round_mode="half_towards_infinity")
+            )
+        return t
+
+    return merged.map_batches(round6, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_year(sf_dir: str, batch_size: int = 131072) -> rd.Dataset:
+    """Q6-ish: filtered revenue with the predicate pushed into the
+    parquet read (row-group pruning), grouped by ship year."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_discount") >= 0.05),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        year = pc.year(batch["l_shipdate"])
+        rev = pc.multiply(batch["l_extendedprice"], batch["l_discount"])
+        t = pa.table({"ship_year": pc.cast(year, pa.int64()), "rev": rev})
+        g = t.group_by(["ship_year"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["ship_year", "revenue"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    merged = merge_partials(partials, ["ship_year"], [("revenue", "sum")])
+    return merged.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(t["revenue"], ndigits=2,
+                     round_mode="half_towards_infinity"),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+REVENUE_BY_YEAR_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       round(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem WHERE l_discount >= 0.05 GROUP BY 1
+"""
