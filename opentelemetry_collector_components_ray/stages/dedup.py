@@ -667,30 +667,63 @@ WHERE len(list_intersect(a.ws, b.ws))
 class SimHasher:
     """64-bit simhash per doc; near-dup bucketing by splitting the hash
     into (hamming_k + 1) blocks — pigeonhole: any pair within hamming
-    distance k shares at least one exact block."""
+    distance k shares at least one exact block.
+
+    Vectorized batch path: one Arrow lowercase+split, one amortized
+    word hash, per-bit majority via ``np.add.reduceat`` over the flat
+    word array — no per-document Python loop."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def simhash(self, text: str) -> np.uint64:
-        words = _WORD_RE.findall(text.lower())
-        if not words:
-            return np.uint64(0)
-        h = hash64(np.asarray(words, dtype=object))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int64
+        """Single-doc reference implementation (tests/tools)."""
+        return np.uint64(self.simhash_batch([text])[0])
+
+    def simhash_batch(self, texts) -> np.ndarray:
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        n_docs = len(texts)
+        arr = _pa.array(list(texts), _pa.string())
+        words_list = _pc.split_pattern_regex(_pc.utf8_lower(arr), r"\W+")
+        flat = np.asarray(
+            _pc.list_flatten(words_list).to_pylist(), dtype=object
         )
-        v = bits.sum(axis=0) * 2 - len(h)
-        out = np.uint64(0)
+        counts = np.asarray(
+            _pc.list_value_length(words_list), dtype=np.int64
+        )
+        doc_ids = np.repeat(np.arange(n_docs), counts)
+        keep = flat != ""
+        flat, doc_ids = flat[keep], doc_ids[keep]
+        counts = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(flat) == 0:
+            return out
+        h = hash64(flat)
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        # bit-majority per doc: reduceat of each bit column
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)  # (n_words, 64)
+        # clip: a trailing empty doc's offset == len(flat), which
+        # reduceat rejects; its row is zeroed below anyway
+        sums = np.add.reduceat(
+            bits, np.minimum(offsets, len(h) - 1), axis=0
+        )  # (n_docs, 64)
+        # reduceat repeats the previous group for empty docs — zero them
+        sums[counts == 0] = 0
+        maj = (sums * 2 - counts[:, None]) > 0
         for i in range(64):
-            if v[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
+            out |= maj[:, i].astype(np.uint64) << np.uint64(i)
+        out[counts == 0] = np.uint64(0)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sh = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        sh = self.simhash_batch(texts)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
