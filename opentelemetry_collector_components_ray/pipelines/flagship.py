@@ -66,13 +66,22 @@ def _flagship_shard_fn(
         # write; aggregation then reads the routed parquet back (cheap,
         # disk-backed) instead of recomputing parse+enrich.
         write_fanout(routed, f"{shard_dir}/sinks", config)
-        from ray.data.aggregate import Count
+        # sink counts come from parquet footers — no Ray execution
+        import glob as _g
 
-        sink_counts = (
-            rd.read_parquet(f"{shard_dir}/sinks", columns=["sink"])
-            .groupby("sink")
-            .aggregate(Count(alias_name="n"))
-            .to_pandas()
+        import pyarrow.parquet as _pq
+
+        counts: Dict[str, int] = {}
+        for sink in config.sinks:
+            files = _g.glob(f"{shard_dir}/sinks/sink={sink}/*.parquet")
+            if files:
+                counts[sink] = sum(
+                    _pq.ParquetFile(f).metadata.num_rows for f in files
+                )
+        import pandas as _pd
+
+        sink_counts = _pd.DataFrame(
+            {"sink": list(counts), "n": list(counts.values())}
         )
         routed_back = rd.read_parquet(f"{shard_dir}/sinks")
         agg = service_summary(routed_back, intervals)
@@ -105,6 +114,7 @@ def run_flagship_sharded(
     batch_size: int = 65536,
     resume: bool = True,
     config: RouterConfig = RouterConfig(),
+    max_concurrent: int = 4,
 ) -> str:
     """Checkpointed flagship run: shard → (route-fanout + partial agg)
     with per-shard manifests, then a final merge of the commutative
@@ -122,6 +132,7 @@ def run_flagship_sharded(
         _flagship_shard_fn(intervals, batch_size, config),
         num_shards=num_shards,
         resume=resume,
+        max_concurrent=max_concurrent,
     )
     import glob as _glob
 

@@ -86,6 +86,40 @@ def shard_complete(out_dir: str, shard_id: int, input_files: Sequence[str]) -> b
     )
 
 
+def _stabilize_lazy_imports() -> None:
+    """Make read_parquet safe to call from several threads.
+
+    Ray's path resolution does ``from fsspec.implementations.http
+    import HTTPFileSystem`` per read; in this environment that module
+    fails to import (no aiohttp), so every call re-imports it and
+    CONCURRENT re-imports race into a half-initialized module — which
+    surfaces as ImportError (not the ModuleNotFoundError Ray catches).
+    Register a benign stub once so the import permanently succeeds;
+    the isinstance check against the stub class is simply False.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    import sys
+    import types
+
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # only ever used in isinstance checks
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = stub
+    try:
+        import fsspec.implementations as _fi
+
+        _fi.http = stub
+    except Exception:
+        pass
+
+
 # shard_fn(shard_dataset, shard_out_dir) -> per-stage metrics dict
 ShardFn = Callable[[rd.Dataset, str], Dict]
 
@@ -96,21 +130,29 @@ def run_sharded(
     shard_fn: ShardFn,
     num_shards: int = 16,
     resume: bool = True,
+    max_concurrent: int = 4,
 ) -> List[dict]:
     """Run ``shard_fn`` once per shard with checkpointing.
 
     Shard output is staged in ``shard=K.tmp`` and atomically renamed to
     ``shard=K`` before the manifest is written, so a crash at any point
     leaves either no trace or a complete, skippable shard.
+
+    ``max_concurrent`` shards run at once (driver threads; each shard's
+    Ray pipeline executes on the shared cluster) — overlapping shards
+    amortizes per-pipeline fixed overhead and keeps the cluster busy
+    through a shard's serial tail, while the checkpoint boundary stays
+    per-shard.  Set 1 for strictly sequential runs.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     shards = make_shards(list_fragments(input_path), num_shards)
-    manifests = []
-    for sid, files in enumerate(shards):
+
+    def run_one(sid: int, files: Sequence[str]) -> dict:
         final_dir = os.path.join(out_dir, f"shard={sid:05d}")
         if resume and shard_complete(out_dir, sid, files):
-            manifests.append(load_manifest(out_dir, sid))
-            continue
+            return load_manifest(out_dir, sid)
         stage_dir = final_dir + ".tmp"
         for d in (final_dir, stage_dir):
             if os.path.exists(d):
@@ -129,8 +171,17 @@ def run_sharded(
             "metrics": metrics,
         }
         _atomic_write_json(_manifest_path(out_dir, sid), manifest)
-        manifests.append(manifest)
-    return manifests
+        return manifest
+
+    if max_concurrent <= 1:
+        return [run_one(sid, files) for sid, files in enumerate(shards)]
+    _stabilize_lazy_imports()
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        futures = [
+            pool.submit(run_one, sid, files)
+            for sid, files in enumerate(shards)
+        ]
+        return [f.result() for f in futures]
 
 
 def completed_shard_dirs(out_dir: str) -> List[str]:

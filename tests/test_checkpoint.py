@@ -75,7 +75,10 @@ def test_resume_after_partial_failure_identical_output(
         return {}
 
     with pytest.raises(RuntimeError):
-        cp.run_sharded(sharded_input, out_crash, failing_fn, num_shards=4)
+        cp.run_sharded(
+            sharded_input, out_crash, failing_fn, num_shards=4,
+            max_concurrent=1,  # deterministic failure point
+        )
     assert len(cp.completed_shard_dirs(out_crash)) == 2
 
     cp.run_sharded(sharded_input, out_crash, _count_fn([]), num_shards=4)
