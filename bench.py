@@ -125,6 +125,19 @@ def main() -> None:
         lambda: agg.latest_state(enriched_transcripts(inp)).count()
     )
 
+    # checkpointed sharded runner (per-shard manifests + resume)
+    def sharded():
+        from opentelemetry_collector_components_ray.pipelines.flagship import (
+            run_flagship_sharded,
+        )
+
+        shutil.rmtree(f"{OUT}_sharded", ignore_errors=True)
+        run_flagship_sharded(
+            inp, f"{OUT}_sharded", num_shards=16, max_concurrent=4
+        )
+
+    queries["flagship_sharded"], _ = _timed(sharded)
+
     # training-data ops over the documents/embeddings tables (sf-sized)
     import ray.data as rd
 
