@@ -215,6 +215,20 @@ def _q_split(sf_dir: str):
     return sampling.assign_split(read_transcripts(sf_dir), "conv_id")
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio analogue of m_image_features (stub codec, real actor-pool
+    plumbing); rows-only."""
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        audio_decode_stage,
+        synth_audio_table,
+    )
+
+    n = max(64, _docs(sf_dir).count() // 10)
+    return audio_decode_stage(rd.from_arrow(synth_audio_table(n)))
+
+
 def _q_pricing_summary(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import relational
 
@@ -426,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
         "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
         "m_image_features": _q_image_features,  # rows-only (stub codec)
+        "m_audio_features": _q_audio_features,  # rows-only (stub codec)
         # relational demos over the TPC-H-ish tables
         "r_pricing_summary": _q_pricing_summary,
         "r_revenue_by_year": _q_revenue_by_year,
