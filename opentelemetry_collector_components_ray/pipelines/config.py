@@ -154,6 +154,24 @@ class PipelineSpec:
         for stmt in self.statements:
             parse_statement(stmt)
 
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "PipelineSpec":
+        """Build a spec from plain config data (parsed YAML/JSON) —
+        the integration-template entry point
+        (receiver/integrationreceiver/README.md:17-25): templates are
+        data; validation still happens in __post_init__."""
+        allowed = {"stages", "intervals", "statements", "batch_size"}
+        unknown = set(cfg) - allowed
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        kwargs = {}
+        for key in ("stages", "intervals", "statements"):
+            if key in cfg:
+                kwargs[key] = tuple(cfg[key])
+        if "batch_size" in cfg:
+            kwargs["batch_size"] = int(cfg["batch_size"])
+        return cls(**kwargs)
+
     def build(self, ds: rd.Dataset) -> rd.Dataset:
         _register_builtins()
         for s in self.stages:

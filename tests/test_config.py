@@ -67,6 +67,25 @@ def test_spec_builds_and_aggregates(ray_session, sf_dir):
     assert set(agg["interval"]) == {"1h", "24h"}
 
 
+def test_spec_from_dict_roundtrip():
+    cfg = {
+        "stages": ["parse", "enrich", "route"],
+        "intervals": ["1h", "24h"],
+        "statements": ['set(processor_event, "metric")'],
+        "batch_size": 1024,
+    }
+    spec = PipelineSpec.from_dict(cfg)
+    assert spec.stages == ("parse", "enrich", "route")
+    assert spec.batch_size == 1024
+
+
+def test_spec_from_dict_rejects_unknown_keys():
+    with pytest.raises(ValueError):
+        PipelineSpec.from_dict({"stages": ["parse"], "bogus": 1})
+    with pytest.raises(ValueError):
+        PipelineSpec.from_dict({"intervals": ["never"]})
+
+
 def test_register_custom_stage(ray_session, sf_dir):
     import ray.data as rd
 
