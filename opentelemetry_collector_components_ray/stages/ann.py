@@ -5,9 +5,13 @@
   against it, emits a per-batch partial top-k, and a tiny final merge
   takes the global top-k.  The shuffle moves k rows per (query, block),
   never the corpus.
-- :func:`lsh_cosine_buckets` / :func:`cosine_near_dup_pairs` — the
-  scale path for all-pairs similarity: random-hyperplane signs (SimHash
-  for cosine) bucket vectors so only same-bucket pairs are compared.
+- :func:`ivf_topk` — IVF approximate search: seeded k-means centroids,
+  vectorized assignment, nprobe-bucket probing (the read-pruned scale
+  path for top-k).
+- :func:`cosine_near_dup_pairs` / :func:`embedding_clusters` — all-pairs
+  similarity at scale: random-hyperplane signs (SimHash for cosine)
+  bucket vectors so only same-bucket pairs/edges are considered;
+  clusters come from label propagation, never pairwise enumeration.
 - Ranking ties are broken on (round(sim, 6) DESC, vec_id ASC) so
   results are deterministic and float-summation-order differences
   (numpy vs SQL) cannot flip an ordering the oracle checks.
