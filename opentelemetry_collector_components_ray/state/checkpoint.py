@@ -43,12 +43,36 @@ def list_fragments(input_path: str) -> List[str]:
     return frags
 
 
-def make_shards(files: Sequence[str], num_shards: int) -> List[List[str]]:
-    """Contiguous file groups; never more shards than files."""
-    n = min(num_shards, len(files))
-    out: List[List[str]] = [[] for _ in range(n)]
-    for i, f in enumerate(files):
-        out[i * n // len(files)].append(f)
+def make_shards(
+    files: Sequence[str], num_shards: int, stable: bool = True
+) -> List[List[str]]:
+    """Group input files into shards.
+
+    ``stable=True`` (default) assigns by hash of the file's basename:
+    appending new input files later only adds to (and therefore only
+    invalidates) the shards the new files hash into — the rest of a
+    previous run's checkpoints stay valid, which is what makes
+    incremental ingest cheap.  ``stable=False`` packs contiguously
+    (marginally better balance, but ANY append reshuffles every shard
+    and forces a full recompute).
+    """
+    if not stable:
+        n = min(num_shards, len(files))
+        out: List[List[str]] = [[] for _ in range(n)]
+        for i, f in enumerate(files):
+            out[i * n // len(files)].append(f)
+        return out
+    import numpy as np
+
+    from ..functions.sketches import hash64
+
+    names = np.asarray([os.path.basename(f) for f in files], dtype=object)
+    assign = (hash64(names) % np.uint64(num_shards)).astype(int)
+    out = [[] for _ in range(num_shards)]
+    for f, s in zip(files, assign):
+        out[s].append(f)
+    # drop empty shards but keep ids stable via (id -> files) mapping:
+    # empty shards simply produce no manifest
     return out
 
 
@@ -153,6 +177,18 @@ def run_sharded(
         final_dir = os.path.join(out_dir, f"shard={sid:05d}")
         if resume and shard_complete(out_dir, sid, files):
             return load_manifest(out_dir, sid)
+        if not files:  # stable hashing can leave a shard empty
+            manifest = {
+                "shard_id": sid,
+                "status": "complete",
+                "input_files": [],
+                "output_dir": final_dir,
+                "wall_seconds": 0.0,
+                "metrics": {},
+            }
+            os.makedirs(final_dir, exist_ok=True)
+            _atomic_write_json(_manifest_path(out_dir, sid), manifest)
+            return manifest
         stage_dir = final_dir + ".tmp"
         for d in (final_dir, stage_dir):
             if os.path.exists(d):
