@@ -220,6 +220,35 @@ def run_sharded(
         return [f.result() for f in futures]
 
 
+def compact_parquet_dir(
+    path: str, min_rows_per_file: int = 500_000
+) -> int:
+    """Rewrite a parquet directory into fewer, larger files.
+
+    Sharded fan-out writes produce one file per (shard task, sink) —
+    correct but fragmenting over many runs; periodic compaction keeps
+    later reads metadata-light.  Atomic: compacts into a staging dir,
+    then swaps (rename old → .old, staging → live, delete .old), so
+    readers never observe a partial directory.  Returns the resulting
+    file count.
+    """
+    frags = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if len(frags) <= 1:
+        return len(frags)
+    staging = path + ".compact"
+    old = path + ".old"
+    for d in (staging, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    rd.read_parquet(frags).write_parquet(
+        staging, min_rows_per_file=min_rows_per_file
+    )
+    os.replace(path, old)
+    os.replace(staging, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def completed_shard_dirs(out_dir: str) -> List[str]:
     dirs = []
     for p in sorted(glob.glob(os.path.join(_manifest_dir(out_dir), "shard-*.json"))):

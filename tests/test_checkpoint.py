@@ -107,6 +107,28 @@ def test_stale_manifest_on_input_change(tmp_path):
     assert not cp.shard_complete(out, 0, ["new.parquet"])
 
 
+def test_compact_parquet_dir(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    path = str(tmp_path / "frag")
+    df = pd.DataFrame({"x": range(1000), "y": [f"v{i}" for i in range(1000)]})
+    rd.from_pandas(df).repartition(10).write_parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 5
+    after = cp.compact_parquet_dir(path, min_rows_per_file=100_000)
+    assert after < before
+    back = (
+        rd.read_parquet(path)
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert back.equals(df)
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact")
+
+
 def test_make_shards_contiguous_mode():
     files = [f"f{i}" for i in range(10)]
     shards = cp.make_shards(files, 4, stable=False)
