@@ -115,6 +115,15 @@ _WORD_RE = re.compile(r"\w+")
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (hamming distance kernel):
+    byte-view + unpackbits, no per-pair Python ``bin().count``."""
+    if len(v) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(v).view(np.uint8))
+    return bits.reshape(len(v), 64).sum(axis=1).astype(np.int64)
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
     """Hashes of word k-shingles (distinct)."""
     words = _WORD_RE.findall(text.lower())
@@ -785,10 +794,7 @@ def simhash_near_dups(
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         x = m[f"simhash_x"].to_numpy().astype(np.uint64)
         y = m[f"simhash_y"].to_numpy().astype(np.uint64)
-        ham = np.array(
-            [bin(int(a ^ b)).count("1") for a, b in zip(x, y)],
-            dtype=np.int64,
-        )
+        ham = _popcount64(x ^ y)
         out = pd.DataFrame(
             {
                 "id_a": m[f"{id_col}_x"].to_numpy(),

@@ -99,15 +99,12 @@ def enrich_scalar_batch(batch: pa.Table) -> pa.Table:
     )
     fail_keys = pc.filter(key, failure)
     if len(fail_keys):
-        import hashlib
+        from ..functions.md5vec import md5_hex
 
-        digests = pa.array(
-            [
-                hashlib.md5(s.encode()).hexdigest()
-                for s in fail_keys.to_pylist()
-            ],
-            pa.string(),
-        )
+        # numpy-vectorized single-block MD5 (functions/md5vec.py) —
+        # identity keys are unique per row, so only a vectorized digest
+        # (not np.unique amortization) takes this off the hot path
+        digests = md5_hex(fail_keys)
         if isinstance(failure, pa.ChunkedArray):
             failure_c = failure.combine_chunks()
         else:

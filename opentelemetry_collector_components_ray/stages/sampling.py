@@ -15,7 +15,6 @@ and SQL.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Dict, Sequence, Tuple
 
 import numpy as np
@@ -30,11 +29,12 @@ def _hex_threshold(fraction: float) -> str:
 
 
 def _md5_prefix(values: np.ndarray) -> np.ndarray:
+    from ..functions.md5vec import md5_hex_np
+
     uniq, inv = np.unique(values.astype(object), return_inverse=True)
-    h = np.array(
-        [hashlib.md5(str(s).encode()).hexdigest()[:8] for s in uniq],
-        dtype=object,
-    )
+    # vectorized MD5 (functions/md5vec.py); '<U32' → '<U8' astype is a
+    # vectorized prefix-truncate
+    h = md5_hex_np(uniq).astype("U8").astype(object)
     return h[inv]
 
 

@@ -9,7 +9,6 @@ constants so the oracle can verify it exactly.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from typing import Dict, List, Sequence
 
@@ -192,13 +191,14 @@ FROM documents
 
 def fingerprints(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Content fingerprint (md5 hex — matches DuckDB's md5()) computed
-    per unique value to amortize the per-string Python call."""
+    per unique value (dup texts amortize), with the vectorized MD5
+    kernel (functions/md5vec.py) doing the digests — hashlib only for
+    texts ≥ 56 bytes (multi-block)."""
+    from ..functions.md5vec import md5_hex_np
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         uniq, inv = np.unique(df[text_col].to_numpy(dtype=object), return_inverse=True)
-        digests = np.array(
-            [hashlib.md5(s.encode()).hexdigest() for s in uniq], dtype=object
-        )
+        digests = md5_hex_np(uniq)
         df = df.copy()
         df["fingerprint"] = digests[inv]
         return df
