@@ -306,19 +306,20 @@ def _take_latest(df: pd.DataFrame) -> pd.DataFrame:
 def latest_state(
     ds: rd.Dataset,
     batch_size: int = 131072,
-    distributed: bool = False,
+    distributed: bool = True,
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """Per-conversation latest turn (two-phase argmax by (ts, turn_idx)).
 
     Phase 1 reduces each batch to one candidate row per conversation
-    (vectorized pandas).  Phase 2 (default) coalesces the candidates
-    and runs one more vectorized reduce — candidates are ≤ one row per
-    (conversation, input block), tiny relative to the input.  When even
-    the candidate set exceeds one worker's memory (≫10^8
-    conversations), ``distributed=True`` hash-buckets conversations
+    (vectorized pandas).  Phase 2 (default) hash-buckets conversations
     (``hash64(conv_id) % num_buckets``) and reduces per bucket — one
-    vectorized call per bucket, never one per conversation.
+    vectorized call per bucket, never one per conversation, and no
+    single worker ever holds all conversations.  ``distributed=False``
+    coalesces the candidate set to one worker instead — lower fixed
+    cost when conversations are known-few, but a driver-side bound at
+    ≫10^8 conversations, so the scale-safe bucketed path is the
+    default.
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

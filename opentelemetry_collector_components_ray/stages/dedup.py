@@ -47,12 +47,24 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_size: int = 65536,
+    distributed: bool = True,
+    num_buckets: int = 256,
 ) -> rd.Dataset:
     """Keep the min-id row per distinct text (deterministic survivor).
 
-    Combiner-first: each batch reduces to one row per distinct text, the
-    final tree merge takes min over partials — the shuffle moves unique
-    texts, never raw rows.
+    Combiner-first: each batch reduces to one row per distinct text, so
+    the shuffle moves unique texts, never raw rows.  The default finish
+    is hash-partitioned: partials bucket by ``hash64(text) %
+    num_buckets`` and each bucket reduces independently (one vectorized
+    pandas groupby per bucket) — no single worker ever holds the whole
+    unique-text set.  Size ``num_buckets`` so |unique texts| × avg_len
+    / num_buckets fits a worker (~256 buckets ≈ 40 GB of unique text at
+    100 TB scale → raise it for bigger corpora).  ``distributed=False``
+    coalesces to one worker instead — faster fixed cost when the unique
+    set is known-small.
+
+    Reference analogue: identity-hash dedup when merging resources
+    (internal/merger/value.go:364-462).
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,8 +74,26 @@ def exact_dedup(
     partials = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
     )
-    return partials.repartition(1).map_batches(
-        partial, batch_format="pandas", batch_size=None
+    if not distributed:
+        return partials.repartition(1).map_batches(
+            partial, batch_format="pandas", batch_size=None
+        )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = (
+            hash64(df[text_col].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return partial(df.drop(columns=["_bucket"]))
+
+    return (
+        partials.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
     )
 
 
@@ -565,9 +595,8 @@ def minhash_dedup_keep(
     def survivors(df: pd.DataFrame) -> pd.DataFrame:
         return df[df[id_col] == df["cluster_id"]][[id_col]]
 
-    return clusters.repartition(1).map_batches(
-        survivors, batch_format="pandas", batch_size=None
-    )
+    # survivor selection is a stateless per-row predicate — no coalesce
+    return clusters.map_batches(survivors, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

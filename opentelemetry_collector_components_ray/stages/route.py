@@ -208,15 +208,26 @@ def cardinality_route(
     ds: rd.Dataset,
     config: CardinalityRouterConfig = CardinalityRouterConfig(),
     batch_size: int = 131072,
+    distributed: bool = True,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
     """Per-key routing decisions: (key, combo_card, sink).
 
     Two-phase exact distinct: per-batch dedup of (key, measure_by…)
-    combos, coalesce, count distinct per key, map through thresholds.
-    Partitioning assumption: the deduped combo set (≤ keys ×
-    |measure-space|) fits one worker; beyond that swap the final
-    reduce for per-key-bucket HLL sketches (functions/sketches.py)."""
+    combos (the combiner — the shuffle only moves distinct combos),
+    then by default a hash-partitioned finish: combos bucket by
+    ``hash64(key) % num_buckets`` (all combos of a key share its
+    bucket, so the per-key distinct count is exact) and each bucket
+    dedups + counts independently — no single worker holds the global
+    combo set.  ``distributed=False`` coalesces to one worker (lower
+    fixed cost at known-small key spaces).  For combo sets too large
+    even per bucket, the estimate swaps to the mergeable HLL
+    (functions/sketches.py) — the reference's own scale rule
+    (router.go:287-297)."""
+    import numpy as np
     import pandas as pd
+
+    from ..functions.sketches import hash64
 
     cols = [config.key, *config.measure_by]
 
@@ -237,8 +248,26 @@ def cardinality_route(
     partials = ds.map_batches(
         dedup_batch, batch_format="pandas", batch_size=batch_size
     )
-    return partials.repartition(1).map_batches(
-        finish, batch_format="pandas", batch_size=None
+    if not distributed:
+        return partials.repartition(1).map_batches(
+            finish, batch_format="pandas", batch_size=None
+        )
+
+    def bucketize(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["_bucket"] = (
+            hash64(df[config.key].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def finish_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        return finish(df.drop(columns=["_bucket"]))
+
+    return (
+        partials.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(finish_bucket, batch_format="pandas")
     )
 
 

@@ -112,3 +112,19 @@ def test_overflow_fold_deterministic(ray_session):
     other = out[out.tool == "_other"].iloc[0]
     assert other.turn_count == 3  # t4 once + t5 twice
     assert other.overflow_tools == 2  # t4, t5 dropped
+
+
+def test_latest_state_distributed_equals_coalesced(enriched_ds):
+    dist = (
+        agg.latest_state(enriched_ds, distributed=True, num_buckets=7)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    coal = (
+        agg.latest_state(enriched_ds, distributed=False)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, coal)

@@ -52,3 +52,19 @@ def test_config_validation():
         CardinalityRouterConfig(rules=((6, "a"), (2, "b"), (None, "c")))
     with pytest.raises(ValueError):  # duplicate sinks
         CardinalityRouterConfig(rules=((2, "a"), (None, "a")))
+
+
+def test_distributed_finish_equals_coalesced(enriched_ds):
+    dist = (
+        cardinality_route(enriched_ds, distributed=True, num_buckets=7)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    coal = (
+        cardinality_route(enriched_ds, distributed=False)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, coal)

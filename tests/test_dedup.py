@@ -181,3 +181,19 @@ def test_shingles_deterministic():
     b = dedup._shingles("the quick brown fox jumps", 3)
     assert (a == b).all()
     assert len(a) == 3  # 5 words → 3 tri-shingles
+
+
+def test_exact_dedup_distributed_equals_coalesced(docs_ds):
+    dist = (
+        dedup.exact_dedup(docs_ds, distributed=True, num_buckets=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    coal = (
+        dedup.exact_dedup(docs_ds, distributed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, coal)
