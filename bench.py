@@ -158,6 +158,48 @@ def main() -> None:
     queries["doc_minhash_pairs"], _ = _timed(
         lambda: dedup_mod.minhash_near_dups(docs, threshold=0.8).count()
     )
+    queries["doc_minhash_pairs_broadcast"], _ = _timed(
+        lambda: dedup_mod.minhash_near_dups(
+            docs, threshold=0.8, verify="broadcast"
+        ).count()
+    )
+
+    # distributed cluster dedup at >=5M docs (round-2 review criterion):
+    # replicate the docs table with fresh ids, then the full
+    # minhash -> LSH -> distributed label propagation path — the edge
+    # table and every propagation round stay in the object store
+    def cluster_5m():
+        import numpy as np
+        import pyarrow as pa
+
+        n_docs = docs.count()
+        reps = -(-5_000_000 // n_docs)
+        stride = 10_000_000
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "doc_id": pa.array(ids + r * stride),
+                            "text": batch["text"],
+                        }
+                    )
+                    for r in range(reps)
+                ]
+            )
+
+        big = docs.map_batches(
+            replicate, batch_format="pyarrow"
+        ).materialize()
+        return dedup_mod.minhash_clusters(
+            big, distributed=True, coarse_buckets=256
+        ).count()
+
+    queries["doc_cluster_dedup_5m"], _ = _timed(cluster_5m)
     queries["emb_cosine_topk"], _ = _timed(
         lambda: ann_mod.cosine_topk(
             embs, embs.filter(expr="vec_id < 5"), k=10

@@ -381,15 +381,19 @@ def embedding_clusters(
     vec_col: str = "embedding",
     dim: int = 64,
     concurrency=(1, 8),
+    distributed: bool = True,
+    coarse_buckets: int = 64,
 ) -> rd.Dataset:
     """Embedding near-duplicate CLUSTERS: multiple independent
     hyperplane hash tables (union of bucket edges raises recall), then
     the same min-label propagation used by MinHash cluster dedup —
-    linear in docs, no pairwise enumeration.  Returns
+    linear in docs, no pairwise enumeration.  ``distributed=True``
+    (default) runs the propagation as Dataset ops
+    (dedup.label_propagation_ds — nothing driver-side);
+    ``distributed=False`` collects the edge arrays to the driver
+    (cheaper fixed cost for small corpora).  Returns
     (id_col, cluster_id)."""
-    import pandas as _pd
-
-    from .dedup import label_propagation
+    from .dedup import label_propagation, label_propagation_ds
 
     hashers = [
         _hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)
@@ -410,11 +414,15 @@ def embedding_clusters(
             {"bkey": np.concatenate(outb), id_col: np.concatenate(outi)}
         )
 
-    ex = ds.map_batches(
-        bucketize, batch_format="pyarrow", batch_size=8192,
-    ).to_pandas()
+    ex = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=8192)
+    if distributed:
+        return label_propagation_ds(
+            ex, id_col=id_col, key_col="bkey",
+            coarse_buckets=coarse_buckets,
+        )
+    exdf = ex.to_pandas()
     out = label_propagation(
-        ex["bkey"].to_numpy(), ex[id_col].to_numpy()
+        exdf["bkey"].to_numpy(), exdf[id_col].to_numpy()
     ).rename(columns={"id": id_col})
     return rd.from_pandas(out)
 

@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -419,6 +420,90 @@ class JaccardVerifier:
         )
 
 
+def _attach_shingles(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    owner_col: str,
+    out_col: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_buckets: int,
+) -> rd.Dataset:
+    """One co-location pass of the partitioned Jaccard verify: route
+    candidate-pair rows by ``hash(pair[owner_col]) % num_buckets`` and
+    doc rows by ``hash(doc_id) % num_buckets``; inside each bucket,
+    shingle ONLY the docs that local pairs reference (lazy, candidates
+    ≪ corpus) and attach the shingle hashes to the pair rows as a
+    binary column (``np.uint64.tobytes`` — no nested Arrow types cross
+    the shuffle).  No worker ever sees more than its hash slice of the
+    corpus — the scale-safe replacement for round 1's whole-corpus
+    ``to_pandas()`` broadcast (review finding #2)."""
+    pair_cols = pairs.schema().names
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in pair_cols}
+        cols[text_col] = pa.nulls(t.num_rows, pa.string())
+        cols["_owner"] = pc.cast(t[owner_col], pa.int64())
+        cols["_side"] = pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)
+        )
+        return pa.table(cols)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in pair_cols:
+            if c in ("id_a", "id_b"):
+                cols[c] = pa.nulls(t.num_rows, pa.int64())
+            else:  # an already-attached shingle column
+                cols[c] = pa.nulls(t.num_rows, pa.binary())
+        cols[text_col] = t[text_col]
+        cols["_owner"] = pc.cast(t[id_col], pa.int64())
+        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t["_owner"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        g = (mixed % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_g", pa.array(g))
+
+    both = (
+        pairs.map_batches(tag_pairs, batch_format="pyarrow")
+        .union(
+            docs.select_columns([id_col, text_col]).map_batches(
+                tag_docs, batch_format="pyarrow"
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+    )
+
+    out_schema = pair_cols + [out_col]
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["_side"].to_numpy() == 1
+        p = df[~is_doc]
+        if not len(p):
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_schema})
+        d = df[is_doc]
+        texts = dict(zip(d["_owner"].astype(np.int64), d[text_col]))
+        cache: Dict[int, bytes] = {}
+
+        def sh_bytes(i: int) -> bytes:
+            b = cache.get(i)
+            if b is None:
+                b = cache[i] = _shingles(texts[i], k).tobytes()
+            return b
+
+        out = p[pair_cols].copy()
+        out[out_col] = [
+            sh_bytes(int(i)) for i in p["_owner"].to_numpy()
+        ]
+        return out
+
+    return both.groupby("_g").map_groups(attach, batch_format="pandas")
+
+
 def minhash_near_dups(
     docs: rd.Dataset,
     threshold: float = 0.8,
@@ -428,6 +513,8 @@ def minhash_near_dups(
     num_perm: int = 64,
     bands: int = 16,
     concurrency=(1, 8),
+    verify: str = "partitioned",
+    num_buckets: int = 64,
 ) -> rd.Dataset:
     """Near-duplicate pairs with exact-verified word-shingle Jaccard ≥
     threshold; candidates from banded MinHash-LSH.
@@ -435,6 +522,13 @@ def minhash_near_dups(
     Detection probability at j=0.8 with 16 bands × 4 rows is
     1-(1-0.8^4)^16 ≈ 0.9998 — effectively exhaustive at the threshold;
     tested against brute force in tests/test_dedup.py.
+
+    ``verify="partitioned"`` (default) verifies candidates against
+    id-hash-partitioned shingle state (two co-location passes, one per
+    pair side — :func:`_attach_shingles`); no worker or driver ever
+    holds the whole corpus.  ``verify="broadcast"`` is the small-corpus
+    fast path: one ``ray.put`` of the (id, text) table, verified on an
+    actor pool with a lazy shingle cache.
     """
     sigs = docs.map_batches(
         MinHasher,
@@ -450,21 +544,54 @@ def minhash_near_dups(
         num_cpus=1,
     )
     cand = lsh_candidate_pairs(sigs, num_perm, bands, id_col)
-    small = docs.select_columns([id_col, text_col]).to_pandas()
-    docs_ref = ray.put(small)
-    verified = cand.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={
-            "docs_ref": docs_ref,
-            "text_col": text_col,
-            "id_col": id_col,
-            "k": k,
-        },
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 4),
-        num_cpus=1,
+
+    if verify == "broadcast":
+        small = docs.select_columns([id_col, text_col]).to_pandas()
+        docs_ref = ray.put(small)
+        verified = cand.map_batches(
+            JaccardVerifier,
+            fn_constructor_kwargs={
+                "docs_ref": docs_ref,
+                "text_col": text_col,
+                "id_col": id_col,
+                "k": k,
+            },
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        return verified.filter(expr=f"jaccard >= {threshold}")
+    if verify != "partitioned":
+        raise ValueError(f"unknown verify mode {verify!r}")
+
+    with_a = _attach_shingles(
+        cand, docs, "id_a", "_sh_a", text_col, id_col, k, num_buckets
     )
+    with_b = _attach_shingles(
+        with_a, docs, "id_b", "_sh_b", text_col, id_col, k, num_buckets
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        jac = np.empty(n)
+        sa = df["_sh_a"].to_numpy()
+        sb = df["_sh_b"].to_numpy()
+        for i in range(n):
+            x = np.frombuffer(sa[i], dtype=np.uint64)
+            y = np.frombuffer(sb[i], dtype=np.uint64)
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
+            jac[i] = inter / union if union else 1.0
+        return pd.DataFrame(
+            {
+                "id_a": df["id_a"].astype("int64").to_numpy(),
+                "id_b": df["id_b"].astype("int64").to_numpy(),
+                "jaccard": round_half_away(jac, 6),
+            }
+        )
+
+    verified = with_b.map_batches(score, batch_format="pandas")
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
@@ -499,6 +626,8 @@ def minhash_clusters(
     bands: int = 16,
     max_rounds: int = 20,
     concurrency=(1, 8),
+    distributed: bool = True,
+    coarse_buckets: int = 64,
 ) -> rd.Dataset:
     """Near-duplicate CLUSTERS via LSH-bucket label propagation.
 
@@ -511,10 +640,12 @@ def minhash_clusters(
     (the guide's candidate-graph → connected-components pattern).
 
     Edges are shared-LSH-bucket (estimated-similarity) links; clusters
-    are therefore approximate in the same way candidates are.  The
-    propagation runs on collected (bucket_key, id) arrays — ~16 int64s
-    per doc, so ~1.6 GB per 10^8 docs on the driver; beyond that run
-    the same iteration distributed (groupby bucket → min; join back).
+    are therefore approximate in the same way candidates are.  By
+    default the propagation runs distributed
+    (:func:`label_propagation_ds` — the edge table never leaves the
+    cluster); ``distributed=False`` collects the (bucket_key, id)
+    arrays to the driver instead (~16 int64s per doc — cheaper fixed
+    cost below ~10^7 docs, a memory wall above ~10^8).
 
     Returns (id_col, cluster_id) — cluster_id is the min doc id of the
     component.
@@ -552,34 +683,235 @@ def minhash_clusters(
             {"bkey": np.concatenate(outb), id_col: np.concatenate(outi)}
         )
 
-    ex = sigs.map_batches(explode, batch_format="pyarrow").to_pandas()
+    ex = sigs.map_batches(explode, batch_format="pyarrow")
+    if distributed:
+        return label_propagation_ds(
+            ex, id_col=id_col, key_col="bkey",
+            max_rounds=max_rounds, coarse_buckets=coarse_buckets,
+        )
+    exdf = ex.to_pandas()
     out = label_propagation(
-        ex["bkey"].to_numpy(), ex[id_col].to_numpy().astype(np.int64),
+        exdf["bkey"].to_numpy(), exdf[id_col].to_numpy().astype(np.int64),
         max_rounds,
     )
     out = out.rename(columns={"id": id_col})
     return rd.from_pandas(out)
 
 
-def label_propagation(
-    bucket_keys: np.ndarray, ids: np.ndarray, max_rounds: int = 20
-) -> pd.DataFrame:
-    """Connected components of the (bucket ↔ member) bipartite graph by
-    min-label propagation; fully vectorized per round, converges in
-    O(component diameter) rounds.  Returns (id, cluster_id=min id of
-    component)."""
-    ukeys, b_idx = np.unique(bucket_keys, return_inverse=True)
-    uids, d_idx = np.unique(ids, return_inverse=True)
-    label = uids.copy()
+def _propagate(
+    b_idx: np.ndarray,
+    d_idx: np.ndarray,
+    n_buckets: int,
+    label: np.ndarray,
+    max_rounds: int = 20,
+) -> np.ndarray:
+    """Seeded min-label propagation over a bipartite (bucket ↔ member)
+    edge list given as unique-index arrays; fully vectorized per round,
+    converges in O(component diameter) rounds.  ``label`` is the
+    per-unique-member seed (mutated-free; returns the fixed point)."""
+    label = label.copy()
     for _ in range(max_rounds):
-        bucket_min = np.full(len(ukeys), np.iinfo(np.int64).max)
+        bucket_min = np.full(n_buckets, np.iinfo(np.int64).max)
         np.minimum.at(bucket_min, b_idx, label[d_idx])
         new_label = label.copy()
         np.minimum.at(new_label, d_idx, bucket_min[b_idx])
         if np.array_equal(new_label, label):
             break
         label = new_label
+    return label
+
+
+def label_propagation(
+    bucket_keys: np.ndarray, ids: np.ndarray, max_rounds: int = 20
+) -> pd.DataFrame:
+    """Connected components of the (bucket ↔ member) bipartite graph by
+    min-label propagation (driver-side, for corpora whose edge table
+    fits one worker).  Returns (id, cluster_id=min id of component)."""
+    ukeys, b_idx = np.unique(bucket_keys, return_inverse=True)
+    uids, d_idx = np.unique(ids, return_inverse=True)
+    label = _propagate(b_idx, d_idx, len(ukeys), uids, max_rounds)
     return pd.DataFrame({"id": uids, "cluster_id": label})
+
+
+def label_propagation_ds(
+    edges: rd.Dataset,
+    id_col: str = "doc_id",
+    key_col: str = "bkey",
+    max_rounds: int = 20,
+    coarse_buckets: int = 64,
+) -> rd.Dataset:
+    """Distributed connected components of the (bucket ↔ member) edge
+    Dataset — NOTHING materializes on the driver.
+
+    Each round co-locates the edge rows three times by
+    ``hash(x) % coarse_buckets`` and runs a SEEDED in-memory
+    propagation (:func:`_propagate`) over each coarse group's subgraph
+    — one vectorized call per group, group count bounded by
+    ``coarse_buckets``, never by #buckets or #ids:
+
+    1. **bucket phase** (route by LSH bucket key): every bucket's rows
+       meet, labels cross bucket edges;
+    2. **id phase** (route by member id): every id's rows meet, labels
+       become per-id consistent;
+    3. **pointer-doubling phase**: ``label[i] := label[label[i]]``,
+       implemented as a bucket-join (state rows routed by
+       ``hash(label)`` meet index rows ``(id, label)`` routed by
+       ``hash(id)``); path-shaped label chains halve per round, so a
+       100-link chain converges in ~7 rounds where plain hash-to-min
+       needs ~50.
+
+    Every step is sound: labels move only along real edges, and
+    doubling rewrites ``i → label[L]`` where both facts (``i ~ L``,
+    ``L ~ label[L]``) were edge-derived.  Labels are monotone
+    non-increasing (``label[j] ≤ j`` invariantly), so the per-round
+    edge-label sum is a convergence certificate: if a full round
+    leaves the sum unchanged, phases 1+2 were at fixed point ⇒ labels
+    are bucket-consistent and id-consistent ⇒ constant on connected
+    components and equal to the component min — identical to the
+    driver-side :func:`label_propagation` fixed point.
+
+    The iterated state is the edge table (~3 int64s per band×doc),
+    spread across the cluster and re-materialized per round — the
+    distributed replacement for round 1's driver-side ``to_pandas()``
+    label propagation (review finding #1).
+
+    Returns (id_col, cluster_id).
+    """
+    assert coarse_buckets >= 1
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: ids,
+                "label": ids,
+            }
+        )
+
+    def group_key_of(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            # fibonacci-mix before the modulo: band hashes are already
+            # uniform, but sequential doc ids are not
+            mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            g = mixed % np.uint64(coarse_buckets)
+            return batch.append_column("_g", pa.array(g.astype(np.int64)))
+
+        return fn
+
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        labels_in = df["label"].to_numpy()
+        ukeys, b_idx = np.unique(df[key_col].to_numpy(), return_inverse=True)
+        uids, d_idx = np.unique(df[id_col].to_numpy(), return_inverse=True)
+        seed = np.full(len(uids), np.iinfo(np.int64).max)
+        np.minimum.at(seed, d_idx, labels_in)
+        label = _propagate(b_idx, d_idx, len(ukeys), seed)
+        out = df.drop(columns=["_g"]).copy()
+        out["label"] = label[d_idx]
+        return out
+
+    def tag_for_doubling(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        # queries: real state rows, routed by their label
+        # index: per-batch distinct (id, min label), routed by id; key
+        # column is unused for index rows (side flag distinguishes)
+        order = np.argsort(ids, kind="stable")
+        sid, slab = ids[order], labels[order]
+        first = np.ones(len(sid), dtype=bool)
+        first[1:] = sid[1:] != sid[:-1]
+        if len(sid):
+            # per-id MIN label (labels are per-id consistent after the
+            # id phase; the reduceat is belt-and-braces)
+            starts = np.nonzero(first)[0]
+            slab = slab.copy()
+            slab[first] = np.minimum.reduceat(slab, starts)
+        q = pa.table(
+            {
+                key_col: keys,
+                id_col: pa.array(ids),
+                "label": pa.array(labels),
+                "_route": pa.array(labels),
+                "_side": pa.array(
+                    np.zeros(len(ids), dtype=np.int8)
+                ),
+            }
+        )
+        ix = pa.table(
+            {
+                key_col: pa.array(np.zeros(int(first.sum()), dtype=keys.dtype)),
+                id_col: pa.array(sid[first]),
+                "label": pa.array(slab[first]),
+                "_route": pa.array(sid[first]),
+                "_side": pa.array(
+                    np.ones(int(first.sum()), dtype=np.int8)
+                ),
+            }
+        )
+        return pa.concat_tables([q, ix])
+
+    def double_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        is_ix = df["_side"].to_numpy() == 1
+        ix = df[is_ix]
+        q = df[~is_ix]
+        # label[label[i]]: map each query's label through the index;
+        # min-combine duplicate index entries for safety
+        lut = (
+            ix.groupby(id_col)["label"].min()
+            if len(ix)
+            else pd.Series(dtype=np.int64)
+        )
+        new = lut.reindex(q["label"].to_numpy())
+        out = q.drop(columns=["_g", "_route", "_side"]).copy()
+        vals = new.to_numpy()
+        keep = np.isnan(vals)
+        out["label"] = np.where(
+            keep, out["label"].to_numpy(), np.nan_to_num(vals)
+        ).astype(np.int64)
+        return out
+
+    def route_doubling(batch: pa.Table) -> pa.Table:
+        v = batch["_route"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        g = mixed % np.uint64(coarse_buckets)
+        return batch.append_column("_g", pa.array(g.astype(np.int64)))
+
+    state = edges.map_batches(init, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        for col in (key_col, id_col):
+            state = (
+                state.map_batches(group_key_of(col), batch_format="pyarrow")
+                .groupby("_g")
+                .map_groups(contract, batch_format="pandas")
+            )
+        state = (
+            state.map_batches(tag_for_doubling, batch_format="pyarrow")
+            .map_batches(route_doubling, batch_format="pyarrow")
+            .groupby("_g")
+            .map_groups(double_in_group, batch_format="pandas")
+        )
+        state = state.materialize()
+        cur_sum = state.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "label"]].drop_duplicates(id_col)
+        return out.rename(columns={"label": "cluster_id"})
+
+    # rows of one id can span blocks — one id-keyed pass dedups exactly
+    return (
+        state.map_batches(group_key_of(id_col), batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(
+            lambda df: finish(df.drop(columns=["_g"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def minhash_dedup_keep(

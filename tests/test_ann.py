@@ -99,3 +99,25 @@ def test_cosine_near_dup_pairs_finds_injected(ray_session):
     pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
     assert {(4, 200), (60, 201), (123, 202)} <= pairs
     assert (got.sim >= 0.99).all()
+
+
+def test_embedding_clusters_distributed_equals_driver(emb_ds):
+    from opentelemetry_collector_components_ray.stages.ann import (
+        embedding_clusters,
+    )
+
+    dist = (
+        embedding_clusters(emb_ds, distributed=True, coarse_buckets=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    drv = (
+        embedding_clusters(emb_ds, distributed=False)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(dist.astype("int64"), drv.astype("int64"))

@@ -197,3 +197,82 @@ def test_exact_dedup_distributed_equals_coalesced(docs_ds):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dist, coal)
+
+
+def test_label_propagation_ds_equals_driver(ray_session):
+    """Distributed CC (3-phase hash-to-min + pointer doubling) reaches
+    the same fixed point as the driver-side propagation — including on
+    a 100-link chain, the worst case for plain min-propagation."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(0)
+    edges = []
+    for i in range(99):  # chain 0-1-2-...-99 via buckets
+        edges += [(1000 + i, i), (1000 + i, i + 1)]
+    for c in range(50):  # random clusters
+        members = rng.randint(200, 5000, size=rng.randint(2, 20))
+        edges += [(2000 + c, int(m)) for m in members]
+    edges += [(9000 + i, 10000 + i) for i in range(100)]  # singletons
+    df = pd.DataFrame(edges, columns=["bkey", "doc_id"])
+
+    want = dedup.label_propagation(
+        df.bkey.to_numpy(), df.doc_id.to_numpy(), max_rounds=200
+    ).rename(columns={"id": "doc_id"})
+    assert (want[want.doc_id < 100].cluster_id == 0).all()
+
+    got = dedup.label_propagation_ds(
+        rd.from_pandas(df).repartition(8), coarse_buckets=16
+    ).to_pandas()
+    a = want.sort_values("doc_id").reset_index(drop=True)
+    b = (
+        got.sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+    )
+    pd.testing.assert_frame_equal(a.astype("int64"), b)
+
+
+def test_minhash_clusters_distributed_equals_driver(ray_session):
+    import ray.data as rd
+
+    df = _corpus_with_near_dups()
+    ds = rd.from_pandas(df).repartition(4)
+    dist = (
+        dedup.minhash_clusters(ds, distributed=True, coarse_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    drv = (
+        dedup.minhash_clusters(ds, distributed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        dist.astype("int64"), drv.astype("int64")
+    )
+
+
+def test_minhash_verify_partitioned_equals_broadcast(ray_session):
+    """The id-hash-partitioned Jaccard verify (no whole-corpus
+    broadcast) produces byte-identical pairs to the broadcast path."""
+    import ray.data as rd
+
+    df = _corpus_with_near_dups()
+    ds = rd.from_pandas(df).repartition(4)
+    part = (
+        dedup.minhash_near_dups(
+            ds, threshold=0.8, verify="partitioned", num_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    bc = (
+        dedup.minhash_near_dups(ds, threshold=0.8, verify="broadcast")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(part, bc)
