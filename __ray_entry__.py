@@ -394,9 +394,14 @@ def _q_embedding_clusters(sf_dir: str):
 
 
 def _q_cosine_neardup(sf_dir: str):
+    """The raw synthetic embeddings contain no near-dups (max organic
+    cosine ≈ 0.51), so plant deterministic twins first — otherwise the
+    rows-only check passes vacuously on an empty result (round-1
+    review finding)."""
     from opentelemetry_collector_components_ray.stages import ann
 
-    return ann.cosine_near_dup_pairs(_embs(sf_dir), threshold=0.99)
+    planted = ann.plant_near_dup_twins(_embs(sf_dir), every=10, eps=0.1)
+    return ann.cosine_near_dup_pairs(planted, threshold=0.99)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -431,28 +431,46 @@ def cosine_near_dup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,
     n_bits: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     concurrency=(1, 8),
+    dedup_buckets: int = 64,
 ) -> rd.Dataset:
-    """Embedding near-duplicate pairs: hyperplane-LSH buckets, exact
-    cosine verification within each bucket (vectorized).  Recall < 1 by
-    construction (pairs split across all buckets are missed) — the
-    candidate-generation trade every LSH makes; tested against brute
-    force on crafted dups in tests.  Output (id_a < id_b, sim ≥ τ)."""
+    """Embedding near-duplicate pairs: hyperplane-LSH buckets (multiple
+    independent tables — a pair collides in ≥1 table with prob
+    1-(1-p^n_bits)^n_tables, p = 1-θ/π), exact cosine verification
+    within each bucket (vectorized).  Recall < 1 by construction — the
+    candidate-generation trade every LSH makes; tested against planted
+    twins in tests.  Cross-table duplicate pairs are removed by a
+    pair-hash-bucketed distinct (no coalesce).  Output (id_a < id_b,
+    sim ≥ τ)."""
+    hashers = [
+        _hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)
+    ]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[vec_col])
+        outs = []
+        for t, h in enumerate(hashers):
+            signs = (m @ h) > 0
+            key = np.full(len(m), np.int64(t + 1))
+            for b in range(signs.shape[1]):
+                key = (key << 1) | signs[:, b]
+            outs.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "bucket": pa.array(key),
+                        vec_col: batch[vec_col],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
     hashed = ds.map_batches(
-        HyperplaneHasher,
-        fn_constructor_kwargs={
-            "d": dim,
-            "n_bits": n_bits,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=concurrency,
-        num_cpus=1,
+        bucketize, batch_format="pyarrow", batch_size=8192,
     )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -474,10 +492,70 @@ def cosine_near_dup_pairs(
     pairs = hashed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    return pairs.repartition(1).map_batches(
-        lambda df: df.drop_duplicates(["id_a", "id_b"]).sort_values(
-            ["id_a", "id_b"]
-        ),
-        batch_format="pandas",
-        batch_size=None,
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        mixed = (
+            df["id_a"].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            + df["id_b"].to_numpy().astype(np.uint64)
+        )
+        df["_g"] = (mixed % np.uint64(dedup_buckets)).astype(np.int64)
+        return df
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(
+            lambda df: df.drop(columns=["_g"]).drop_duplicates(
+                ["id_a", "id_b"]
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def plant_near_dup_twins(
+    ds: rd.Dataset,
+    every: int = 10,
+    offset: int = 1_000_000,
+    eps: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Union the input with deterministic near-duplicate twins: every
+    ``every``-th vector gains a copy (id + offset) perturbed by
+    ``eps × roll(v, 1)``, giving cos(v, v') ≈ 1/√(1+eps²) ≈ 0.995 at
+    eps=0.1 — far above any organic pair in a random corpus.  Pure
+    function of the input (no RNG), so reruns and tests agree; used by
+    the driver's e_cosine_neardup query so the near-dup path is
+    exercised on a corpus that actually contains near-dups."""
+
+    def twins(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % every == 0
+        if not sel.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: pa.array(
+                        [], batch.schema.field(vec_col).type
+                    ),
+                }
+            )
+        m = _matrix(batch[vec_col])[sel]
+        twin = m + eps * np.roll(m, 1, axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel] + offset),
+                vec_col: pa.array(
+                    list(twin.astype(np.float32)),
+                    batch.schema.field(vec_col).type,
+                ),
+            }
+        )
+
+    base = ds.select_columns([id_col, vec_col])
+    return base.union(
+        base.map_batches(twins, batch_format="pyarrow")
     )

@@ -121,3 +121,17 @@ def test_embedding_clusters_distributed_equals_driver(emb_ds):
     import pandas as pd
 
     pd.testing.assert_frame_equal(dist.astype("int64"), drv.astype("int64"))
+
+
+def test_planted_twins_found_with_high_recall(emb_ds):
+    """plant_near_dup_twins + multi-table LSH: ≥90% of planted pairs
+    recovered at τ=0.99 and no organic (unplanted) pair qualifies."""
+    planted = ann.plant_near_dup_twins(emb_ds, every=10, eps=0.1)
+    got = ann.cosine_near_dup_pairs(planted, threshold=0.99).to_pandas()
+    # vec_ids are contiguous 0..n-1 in the fixture
+    n_planted = (emb_ds.count() + 9) // 10
+    assert len(got) > 0
+    # every found pair is (v, its twin)
+    assert (got.id_b - got.id_a == 1_000_000).all()
+    assert (got.sim >= 0.99).all()
+    assert len(got) >= 0.9 * n_planted
