@@ -145,6 +145,18 @@ def _q_expo_histogram(sf_dir: str):
     return _agg.expo_latency_histogram(enriched_transcripts(sf_dir), "24h")
 
 
+def _q_summary_merge(sf_dir: str):
+    """Summary-datapoint merge: cumulative latest-ts-wins per stream
+    (merger/datapoints.go:66-80, testdata/summary_enabled golden)."""
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+
+    return _agg.summary_merge(
+        _agg.summary_datapoints(enriched_transcripts(sf_dir)), "24h"
+    )
+
+
 def _q_latency_quantiles(sf_dir: str):
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
@@ -427,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_cardinality_route": _q_cardinality_route,
         "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
+        "t_summary_merge": _q_summary_merge,
         "t_expo_histogram": _q_expo_histogram,  # rows-only (list column)
         "t_latency_quantiles": _q_latency_quantiles,  # rows-only (sketch)
         "e_event_counts": _q_event_counts,
@@ -490,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "t_latency_histogram": (
             f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"
         ),
+        "t_summary_merge": f"{_CTE} {_agg.summary_merge_sql('24h')}",
         # t_expo_histogram: bucket-run list column + base-2 downscale
         # merge is not SQL-expressible → rows-only; semantics unit-tested
         # in tests/test_histograms.py.

@@ -788,3 +788,151 @@ FROM (
   ) firsts
 ) ranked GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Summary-datapoint merge (round-2 parity item).  The reference treats
+# summary metrics as CUMULATIVE: merging two datapoints of one stream
+# keeps the latest-timestamp one wholesale — count, sum and quantile
+# values all come from the newest datapoint, nothing adds
+# (merger/datapoints.go:66-80 mergeCumulative via value.go:769-776;
+# golden processor/lsmintervalprocessor/testdata/summary_enabled/ —
+# "Only the latest datapoint will be kept").  Batch translation: a
+# per-(window, stream) argmax by (ts, tie-break), the same two-phase
+# shape as latest_state.
+# ---------------------------------------------------------------------------
+
+SUMMARY_VALUE_COLS = ["summary_count", "summary_sum", "q50", "q95", "q99"]
+
+
+def summary_datapoints(ds: rd.Dataset, batch_size: int = 131072) -> rd.Dataset:
+    """Derive summary-shaped datapoints from enriched turns: each turn
+    reports a running (count, sum, quantile-values) snapshot for its
+    (role, tool) stream — deterministic columns an oracle can recompute
+    (count = turn_idx+1, sum = latency, qXX = latency × XX/100)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = pc.cast(batch["latency_ms"], pa.float64())
+        rmode = "half_towards_infinity"
+        return pa.table(
+            {
+                "role": batch["role"],
+                "tool": batch["tool"],
+                "ts": batch["ts"],
+                "turn_idx": batch["turn_idx"],
+                "summary_count": pc.cast(
+                    pc.add(batch["turn_idx"], 1), pa.int64()
+                ),
+                "summary_sum": lat,
+                "q50": pc.round(
+                    pc.multiply(lat, 0.5), ndigits=6, round_mode=rmode
+                ),
+                "q95": pc.round(
+                    pc.multiply(lat, 0.95), ndigits=6, round_mode=rmode
+                ),
+                "q99": pc.round(
+                    pc.multiply(lat, 0.99), ndigits=6, round_mode=rmode
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def summary_merge(
+    ds: rd.Dataset,
+    interval: str = "24h",
+    keys: Sequence[str] = ("role", "tool"),
+    batch_size: int = 131072,
+    distributed: bool = True,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Merge summary datapoints per (window_start, keys): the datapoint
+    with the greatest (ts, turn_idx) wins wholesale.  Order-insensitive
+    (argmax reducer), two-phase: per-batch take-latest combiner, then a
+    key-hash-bucketed final reduce (``distributed=False`` coalesces
+    instead).  Input shape = :func:`summary_datapoints` output."""
+    validate_intervals([interval])
+    us = INTERVALS_US[interval]
+    keys = list(keys)
+    group_cols = ["window_start"] + keys
+    carried = ["ts", "turn_idx"] + SUMMARY_VALUE_COLS
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "window_start", window_start(batch["ts"], us)
+        )
+
+    def take_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            group_cols + ["ts", "turn_idx"], kind="mergesort"
+        )
+        return df.drop_duplicates(group_cols, keep="last")[
+            group_cols + carried
+        ]
+
+    partials = ds.map_batches(
+        add_window, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).map_batches(take_latest, batch_format="pandas", batch_size=batch_size)
+
+    if distributed:
+        import numpy as np
+
+        from ..functions.sketches import hash64
+
+        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_bucket"] = (
+                hash64(df[keys[0]].to_numpy(dtype=object))
+                % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return df
+
+        final = (
+            partials.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(
+                lambda df: take_latest(df.drop(columns=["_bucket"])),
+                batch_format="pandas",
+            )
+        )
+    else:
+        final = partials.repartition(1).map_batches(
+            take_latest, batch_format="pandas", batch_size=None
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        names = list(t.column_names)
+        names[names.index("ts")] = "last_ts"
+        names[names.index("turn_idx")] = "last_turn_idx"
+        return t.rename_columns(names)
+
+    return final.map_batches(rename, batch_format="pyarrow")
+
+
+def summary_merge_sql(
+    interval: str = "24h", keys: Sequence[str] = ("role", "tool")
+) -> str:
+    w = window_start_sql(interval)
+    key_list = ", ".join(keys)
+    return f"""
+SELECT window_start, {key_list}, ts AS last_ts,
+       turn_idx AS last_turn_idx, summary_count, summary_sum,
+       q50, q95, q99
+FROM (
+  SELECT {w} AS window_start, {key_list}, ts, turn_idx,
+         CAST(turn_idx + 1 AS BIGINT) AS summary_count,
+         CAST(latency_ms AS DOUBLE) AS summary_sum,
+         round(CAST(latency_ms AS DOUBLE) * 0.5, 6) AS q50,
+         round(CAST(latency_ms AS DOUBLE) * 0.95, 6) AS q95,
+         round(CAST(latency_ms AS DOUBLE) * 0.99, 6) AS q99,
+         row_number() OVER (
+           PARTITION BY {w}, {key_list}
+           ORDER BY ts DESC, turn_idx DESC) AS rn
+  FROM enriched
+) WHERE rn = 1
+"""

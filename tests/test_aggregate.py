@@ -128,3 +128,67 @@ def test_latest_state_distributed_equals_coalesced(enriched_ds):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dist, coal)
+
+
+def test_summary_merge_matches_oracle(enriched_ds, oracle, cte_prefix):
+    got = agg.summary_merge(
+        agg.summary_datapoints(enriched_ds), "24h"
+    ).to_pandas()
+    want = oracle.execute(
+        f"{cte_prefix} {agg.summary_merge_sql('24h')}"
+    ).df()
+    assert_frames_equal(got, want, ["window_start", "role", "tool"])
+
+
+def test_summary_merge_latest_wins_golden(ray_session):
+    """Mirrors the reference golden
+    processor/lsmintervalprocessor/testdata/summary_enabled: four
+    datapoints of one stream, the latest-timestamp one (count=25,
+    sum=310, q95=15) wins wholesale — values do NOT add."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = pd.Timestamp("2024-01-01")
+    dp = pd.DataFrame(
+        {
+            "role": ["svc"] * 4,
+            "tool": ["t"] * 4,
+            "ts": [
+                base + pd.Timedelta(milliseconds=m)
+                for m in (5, 2, 8, 7)  # 5000000ns etc., scaled
+            ],
+            "turn_idx": [0, 1, 2, 3],
+            "summary_count": [20, 5, 25, 35],
+            "summary_sum": [199.0, 95.0, 310.0, 240.0],
+            "q50": [0.0] * 4,
+            "q95": [10.0, 5.0, 15.0, 13.0],
+            "q99": [0.0] * 4,
+        }
+    )
+    out = agg.summary_merge(
+        rd.from_pandas(dp).repartition(3), "24h"
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.summary_count == 25
+    assert row.summary_sum == 310.0
+    assert row.q95 == 15.0
+    assert row.last_ts == base + pd.Timedelta(milliseconds=8)
+
+
+def test_summary_merge_distributed_equals_coalesced(enriched_ds):
+    dps = agg.summary_datapoints(enriched_ds)
+    sort_cols = ["window_start", "role", "tool"]
+    dist = (
+        agg.summary_merge(dps, "24h", distributed=True, num_buckets=7)
+        .to_pandas()
+        .sort_values(sort_cols)
+        .reset_index(drop=True)
+    )
+    coal = (
+        agg.summary_merge(dps, "24h", distributed=False)
+        .to_pandas()
+        .sort_values(sort_cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, coal)

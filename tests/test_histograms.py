@@ -9,6 +9,7 @@ from opentelemetry_collector_components_ray.functions.histograms import (
     ExpoHist,
     ExplicitHist,
     bucketize,
+    expo_quantile,
 )
 
 
@@ -82,3 +83,56 @@ def test_expo_merge_commutative():
     assert a.scale == b.scale and a.offset == b.offset
     assert a.counts.tolist() == b.counts.tolist()
     assert a.count == b.count
+
+
+def test_expo_negative_buckets_roundtrip():
+    """Negative values land in the mirrored negative run; counts and
+    sum include them; zero bucket counts only exact zeros
+    (expo/merge.go:32 merges Positive() and Negative() alike)."""
+    vals = np.array([-8.0, -2.0, -0.5, 0.0, 0.0, 1.0, 4.0])
+    h = ExpoHist.from_values(vals, scale=0)
+    assert h.count == 7
+    assert h.zero_count == 2
+    assert int(h.neg_counts.sum()) == 3
+    assert int(h.counts.sum()) == 2
+    assert h.sum == vals.sum()
+
+
+def test_expo_negative_merge_and_downscale():
+    a = ExpoHist.from_values(np.array([-1.5, -3.0, 2.0]), scale=2)
+    b = ExpoHist.from_values(np.array([-64.0, -0.25, 8.0]), scale=4)
+    n_before = int(a.neg_counts.sum()) + int(b.neg_counts.sum())
+    a.merge(b)
+    assert a.scale == 2  # coarser scale wins
+    assert int(a.neg_counts.sum()) == n_before
+    assert a.count == 6
+    # downscaling preserves totals on both runs
+    a.downscale(a.scale - 2)
+    assert int(a.neg_counts.sum()) == n_before
+    assert int(a.counts.sum()) == 2
+
+
+def test_expo_negative_bucket_cap():
+    rng = np.random.RandomState(0)
+    vals = -np.exp(rng.uniform(0, 30, size=4000))  # wide negative range
+    h = ExpoHist.from_values(vals, scale=4, max_buckets=16)
+    assert h.neg_counts.size <= 16
+    assert int(h.neg_counts.sum()) == 4000
+    other = ExpoHist.from_values(-vals, scale=4, max_buckets=16)
+    h.merge(other, max_buckets=16)
+    assert h.neg_counts.size <= 16 and h.counts.size <= 16
+    assert h.count == 8000
+
+
+def test_expo_quantile_with_negatives():
+    vals = np.concatenate(
+        [-np.linspace(1, 100, 50), np.linspace(1, 100, 50)]
+    )
+    h = ExpoHist.from_values(vals, scale=4)
+    p10 = expo_quantile(h, 0.10)
+    p50 = expo_quantile(h, 0.50)
+    p90 = expo_quantile(h, 0.90)
+    assert p10 < 0 < p90
+    assert p10 <= p50 <= p90
+    # ~one-bucket relative error against exact percentiles
+    assert abs(p90 - np.percentile(vals, 90)) / abs(np.percentile(vals, 90)) < 0.1
