@@ -98,14 +98,52 @@ def apply_statements(
 # Stage registry
 # ---------------------------------------------------------------------------
 
-StageFn = Callable[[rd.Dataset], rd.Dataset]
+StageFn = Callable[..., rd.Dataset]
+"""Stage callable contract: ``PipelineSpec.build`` invokes a stage as
+``fn(ds, batch_size)`` — and the stage named ``"route"`` as
+``fn(ds, router, batch_size)``.  :func:`register_stage` adapts plain
+``fn(ds)`` callables automatically (extra build arguments are dropped),
+so user stages may ignore tuning parameters they don't need."""
+
 _REGISTRY: Dict[str, StageFn] = {}
+
+
+def _adapt_stage(fn: StageFn) -> StageFn:
+    """Wrap a callable that only accepts (ds) so build-time extras
+    (batch_size, router) don't TypeError — the round-1 advice finding:
+    the declared Callable[[Dataset], Dataset] contract crashed at build
+    time."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(fn).parameters.values())
+    except (TypeError, ValueError):
+        return fn
+    pos = [
+        p
+        for p in params
+        if p.kind
+        in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+    ]
+    if any(p.kind == p.VAR_POSITIONAL for p in pos) or len(pos) >= 3:
+        return fn
+    if len(pos) == 2:
+
+        def two_arg(ds, *extras):
+            return fn(ds, extras[-1] if extras else None)
+
+        return two_arg
+
+    def one_arg(ds, *extras):
+        return fn(ds)
+
+    return one_arg
 
 
 def register_stage(name: str, fn: StageFn) -> None:
     if name in _REGISTRY:
         raise ValueError(f"stage {name!r} already registered")
-    _REGISTRY[name] = fn
+    _REGISTRY[name] = _adapt_stage(fn)
 
 
 def get_stage(name: str) -> StageFn:

@@ -160,10 +160,18 @@ def run_flagship(
     intervals: Sequence[str] = ("1h", "24h"),
     batch_size: int = 65536,
 ) -> Dict[str, str]:
-    """Full run with physical sinks: per-sink routed parquet + aggregate."""
+    """Full run with physical sinks: per-sink routed parquet + aggregate.
+
+    One pass over the raw input: the routed fan-out is written once and
+    the aggregation reads that parquet back (cheap, disk-backed)
+    instead of re-executing read→parse→enrich — the same shape as
+    ``_flagship_shard_fn`` (round-1 advice finding: the non-sharded
+    path recomputed the chain twice)."""
     routed = routed_transcripts(sf_dir_or_path, batch_size=batch_size)
     paths = write_fanout(routed, f"{out_dir}/sinks")
-    agg = flagship_aggregate(sf_dir_or_path, intervals, batch_size)
+    agg = service_summary(
+        rd.read_parquet(f"{out_dir}/sinks"), intervals, batch_size * 2
+    )
     agg_path = f"{out_dir}/service_summary"
     agg.write_parquet(agg_path)
     paths["service_summary"] = agg_path

@@ -94,11 +94,18 @@ def main(argv=None) -> int:
         from .stages.route import route_stage, write_fanout
         from .stages.aggregate import service_summary
 
+        from .sources.ndjson import read_ndjson_errors
+
         ds = read_ndjson_transcripts(args.input)
         routed = route_stage(
             enrich_stage(parse_stage(ds, args.batch_size), args.batch_size)
         )
         write_fanout(routed, f"{args.out}/sinks")
+        # parallel error sink: malformed lines survive even when a
+        # whole stream decodes to zero valid turns
+        read_ndjson_errors(args.input).write_parquet(
+            f"{args.out}/decode_errors"
+        )
         import ray.data as rd
 
         service_summary(
@@ -107,7 +114,11 @@ def main(argv=None) -> int:
         ).write_parquet(f"{args.out}/service_summary")
         print(
             json.dumps(
-                {"status": "ok", "aggregate": f"{args.out}/service_summary"}
+                {
+                    "status": "ok",
+                    "aggregate": f"{args.out}/service_summary",
+                    "decode_errors": f"{args.out}/decode_errors",
+                }
             )
         )
         ray.shutdown()

@@ -13,8 +13,11 @@ reference forms from 512 KiB flushes), read via
 ``read_binary_files(include_paths=True)``; each file is JSON-decoded in
 one vectorized ``pyarrow.json.read_json`` call — the "type sniff" falls
 out of which top-level key is non-null per line.  Metadata columns are
-folded into every turn row; undecodable/unknown lines become error
-rows with ``decode_error`` set (never an exception).
+folded into every turn row; undecodable/unknown lines become DEDICATED
+ERROR ROWS (``decode_error`` set, transcript fields blank/null) — so a
+stream whose lines are ALL malformed still surfaces its errors, never
+an exception and never a silent drop (the round-1 advice finding:
+errors previously rode on valid rows and vanished with them).
 
 File format (see tests/test_ndjson.py for a golden fixture):
   {"metadata": {"session": "s-1", "agent": "cli"}}
@@ -30,12 +33,20 @@ import json
 from typing import List
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+
+TRANSCRIPT_COLS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "session", "agent", "shadow",
+]
+ERROR_COLS = ["decode_error", "error_line", "src_path"]
 
 
 def decode_stream(data: bytes, path: str = "") -> pa.Table:
-    """Decode one NDJSON stream (file) into transcript rows +
-    fold-in metadata columns + per-line error rows."""
+    """Decode one NDJSON stream (file) into transcript rows plus
+    dedicated error rows (one per malformed line; transcript fields
+    blank/null, ``decode_error``/``error_line`` set)."""
     import pyarrow.json as pajson
 
     lines = [ln for ln in data.split(b"\n") if ln.strip()]
@@ -109,6 +120,7 @@ def _ts_array(values) -> pa.Array:
 
 def _to_table(rows, meta, path, errors=()) -> pa.Table:
     n = len(rows)
+    ne = len(errors)
     conv = [r.get("conv_id", "") for r in rows]
     tidx = [r.get("turn_idx") for r in rows]
     role = [r.get("role", "") for r in rows]
@@ -129,39 +141,84 @@ def _to_table(rows, meta, path, errors=()) -> pa.Table:
         and str(r["session"]) != meta["session"]
         for r in rows
     ]
-    err_rows = [
-        {"line": ln, "reason": why, "path": path} for ln, why in errors
-    ]
     return pa.table(
         {
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": pa.array(tidx, pa.int32()),
-            "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
-            "tool": pa.array(tool, pa.string()),
-            "ts": _ts_array(ts),
-            "session": pa.array(session, pa.string()),
-            "agent": pa.array([meta["agent"]] * n, pa.string()),
-            "shadow": pa.array(shadow, pa.bool_()),
-            "decode_errors": pa.array(
-                [json.dumps(err_rows)] * n if n else [], pa.string()
+            "conv_id": pa.array(conv + [""] * ne, pa.string()),
+            "turn_idx": pa.array(tidx + [None] * ne, pa.int32()),
+            "role": pa.array(role + [""] * ne, pa.string()),
+            "text": pa.array(text + [""] * ne, pa.string()),
+            "tool": pa.array(tool + [""] * ne, pa.string()),
+            "ts": pa.concat_arrays(
+                [_ts_array(ts), pa.nulls(ne, pa.timestamp("us"))]
             ),
+            "session": pa.array(
+                session + [meta["session"]] * ne, pa.string()
+            ),
+            "agent": pa.array([meta["agent"]] * (n + ne), pa.string()),
+            "shadow": pa.array(shadow + [False] * ne, pa.bool_()),
+            "decode_error": pa.array(
+                [None] * n + [why for _, why in errors], pa.string()
+            ),
+            "error_line": pa.array(
+                [None] * n + [ln for ln, _ in errors], pa.int32()
+            ),
+            "src_path": pa.array([path] * (n + ne), pa.string()),
         }
     )
 
 
-def read_ndjson_transcripts(paths) -> rd.Dataset:
+def _empty_table() -> pa.Table:
+    return _to_table([], {"session": "", "agent": ""}, "")
+
+
+def read_ndjson_transcripts(paths, include_errors: bool = False) -> rd.Dataset:
     """Dataset of transcript rows (+ session/agent metadata columns)
-    from NDJSON stream files."""
+    from NDJSON stream files.
+
+    ``include_errors=False`` (default) yields only valid turn rows with
+    the error columns dropped — the shape the parse stage consumes.
+    ``include_errors=True`` keeps error rows and the
+    ``decode_error``/``error_line`` columns so a pipeline can split
+    them to an error sink (see :func:`read_ndjson_errors`)."""
     files = rd.read_binary_files(paths, include_paths=True)
 
     def decode_batch(batch: pa.Table) -> pa.Table:
-        tables = []
-        for i in range(batch.num_rows):
-            data = batch["bytes"][i].as_py()
-            path = batch["path"][i].as_py()
-            tables.append(decode_stream(data, path))
-        tables = [t for t in tables if t.num_rows] or tables[:1]
+        tables = [
+            decode_stream(
+                batch["bytes"][i].as_py(), batch["path"][i].as_py()
+            )
+            for i in range(batch.num_rows)
+        ]
+        if not tables:
+            return _empty_table()
+        # zero-row tables (empty files) concat fine — same schema; do
+        # NOT filter them out (a fully-corrupt file's table is all
+        # error rows and must survive)
         return pa.concat_tables(tables)
 
-    return files.map_batches(decode_batch, batch_format="pyarrow")
+    decoded = files.map_batches(decode_batch, batch_format="pyarrow")
+    if include_errors:
+        return decoded
+
+    def only_turns(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["decode_error"])).drop_columns(
+            ERROR_COLS
+        )
+
+    return decoded.map_batches(only_turns, batch_format="pyarrow")
+
+
+def read_ndjson_errors(paths) -> rd.Dataset:
+    """Just the decode-error rows: (src_path, error_line, decode_error,
+    session, agent) — the parallel error table the intake contract
+    promises ('malformed lines become error rows, never an
+    exception')."""
+    decoded = read_ndjson_transcripts(paths, include_errors=True)
+
+    def only_errors(t: pa.Table) -> pa.Table:
+        err = t.filter(pc.is_valid(t["decode_error"]))
+        return err.select(
+            ["src_path", "error_line", "decode_error", "session", "agent"]
+        )
+
+    return decoded.map_batches(only_errors, batch_format="pyarrow")

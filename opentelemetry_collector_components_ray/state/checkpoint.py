@@ -220,6 +220,39 @@ def run_sharded(
         return [f.result() for f in futures]
 
 
+def heal_compaction(path: str) -> bool:
+    """Recover from a crash mid-:func:`compact_parquet_dir`.
+
+    The two-rename swap has a window where the live directory does not
+    exist (old → ``.old`` done, staging → live not yet).  A crash there
+    previously stranded the data in ``.old`` with no self-heal — and
+    the next compaction call's unconditional cleanup would have DELETED
+    the only surviving copy (round-1 advice finding).  Rules:
+
+    - live dir exists → any ``.compact``/``.old`` leftovers are garbage
+      (incomplete staging, or a completed swap whose final cleanup
+      died) → remove them;
+    - live dir missing and ``.old`` exists → crash mid-swap: restore
+      ``.old`` as live (the original, always-complete copy) and drop
+      the staging dir (it will be rebuilt);
+    - both missing → nothing this function created; leave as-is.
+
+    Returns True if a restore happened.
+    """
+    staging, old = path + ".compact", path + ".old"
+    if os.path.exists(path):
+        for d in (staging, old):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return False
+    if os.path.exists(old):
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        os.replace(old, path)
+        return True
+    return False
+
+
 def compact_parquet_dir(
     path: str, min_rows_per_file: int = 500_000
 ) -> int:
@@ -227,19 +260,32 @@ def compact_parquet_dir(
 
     Sharded fan-out writes produce one file per (shard task, sink) —
     correct but fragmenting over many runs; periodic compaction keeps
-    later reads metadata-light.  Atomic: compacts into a staging dir,
-    then swaps (rename old → .old, staging → live, delete .old), so
-    readers never observe a partial directory.  Returns the resulting
-    file count.
+    later reads metadata-light.  Crash-safe: heals leftovers from a
+    previously interrupted compaction first (:func:`heal_compaction`),
+    compacts into a staging dir, then swaps (rename live → .old,
+    staging → live, delete .old).  CONCURRENT READERS can observe a
+    brief FileNotFound between the two renames — compact only when no
+    reader is active, or retry reads; a crash in that window is
+    recovered by the next call's heal.  Only top-level ``*.parquet``
+    files are compacted; the directory must not hold other content (the
+    swap moves the whole directory).  Returns the resulting file count.
     """
+    heal_compaction(path)
     frags = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    non_parquet = [
+        p
+        for p in glob.glob(os.path.join(path, "*"))
+        if not p.endswith(".parquet")
+    ]
+    if non_parquet:
+        raise ValueError(
+            f"compact_parquet_dir: {path} holds non-parquet content "
+            f"({non_parquet[:3]}…); refusing the whole-dir swap"
+        )
     if len(frags) <= 1:
         return len(frags)
     staging = path + ".compact"
     old = path + ".old"
-    for d in (staging, old):
-        if os.path.exists(d):
-            shutil.rmtree(d)
     rd.read_parquet(frags).write_parquet(
         staging, min_rows_per_file=min_rows_per_file
     )

@@ -171,3 +171,55 @@ def test_incremental_append_recomputes_one_shard(ray_session, sharded_input, tmp
     cp.run_sharded(inp, out, _count_fn(calls2), num_shards=4,
                    max_concurrent=1)
     assert len(calls2) == 1  # only the shard holding the appended file
+
+
+def test_compaction_heals_crash_mid_swap(ray_session, tmp_path):
+    """Crash window: live dir renamed to .old, staging not yet swapped
+    in.  The next compaction call must restore the data, not delete the
+    only copy (round-1 advice finding)."""
+    import pandas as pd
+    import ray.data as rd
+
+    path = str(tmp_path / "frag")
+    df = pd.DataFrame({"x": range(200)})
+    rd.from_pandas(df).repartition(4).write_parquet(path)
+    # simulate: swap started (live -> .old), staging half-written
+    os.replace(path, path + ".old")
+    os.makedirs(path + ".compact")
+    with open(path + ".compact/partial.parquet", "w") as f:
+        f.write("garbage")
+
+    assert not os.path.exists(path)
+    n = cp.compact_parquet_dir(path, min_rows_per_file=100_000)
+    assert n >= 1
+    back = rd.read_parquet(path).to_pandas().sort_values("x")
+    assert back.x.tolist() == list(range(200))
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact")
+
+
+def test_compaction_cleans_leftovers_when_live_intact(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    path = str(tmp_path / "frag")
+    rd.from_pandas(pd.DataFrame({"x": range(50)})).repartition(
+        2
+    ).write_parquet(path)
+    os.makedirs(path + ".old")  # stale leftover from a crashed cleanup
+    assert cp.heal_compaction(path) is False
+    assert not os.path.exists(path + ".old")
+
+
+def test_compaction_refuses_non_parquet_content(ray_session, tmp_path):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    path = str(tmp_path / "frag")
+    rd.from_pandas(pd.DataFrame({"x": range(50)})).repartition(
+        4
+    ).write_parquet(path)
+    os.makedirs(os.path.join(path, "nested"))
+    with pytest.raises(ValueError):
+        cp.compact_parquet_dir(path)

@@ -110,3 +110,22 @@ def test_register_custom_stage(ray_session, sf_dir):
     spec = PipelineSpec(stages=("parse", "shout"))
     df = spec.build(read_transcripts(sf_dir)).to_pandas()
     assert set(df.role.unique()) <= {"USER", "ASSISTANT", "SYSTEM", "TOOL"}
+
+
+def test_registered_one_arg_stage_builds(ray_session):
+    """A user stage matching the plain Callable[[Dataset], Dataset]
+    shape must not TypeError at build time (round-1 advice finding)."""
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.pipelines import config as cfg
+
+    name = "test_one_arg_stage"
+    if name not in cfg._REGISTRY:
+        cfg.register_stage(
+            name, lambda ds: ds.map_batches(lambda t: t, batch_format="pyarrow")
+        )
+    spec = cfg.PipelineSpec(stages=("parse", name))
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+
+    out = spec.build(read_transcripts("/root/testdata/sf0.001"))
+    assert out.count() > 0
