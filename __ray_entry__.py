@@ -168,8 +168,12 @@ def _q_latency_quantiles(sf_dir: str):
 def _q_event_counts(sf_dir: str):
     import ray.data as rd
 
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+
     return _agg.windowed_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        read_parquet_clean(f"{sf_dir}/events.parquet"),
         keys=["event_type"],
         ts_col="ts",
         value_col=None,
@@ -319,13 +323,21 @@ def _q_jaccard_pairs(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _embs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _q_exact_dedup(sf_dir: str):

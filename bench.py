@@ -84,8 +84,12 @@ def main() -> None:
         routed = routed_transcripts(inp)
         write_fanout(routed, f"{OUT}/sinks")
         # aggregate from the routed parquet (no parse/enrich recompute)
+        from opentelemetry_collector_components_ray.sources import (
+            read_parquet_clean,
+        )
+
         service_summary(
-            rd.read_parquet(f"{OUT}/sinks"), ("1h", "24h")
+            read_parquet_clean(f"{OUT}/sinks"), ("1h", "24h")
         ).write_parquet(f"{OUT}/service_summary")
 
     cold, _ = _timed(headline)
@@ -147,8 +151,12 @@ def main() -> None:
         text as text_mod,
     )
 
-    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
-    embs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
+    embs = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
     queries["doc_token_counts"], _ = _timed(
         lambda: text_mod.token_counts(docs).count()
     )

@@ -62,10 +62,15 @@ def _flagship_shard_fn(
         routed = _route(
             _enrich(_parse(ds, batch_size), batch_size), config, batch_size
         )
-        # ONE pass over the raw shard: single-pass partitioned fan-out
-        # write; aggregation then reads the routed parquet back (cheap,
-        # disk-backed) instead of recomputing parse+enrich.
-        write_fanout(routed, f"{shard_dir}/sinks", config)
+        # ONE pass over the raw shard: materialize the routed blocks in
+        # the object store, then BOTH consumers (fan-out write +
+        # aggregation) read the materialized blocks — no parse/enrich
+        # recompute and, unlike the round-1 read-the-parquet-back
+        # design, no disk round-trip either.  A materialized shard is
+        # input_size / num_shards — pick num_shards so it fits the
+        # store (it spills gracefully past that).
+        routed_m = routed.materialize()
+        write_fanout(routed_m, f"{shard_dir}/sinks", config)
         # sink counts come from parquet footers — no Ray execution
         import glob as _g
 
@@ -83,8 +88,7 @@ def _flagship_shard_fn(
         sink_counts = _pd.DataFrame(
             {"sink": list(counts), "n": list(counts.values())}
         )
-        routed_back = rd.read_parquet(f"{shard_dir}/sinks")
-        agg = service_summary(routed_back, intervals)
+        agg = service_summary(routed_m, intervals)
         agg.write_parquet(f"{shard_dir}/agg_partial")
         # per-stage execution stats (wall/cpu/rows per operator) go into
         # the shard manifest alongside lineage — the metrics half of the
@@ -141,7 +145,9 @@ def run_flagship_sharded(
         for d in completed_shard_dirs(out_dir)
         for f in sorted(_glob.glob(f"{d}/agg_partial/*.parquet"))
     ]
-    partials = rd.read_parquet(partial_paths)
+    from ..sources.parquet import read_parquet_clean
+
+    partials = read_parquet_clean(partial_paths)
     final = merge_partials(
         partials, SERVICE_SUMMARY_KEYS, SERVICE_SUMMARY_MERGE
     )
@@ -169,8 +175,10 @@ def run_flagship(
     path recomputed the chain twice)."""
     routed = routed_transcripts(sf_dir_or_path, batch_size=batch_size)
     paths = write_fanout(routed, f"{out_dir}/sinks")
+    from ..sources.parquet import read_parquet_clean
+
     agg = service_summary(
-        rd.read_parquet(f"{out_dir}/sinks"), intervals, batch_size * 2
+        read_parquet_clean(f"{out_dir}/sinks"), intervals, batch_size * 2
     )
     agg_path = f"{out_dir}/service_summary"
     agg.write_parquet(agg_path)

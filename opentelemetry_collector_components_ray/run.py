@@ -108,8 +108,10 @@ def main(argv=None) -> int:
         )
         import ray.data as rd
 
+        from .sources.parquet import read_parquet_clean
+
         service_summary(
-            rd.read_parquet(f"{args.out}/sinks"),
+            read_parquet_clean(f"{args.out}/sinks"),
             tuple(args.intervals.split(",")),
         ).write_parquet(f"{args.out}/service_summary")
         print(

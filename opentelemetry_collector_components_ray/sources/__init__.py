@@ -1,1 +1,5 @@
-from .parquet import read_transcripts, read_table  # noqa: F401
+from .parquet import (  # noqa: F401
+    read_parquet_clean,
+    read_table,
+    read_transcripts,
+)

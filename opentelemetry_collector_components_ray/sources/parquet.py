@@ -12,9 +12,35 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence
 
+import pyarrow as pa
 import ray.data as rd
 
 from ..synth import materialize_transcripts
+
+
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    # pandas-written parquet carries a b'pandas' schema-metadata blob;
+    # hash(pa.Schema) raises on it and Ray logs a noisy
+    # "Failed to hash the schemas (for deduplication)" warning on
+    # EVERY downstream stage (the metadata rides along through Arrow
+    # transforms).  Dropping it is a schema-pointer change — buffers
+    # are shared, and the stripping map fuses with the read.
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
+
+
+def read_parquet_clean(path, columns=None, **kwargs) -> rd.Dataset:
+    """``ray.data.read_parquet`` with schema metadata stripped (see
+    :func:`_strip_schema_metadata`) — use this for every parquet read
+    in the engine."""
+    ds = rd.read_parquet(
+        path, columns=list(columns) if columns else None, **kwargs
+    )
+    return ds.map_batches(
+        _strip_schema_metadata, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
 
 
 def read_transcripts(
@@ -33,16 +59,13 @@ def read_transcripts(
         os.path.join(path, "events.parquet")
     ):
         path = materialize_transcripts(path)
-    return rd.read_parquet(path, columns=list(columns) if columns else None,
-                           **kwargs)
+    return read_parquet_clean(path, columns, **kwargs)
 
 
 def read_table(
     sf_dir: str, name: str, columns: Optional[Sequence[str]] = None, **kwargs
 ) -> rd.Dataset:
     """Read one of the driver tables (events/documents/embeddings/…)."""
-    return rd.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"),
-        columns=list(columns) if columns else None,
-        **kwargs,
+    return read_parquet_clean(
+        os.path.join(sf_dir, f"{name}.parquet"), columns, **kwargs
     )

@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.broadcast import process_cached
+
 
 def _matrix(col) -> np.ndarray:
     """(n, d) float64 from a list<float> column."""
@@ -104,7 +106,6 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency=(1, 8),
 ) -> rd.Dataset:
     """Global top-k neighbours per query (including the query row itself
     if it is part of ``ds``); deterministic rank/tie-break, see module
@@ -115,18 +116,16 @@ def cosine_topk(
         {"qids": qdf[id_col].to_numpy().astype(np.int64), "matrix": qm}
     )
 
+    skey = ("topk", queries_ref.hex(), k, id_col, vec_col)
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        sc = process_cached(
+            skey, lambda: TopKScorer(queries_ref, k, id_col, vec_col)
+        )
+        return sc(batch)
+
     partials = ds.map_batches(
-        TopKScorer,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref,
-            "k": k,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=concurrency,
-        num_cpus=1,
+        score_fn, batch_format="pyarrow", batch_size=8192
     )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -286,7 +285,6 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency=(1, 8),
 ) -> rd.Dataset:
     """Approximate top-k: IVF probe of the nprobe nearest centroid
     buckets per query.  Recall < 1 by construction (neighbours living
@@ -294,13 +292,14 @@ def ivf_topk(
     in tests/test_ann.py; raise nprobe to trade speed for recall."""
     cent = train_centroids(ds, n_centroids, vec_col)
     cent_ref = ray.put(cent)
+    akey = ("ivf_assign", cent_ref.hex(), vec_col)
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        a = process_cached(akey, lambda: IvfAssigner(cent_ref, vec_col))
+        return a(batch)
+
     assigned = ds.map_batches(
-        IvfAssigner,
-        fn_constructor_kwargs={"cent_ref": cent_ref, "vec_col": vec_col},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=concurrency,
-        num_cpus=1,
+        assign_fn, batch_format="pyarrow", batch_size=8192
     )
     qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
     qm = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
@@ -312,18 +311,16 @@ def ivf_topk(
             "probes": probes,
         }
     )
+    ikey = ("ivf_score", ctx_ref.hex(), k, id_col, vec_col)
+
+    def iscore_fn(batch: pa.Table) -> pa.Table:
+        sc = process_cached(
+            ikey, lambda: IvfScorer(ctx_ref, k, id_col, vec_col)
+        )
+        return sc(batch)
+
     partials = assigned.map_batches(
-        IvfScorer,
-        fn_constructor_kwargs={
-            "ctx_ref": ctx_ref,
-            "k": k,
-            "id_col": id_col,
-            "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=concurrency,
-        num_cpus=1,
+        iscore_fn, batch_format="pyarrow", batch_size=8192
     )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -380,7 +377,6 @@ def embedding_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    concurrency=(1, 8),
     distributed: bool = True,
     coarse_buckets: int = 64,
 ) -> rd.Dataset:
@@ -435,7 +431,6 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    concurrency=(1, 8),
     dedup_buckets: int = 64,
 ) -> rd.Dataset:
     """Embedding near-duplicate pairs: hyperplane-LSH buckets (multiple

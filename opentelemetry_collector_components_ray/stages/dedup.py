@@ -11,8 +11,9 @@ Large-scale-training-pipeline ops, built Ray-Data-first:
   via ``np.minimum.reduceat`` over a flattened shingle array) → banded
   bucket keys → coarse hash-bucket groupby (NOT one Python call per
   band bucket — buckets are packed into ~1k coarse groups and pairs are
-  found vectorized inside each) → exact-Jaccard verification on an
-  actor pool holding the broadcast shingle index.
+  found vectorized inside each) → exact-Jaccard verification against
+  id-hash-partitioned shingle state (default) or a broadcast index
+  (small corpora).
 - **SimHash near-dup**: 64-bit simhash, block-permutation bucketing for
   hamming distance ≤ k.
 - **Embedding cosine near-dup**: blocked all-pairs cosine over a
@@ -35,6 +36,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.broadcast import process_cached
 from ..functions.sketches import hash64
 from .ann import round_half_away
 
@@ -296,6 +298,20 @@ class MinHasher:
         )
 
 
+def _minhash_fn(text_col: str, id_col: str, k: int, num_perm: int):
+    """Stateless minhash stage: per-process cached MinHasher (see
+    functions/broadcast.py for why this beats an actor pool here)."""
+    key = ("minhash", text_col, id_col, k, num_perm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mh = process_cached(
+            key, lambda: MinHasher(text_col, id_col, k, num_perm)
+        )
+        return mh(batch)
+
+    return fn
+
+
 def lsh_candidate_pairs(
     sig_ds: rd.Dataset,
     num_perm: int = 64,
@@ -478,13 +494,23 @@ def _attach_shingles(
         .map_batches(add_bucket, batch_format="pyarrow")
     )
 
-    out_schema = pair_cols + [out_col]
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(df: pd.DataFrame) -> pa.Table:
+        # typed Arrow output (int64 ids, binary shingles) — empty
+        # object-dtype pandas columns trip Ray's block-size estimator
         is_doc = df["_side"].to_numpy() == 1
         p = df[~is_doc]
+
+        def typed(col: str, values) -> pa.Array:
+            if col in ("id_a", "id_b"):
+                return pa.array(
+                    np.asarray(values, dtype=np.int64), pa.int64()
+                )
+            return pa.array(list(values), pa.binary())
+
         if not len(p):
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_schema})
+            return pa.table(
+                {c: typed(c, []) for c in pair_cols + [out_col]}
+            )
         d = df[is_doc]
         texts = dict(zip(d["_owner"].astype(np.int64), d[text_col]))
         cache: Dict[int, bytes] = {}
@@ -495,11 +521,12 @@ def _attach_shingles(
                 b = cache[i] = _shingles(texts[i], k).tobytes()
             return b
 
-        out = p[pair_cols].copy()
-        out[out_col] = [
-            sh_bytes(int(i)) for i in p["_owner"].to_numpy()
-        ]
-        return out
+        cols = {c: typed(c, p[c].to_numpy()) for c in pair_cols}
+        cols[out_col] = pa.array(
+            [sh_bytes(int(i)) for i in p["_owner"].to_numpy()],
+            pa.binary(),
+        )
+        return pa.table(cols)
 
     return both.groupby("_g").map_groups(attach, batch_format="pandas")
 
@@ -512,7 +539,6 @@ def minhash_near_dups(
     k: int = 3,
     num_perm: int = 64,
     bands: int = 16,
-    concurrency=(1, 8),
     verify: str = "partitioned",
     num_buckets: int = 64,
 ) -> rd.Dataset:
@@ -531,35 +557,26 @@ def minhash_near_dups(
     actor pool with a lazy shingle cache.
     """
     sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "k": k,
-            "num_perm": num_perm,
-        },
+        _minhash_fn(text_col, id_col, k, num_perm),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
-        num_cpus=1,
     )
     cand = lsh_candidate_pairs(sigs, num_perm, bands, id_col)
 
     if verify == "broadcast":
         small = docs.select_columns([id_col, text_col]).to_pandas()
         docs_ref = ray.put(small)
+        vkey = ("jaccard_verify", docs_ref.hex(), k)
+
+        def verify_fn(batch: pa.Table) -> pa.Table:
+            v = process_cached(
+                vkey,
+                lambda: JaccardVerifier(docs_ref, text_col, id_col, k),
+            )
+            return v(batch)
+
         verified = cand.map_batches(
-            JaccardVerifier,
-            fn_constructor_kwargs={
-                "docs_ref": docs_ref,
-                "text_col": text_col,
-                "id_col": id_col,
-                "k": k,
-            },
-            batch_format="pyarrow",
-            batch_size=8192,
-            concurrency=(1, 4),
-            num_cpus=1,
+            verify_fn, batch_format="pyarrow", batch_size=8192
         )
         return verified.filter(expr=f"jaccard >= {threshold}")
     if verify != "partitioned":
@@ -625,7 +642,6 @@ def minhash_clusters(
     num_perm: int = 64,
     bands: int = 16,
     max_rounds: int = 20,
-    concurrency=(1, 8),
     distributed: bool = True,
     coarse_buckets: int = 64,
 ) -> rd.Dataset:
@@ -651,17 +667,9 @@ def minhash_clusters(
     component.
     """
     sigs = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "k": k,
-            "num_perm": num_perm,
-        },
+        _minhash_fn(text_col, id_col, k, num_perm),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
-        num_cpus=1,
     )
     rows_per_band = num_perm // bands
 
@@ -989,25 +997,23 @@ def word_jaccard_pairs(
     max_id: int = 400,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency=(1, 8),
 ) -> rd.Dataset:
     """Exact word-set Jaccard over doc pairs with id < max_id (bounded
     subset keeps the O(n²) honest; LSH is the path for the full set)."""
     subset = docs.filter(expr=f"{id_col} < {max_id}")
     small = subset.select_columns([id_col, text_col]).to_pandas()
     ref = ray.put(small)
+    key = ("word_jaccard", ref.hex(), threshold)
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        sc = process_cached(
+            key,
+            lambda: WordJaccardScorer(ref, text_col, id_col, threshold),
+        )
+        return sc(batch)
+
     return subset.map_batches(
-        WordJaccardScorer,
-        fn_constructor_kwargs={
-            "docs_ref": ref,
-            "text_col": text_col,
-            "id_col": id_col,
-            "threshold": threshold,
-        },
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=concurrency,
-        num_cpus=1,
+        score_fn, batch_format="pyarrow", batch_size=256
     )
 
 
@@ -1107,20 +1113,20 @@ def simhash_near_dups(
     hamming_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency=(1, 8),
 ) -> rd.Dataset:
     """Pairs with simhash hamming distance ≤ hamming_k (exact — LSH
     blocks generate candidates, the true distance filters)."""
     blocks = hamming_k + 1
     width = 64 // blocks
 
+    shkey = ("simhash", text_col, id_col)
+
+    def simhash_fn(batch: pa.Table) -> pa.Table:
+        sh = process_cached(shkey, lambda: SimHasher(text_col, id_col))
+        return sh(batch)
+
     sigs = docs.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
-        num_cpus=1,
+        simhash_fn, batch_format="pyarrow", batch_size=4096
     )
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -18,7 +18,9 @@ from .aggregate import merge_partials
 def pricing_summary(sf_dir: str, batch_size: int = 131072) -> rd.Dataset:
     """TPC-H Q1 shape: per (returnflag, linestatus) sums/counts with
     derived disc_price and charge; reads only the six needed columns."""
-    ds = rd.read_parquet(
+    from ..sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -109,7 +111,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def revenue_by_year(sf_dir: str, batch_size: int = 131072) -> rd.Dataset:
     """Q6-ish: filtered revenue with the predicate pushed into the
     parquet read (row-group pruning), grouped by ship year."""
-    ds = rd.read_parquet(
+    from ..sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pc.field("l_discount") >= 0.05),

@@ -195,7 +195,9 @@ def run_sharded(
                 shutil.rmtree(d)
         os.makedirs(stage_dir)
         t0 = time.monotonic()
-        ds = rd.read_parquet(files)
+        from ..sources.parquet import read_parquet_clean
+
+        ds = read_parquet_clean(files)
         metrics = shard_fn(ds, stage_dir) or {}
         os.replace(stage_dir, final_dir)
         manifest = {
