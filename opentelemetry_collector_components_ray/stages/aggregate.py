@@ -334,12 +334,14 @@ def latest_state(
 
         from ..functions.sketches import hash64
 
-        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.blocks import to_clean_arrow
+
+        def bucketize(df: pd.DataFrame):
             df = df.copy()
             df["_bucket"] = (
                 hash64(df["conv_id"].to_numpy()) % np.uint64(num_buckets)
             ).astype(np.int64)
-            return df
+            return to_clean_arrow(df)
 
         def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
             return _take_latest(df).drop(columns=["_bucket"])
@@ -884,13 +886,15 @@ def summary_merge(
 
         from ..functions.sketches import hash64
 
-        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.blocks import to_clean_arrow
+
+        def bucketize(df: pd.DataFrame):
             df = df.copy()
             df["_bucket"] = (
                 hash64(df[keys[0]].to_numpy(dtype=object))
                 % np.uint64(num_buckets)
             ).astype(np.int64)
-            return df
+            return to_clean_arrow(df)
 
         final = (
             partials.map_batches(bucketize, batch_format="pandas")

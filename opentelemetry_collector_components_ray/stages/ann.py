@@ -488,7 +488,9 @@ def cosine_near_dup_pairs(
         pairs_in_bucket, batch_format="pandas"
     )
 
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_pair_bucket(df: pd.DataFrame):
+        from ..functions.blocks import to_clean_arrow
+
         df = df.copy()
         mixed = (
             df["id_a"].to_numpy().astype(np.uint64)
@@ -496,7 +498,7 @@ def cosine_near_dup_pairs(
             + df["id_b"].to_numpy().astype(np.uint64)
         )
         df["_g"] = (mixed % np.uint64(dedup_buckets)).astype(np.int64)
-        return df
+        return to_clean_arrow(df)
 
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pandas")

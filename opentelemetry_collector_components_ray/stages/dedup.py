@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.blocks import to_clean_arrow
 from ..functions.broadcast import process_cached
 from ..functions.sketches import hash64
 from .ann import round_half_away
@@ -82,13 +83,13 @@ def exact_dedup(
             partial, batch_format="pandas", batch_size=None
         )
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["_bucket"] = (
             hash64(df[text_col].to_numpy(dtype=object))
             % np.uint64(num_buckets)
         ).astype(np.int64)
-        return df
+        return to_clean_arrow(df)
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return partial(df.drop(columns=["_bucket"]))
@@ -804,7 +805,11 @@ def label_propagation_ds(
             # uniform, but sequential doc ids are not
             mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             g = mixed % np.uint64(coarse_buckets)
-            return batch.append_column("_g", pa.array(g.astype(np.int64)))
+            out = batch.append_column("_g", pa.array(g.astype(np.int64)))
+            # feeding a shuffle: drop pandas metadata (functions/blocks.py)
+            if out.schema.metadata:
+                out = out.replace_schema_metadata(None)
+            return out
 
         return fn
 
@@ -884,7 +889,10 @@ def label_propagation_ds(
         v = batch["_route"].to_numpy(zero_copy_only=False).astype(np.int64)
         mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         g = mixed % np.uint64(coarse_buckets)
-        return batch.append_column("_g", pa.array(g.astype(np.int64)))
+        out = batch.append_column("_g", pa.array(g.astype(np.int64)))
+        if out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
 
     state = edges.map_batches(init, batch_format="pyarrow").materialize()
     prev_sum = None

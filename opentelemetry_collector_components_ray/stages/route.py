@@ -253,13 +253,15 @@ def cardinality_route(
             finish, batch_format="pandas", batch_size=None
         )
 
-    def bucketize(df: "pd.DataFrame") -> "pd.DataFrame":
+    from ..functions.blocks import to_clean_arrow
+
+    def bucketize(df: "pd.DataFrame"):
         df = df.copy()
         df["_bucket"] = (
             hash64(df[config.key].to_numpy(dtype=object))
             % np.uint64(num_buckets)
         ).astype(np.int64)
-        return df
+        return to_clean_arrow(df)
 
     def finish_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         return finish(df.drop(columns=["_bucket"]))
