@@ -108,32 +108,73 @@ EXACT_DEDUP_SQL = (
 
 
 def dedup_stats(
-    ds: rd.Dataset, text_col: str = "text", batch_size: int = 65536
+    ds: rd.Dataset,
+    text_col: str = "text",
+    batch_size: int = 65536,
+    distributed: bool = True,
+    num_buckets: int = 256,
 ) -> pd.DataFrame:
-    """(n_docs, n_unique) — distinct via per-batch unique + final merge."""
+    """(n_docs, n_unique) single-row summary.
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    Default path is hash-partitioned: each batch reduces to (text,
+    occurrences) partials, texts bucket by ``hash64(text)``, each
+    bucket counts its distinct texts and row occurrences, and only the
+    per-bucket 2-int rows reach the driver — no worker or driver holds
+    the global unique-text set.  ``distributed=False`` coalesces the
+    per-batch unique arrays to one worker (small corpora)."""
+
+    if not distributed:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "n_docs": [len(df)],
+                    "texts": [df[text_col].unique()],
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pandas", batch_size=batch_size
+        ).repartition(1)
+
+        def final(df: pd.DataFrame) -> pd.DataFrame:
+            uniq = len(np.unique(np.concatenate(df["texts"].to_numpy())))
+            return pd.DataFrame(
+                {
+                    "n_docs": pd.array([int(df.n_docs.sum())], dtype="int64"),
+                    "n_unique": pd.array([uniq], dtype="int64"),
+                }
+            )
+
+        return final(parts.to_pandas())
+
+    def partial(df: pd.DataFrame):
+        g = df.groupby(text_col, as_index=False).size()
+        g["_bucket"] = (
+            hash64(g[text_col].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return to_clean_arrow(g)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(text_col)["size"].sum()
         return pd.DataFrame(
-            {
-                "n_docs": [len(df)],
-                "texts": [df[text_col].unique()],
-            }
+            {"n_docs": [int(g.sum())], "n_unique": [len(g)]}
         )
 
-    parts = ds.map_batches(
-        partial, batch_format="pandas", batch_size=batch_size
-    ).repartition(1)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        uniq = len(np.unique(np.concatenate(df["texts"].to_numpy())))
-        return pd.DataFrame(
-            {
-                "n_docs": pd.array([int(df.n_docs.sum())], dtype="int64"),
-                "n_unique": pd.array([uniq], dtype="int64"),
-            }
-        )
-
-    return final(parts.to_pandas())
+    buckets = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([int(buckets.n_docs.sum())], dtype="int64"),
+            "n_unique": pd.array(
+                [int(buckets.n_unique.sum())], dtype="int64"
+            ),
+        }
+    )
 
 
 DEDUP_STATS_SQL = (
@@ -299,6 +340,36 @@ class MinHasher:
         )
 
 
+def distinct_pairs(
+    pairs: rd.Dataset,
+    cols: Tuple[str, str] = ("id_a", "id_b"),
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Cross-block distinct of (id_a, id_b) pair rows without a
+    coalesce: bucket by a pair hash (both occurrences of a pair land in
+    one bucket), drop duplicates per bucket."""
+    a, b = cols
+
+    def add_bucket(df: pd.DataFrame):
+        df = df.copy()
+        mixed = (
+            df[a].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            + df[b].to_numpy().astype(np.uint64)
+        )
+        df["_g"] = (mixed % np.uint64(num_buckets)).astype(np.int64)
+        return to_clean_arrow(df)
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(
+            lambda df: df.drop(columns=["_g"]).drop_duplicates([a, b]),
+            batch_format="pandas",
+        )
+    )
+
+
 def _minhash_fn(text_col: str, id_col: str, k: int, num_perm: int):
     """Stateless minhash stage: per-process cached MinHasher (see
     functions/broadcast.py for why this beats an actor pool here)."""
@@ -319,7 +390,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     coarse_buckets: int = 1024,
-    distributed: bool = False,
+    distributed: bool = True,
 ) -> rd.Dataset:
     """Banded LSH: explode signatures to (band, band_hash, id) rows,
     co-locate by ``band_hash % coarse_buckets`` (ONE groupby whose group
@@ -372,9 +443,12 @@ def lsh_candidate_pairs(
         # fixed while bucket contents stay worker-sized
         def add_coarse(batch: pa.Table) -> pa.Table:
             b = batch["bhash"].to_numpy().astype(np.uint64)
-            return batch.append_column(
+            out = batch.append_column(
                 "coarse", pa.array((b % coarse_buckets).astype(np.int64))
             )
+            if out.schema.metadata:
+                out = out.replace_schema_metadata(None)
+            return out
 
         cand = (
             exploded.map_batches(add_coarse, batch_format="pyarrow")
@@ -384,11 +458,9 @@ def lsh_candidate_pairs(
                 batch_format="pandas",
             )
         )
-        return cand.repartition(1).map_batches(
-            lambda df: df.drop_duplicates(),
-            batch_format="pandas",
-            batch_size=None,
-        )
+        # a pair found in two bands can land in two coarse groups —
+        # cross-group distinct, pair-hash bucketed (no coalesce)
+        return distinct_pairs(cand, ("id_a", "id_b"))
     # small/medium path: exploded rows are tiny (bands × ndocs); one
     # coalesce + one vectorized pass beats the sort-shuffle's fixed cost
     return exploded.repartition(1).map_batches(
@@ -1121,9 +1193,14 @@ def simhash_near_dups(
     hamming_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distributed: bool = True,
+    coarse_buckets: int = 1024,
 ) -> rd.Dataset:
     """Pairs with simhash hamming distance ≤ hamming_k (exact — LSH
-    blocks generate candidates, the true distance filters)."""
+    blocks generate candidates, the true distance filters).  Default is
+    the hash-shuffle scale path (coarse-bucket co-location + pair-hash
+    distinct); ``distributed=False`` coalesces once (faster fixed cost
+    on small corpora)."""
     blocks = hamming_k + 1
     width = 64 // blocks
 
@@ -1179,11 +1256,38 @@ def simhash_near_dups(
         )
         return out.drop_duplicates(["id_a", "id_b"])
 
-    # small/medium path: one coalesce + one vectorized pass (see
-    # lsh_candidate_pairs for the hash-shuffle scale path)
-    uniq = exploded.repartition(1).map_batches(
-        lambda df: pairs_in_group(df).drop_duplicates(["id_a", "id_b"]),
-        batch_format="pandas",
-        batch_size=None,
+    if not distributed:
+        # small-corpus path: one coalesce + one vectorized pass
+        uniq = exploded.repartition(1).map_batches(
+            lambda df: pairs_in_group(df).drop_duplicates(["id_a", "id_b"]),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        return uniq.filter(expr=f"hamming <= {hamming_k}")
+
+    # scale path: co-locate by (block, bval) hash into a bounded number
+    # of coarse groups, find pairs vectorized per group, then pair-hash
+    # bucketed distinct (a pair can match in several blocks)
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        blk = batch["block"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = batch["bval"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (blk * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            bv * np.uint64(1099511628211)
+        )
+        out = batch.append_column(
+            "_c", pa.array((mixed % np.uint64(coarse_buckets)).astype(np.int64))
+        )
+        if out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
+
+    cand = (
+        exploded.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(
+            lambda df: pairs_in_group(df.drop(columns=["_c"])),
+            batch_format="pandas",
+        )
     )
+    uniq = distinct_pairs(cand, ("id_a", "id_b"))
     return uniq.filter(expr=f"hamming <= {hamming_k}")

@@ -276,3 +276,31 @@ def test_minhash_verify_partitioned_equals_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(part, bc)
+
+
+def test_simhash_distributed_equals_coalesced(ray_session):
+    import ray.data as rd
+
+    df = _corpus_with_near_dups()
+    ds = rd.from_pandas(df).repartition(4)
+    cols = ["id_a", "id_b"]
+    dist = (
+        dedup.simhash_near_dups(ds, hamming_k=3, distributed=True,
+                                coarse_buckets=16)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    coal = (
+        dedup.simhash_near_dups(ds, hamming_k=3, distributed=False)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, coal)
+
+
+def test_dedup_stats_distributed_equals_coalesced(docs_ds):
+    dist = dedup.dedup_stats(docs_ds, distributed=True, num_buckets=7)
+    coal = dedup.dedup_stats(docs_ds, distributed=False)
+    pd.testing.assert_frame_equal(dist, coal)
