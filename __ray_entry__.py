@@ -200,6 +200,46 @@ def _q_conv_join(sf_dir: str):
     return hash_join(stats, latest, on="conv_id", num_partitions=8)
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join (beyond-reference op): each user turn picks up the
+    latest prior tool turn of its conversation — oracle-exact vs
+    DuckDB ASOF LEFT JOIN."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_components_ray.functions.join import asof_join
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+
+    tr = read_transcripts(sf_dir)
+    user = tr.filter(expr="role == 'user'").select_columns(
+        ["conv_id", "turn_idx", "ts"]
+    )
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "ts": t["ts"],
+                "tool_ts": t["ts"],
+                "last_tool": t["tool"],
+            }
+        )
+
+    tool = tr.filter(expr="role == 'tool'").map_batches(
+        mk_right, batch_format="pyarrow"
+    )
+    return asof_join(user, tool, by="conv_id", on="ts")
+
+
+ASOF_JOIN_SQL = """
+SELECT u.conv_id, u.turn_idx, u.ts, t.tool_ts, t.last_tool
+FROM (SELECT conv_id, turn_idx, ts FROM transcripts
+      WHERE role = 'user') u
+ASOF LEFT JOIN (SELECT conv_id, ts, ts AS tool_ts, tool AS last_tool
+                FROM transcripts WHERE role = 'tool') t
+  ON u.conv_id = t.conv_id AND u.ts >= t.ts
+"""
+
+
 def _q_sessionize(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -440,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
         "t_conv_join": _q_conv_join,
+        "t_asof_join": _q_asof_join,
         "t_sessionize": _q_sessionize,
         "t_top_tools": _q_top_tools,
         "t_sample": _q_sample,
@@ -498,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_conv.CONV_STATS_SQL}) s "
             f"JOIN ({_agg.LATEST_STATE_SQL}) l USING (conv_id)"
         ),
+        "t_asof_join": f"{_CTE} {ASOF_JOIN_SQL}",
         "t_sessionize": f"{_CTE} {_conv.sessionize_sql(3600 * 24)}",
         "t_top_tools": f"{_CTE} {_agg.top_tools_sql(5)}",
         "t_sample": (

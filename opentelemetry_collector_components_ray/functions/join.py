@@ -20,7 +20,7 @@ candidate-pair verification at scale).  Three tiers:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -112,6 +112,126 @@ def bucket_join(
         l = df[df["_side"] == "l"][[on] + l_only]
         r = df[df["_side"] == "r"][[on] + r_only]
         return l.merge(r, on=on, how=how)
+
+    return both.groupby("_bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    num_buckets: int = 64,
+    suffixes: Tuple[str, str] = ("", "_r"),
+) -> rd.Dataset:
+    """As-of (event-time nearest) join: for each left row, the right
+    row with the greatest ``on`` ≤ left's (direction="backward"; or the
+    least ≥ for "forward") within the same ``by`` key.  The reference
+    has no such operator; training-data pipelines need it for
+    "state at event time" lookups (latest config/session/checkpoint
+    before each event).
+
+    Ray-Data-first shape: both sides bucket by ``hash64(by) %
+    num_buckets`` (all rows of a key co-locate), and each bucket runs
+    one vectorized ``pd.merge_asof`` (sorted by ``on``) — no global
+    sort, no coalesce; per-bucket memory is the two sides' key slices.
+    Oracle twin: DuckDB ``ASOF LEFT JOIN`` with the same key/time
+    columns.
+    """
+    def _pa_type(t):
+        import pyarrow as _pa
+
+        if isinstance(t, _pa.DataType):
+            return t
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            return _pa.string()
+        if dt == np.dtype("O"):
+            return _pa.string()
+        return _pa.from_numpy_dtype(dt)
+
+    left_cols = list(left.schema().names)
+    l_types = {
+        c: _pa_type(t)
+        for c, t in zip(left.schema().names, left.schema().types)
+    }
+    right_cols = list(right.schema().names)
+    r_types = {
+        c: _pa_type(t)
+        for c, t in zip(right.schema().names, right.schema().types)
+    }
+    r_payload = [c for c in right_cols if c not in (by, on)]
+    l_only = [c for c in left_cols if c not in right_cols]
+    r_only = [c for c in right_cols if c not in left_cols]
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    types = {**r_types, **l_types}
+
+    import pyarrow as pa
+
+    def tag(side: int, own: List[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in all_cols:
+                cols[c] = (
+                    t[c] if c in own else pa.nulls(t.num_rows, types[c])
+                )
+            cols["_side"] = pa.array(
+                np.full(t.num_rows, side, dtype=np.int8)
+            )
+            key = t[by].to_numpy(zero_copy_only=False)
+            cols["_bucket"] = pa.array(
+                (hash64(key.astype(object)) % np.uint64(num_buckets)).astype(
+                    np.int64
+                )
+            )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(
+        tag(0, left_cols), batch_format="pyarrow"
+    ).union(right.map_batches(tag(1, right_cols), batch_format="pyarrow"))
+
+    # pandas dtypes each side SHOULD have (the union nulls the other
+    # side's columns, which floats integer columns in the bucket frame)
+    exp_dtypes = dict(
+        pa.schema([(c, types[c]) for c in all_cols])
+        .empty_table()
+        .to_pandas()
+        .dtypes
+    )
+
+    def _restore(frame: pd.DataFrame) -> pd.DataFrame:
+        for c in frame.columns:
+            dt = exp_dtypes.get(c)
+            if dt is not None and frame[c].dtype != dt:
+                try:
+                    frame[c] = frame[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass  # genuine nulls in the data — keep as-is
+        return frame
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_r = df["_side"].to_numpy() == 1
+        l = _restore(df[~is_r][left_cols].copy()).sort_values(
+            on, kind="mergesort"
+        )
+        r = _restore(df[is_r][[by, on] + r_payload].copy()).sort_values(
+            on, kind="mergesort"
+        )
+        out = pd.merge_asof(
+            l, r, on=on, by=by, direction=direction, suffixes=suffixes
+        )
+        # unmatched string payloads come back as float NaN — normalize
+        # to None so Arrow/oracle see a real null, not the text 'nan'
+        for c in out.columns:
+            if out[c].dtype == object:
+                out[c] = out[c].where(out[c].notna(), None)
+        return out
 
     return both.groupby("_bucket").map_groups(
         merge_bucket, batch_format="pandas"

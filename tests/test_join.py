@@ -69,3 +69,71 @@ def test_bucket_join_left(sides):
     )
     want = _norm(left.merge(right, on="k", how="left"))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """Bucketed asof_join equals a driver-side global pd.merge_asof."""
+    import numpy as np
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import asof_join
+
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d"], size=200),
+            "t": rng.randint(0, 1000, size=200).astype("int64"),
+            "lval": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=60),
+            "t": rng.randint(0, 1000, size=60).astype("int64"),
+            "rval": np.arange(60) * 10,
+        }
+    )
+    # keep (k, t) unique on the right so the match is unambiguous
+    right = right.drop_duplicates(["k", "t"])
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            by="k",
+            on="t",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "t", "lval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t",
+            by="k",
+        )
+        .sort_values(["k", "t", "lval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_asof_join_forward_direction(ray_session):
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import asof_join
+
+    left = pd.DataFrame({"k": ["a", "a"], "t": [5, 20], "lv": [1, 2]})
+    right = pd.DataFrame({"k": ["a", "a"], "t": [10, 30], "rv": [7, 9]})
+    got = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="k", on="t", direction="forward",
+        )
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    assert got.rv.tolist() == [7, 9]
