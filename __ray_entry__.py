@@ -240,6 +240,104 @@ ASOF LEFT JOIN (SELECT conv_id, ts, ts AS tool_ts, tool AS last_tool
 """
 
 
+def _q_mode_dispatch(sf_dir: str):
+    """Two-enricher mode dispatch (elasticapmprocessor
+    processor.go:96-130): a mode column selects which enricher kernel
+    runs on each row slice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        dispatch_enrich,
+    )
+
+    def mode_fn(batch: pa.Table):
+        return pc.if_else(
+            pc.equal(batch["role"], "tool"),
+            pa.scalar("apm"),
+            pa.scalar("otel"),
+        )
+
+    def apm(batch: pa.Table) -> pa.Table:
+        svc = pc.binary_join_element_wise(
+            pa.scalar("apm"), batch["tool"], ":"
+        )
+        return batch.append_column(
+            "enrich_mode", pa.array(["apm"] * batch.num_rows)
+        ).append_column("dispatch_svc", svc)
+
+    def otel(batch: pa.Table) -> pa.Table:
+        svc = pc.binary_join_element_wise(
+            pa.scalar("otel"), batch["role"], ":"
+        )
+        return batch.append_column(
+            "enrich_mode", pa.array(["otel"] * batch.num_rows)
+        ).append_column("dispatch_svc", svc)
+
+    return dispatch_enrich(
+        read_transcripts(sf_dir), {"apm": apm, "otel": otel}, mode_fn
+    )
+
+
+MODE_DISPATCH_SQL = """
+SELECT transcripts.*,
+       CASE WHEN role = 'tool' THEN 'apm' ELSE 'otel' END AS enrich_mode,
+       CASE WHEN role = 'tool' THEN 'apm:' || tool
+            ELSE 'otel:' || role END AS dispatch_svc
+FROM transcripts
+"""
+
+
+def _q_hopping_counts(sf_dir: str):
+    """Hopping-window counts (1h window / 10m hop) over events."""
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+
+    return _agg.hopping_counts(
+        read_parquet_clean(f"{sf_dir}/events.parquet"),
+        keys=["event_type"],
+        ts_col="ts",
+        window="1h",
+        hop="10m",
+    )
+
+
+def _q_range_join(sf_dir: str):
+    """Range join of each turn's latency to a latency band table
+    (broadcast interval join)."""
+    import pandas as pd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        range_join_broadcast,
+    )
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.parse import parse_stage
+
+    bands = pd.DataFrame(
+        {
+            "lo": [0.0, 50.0, 250.0, 1000.0, 2500.0],
+            "hi": [50.0, 250.0, 1000.0, 2500.0, None],
+            "band": ["fast", "ok", "slow", "very_slow", "worst"],
+        }
+    )
+    parsed = parse_stage(read_transcripts(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "latency_ms"]
+    )
+    return range_join_broadcast(parsed, bands, value_col="latency_ms")
+
+
+RANGE_JOIN_SQL = """
+SELECT p.conv_id, p.turn_idx, p.latency_ms, b.band
+FROM (SELECT conv_id, turn_idx, latency_ms FROM parsed) p
+LEFT JOIN (VALUES (0.0, 50.0, 'fast'), (50.0, 250.0, 'ok'),
+                  (250.0, 1000.0, 'slow'), (1000.0, 2500.0, 'very_slow'),
+                  (2500.0, NULL, 'worst')) AS b(lo, hi, band)
+  ON p.latency_ms >= b.lo AND (b.hi IS NULL OR p.latency_ms < b.hi)
+"""
+
+
 def _q_sessionize(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -481,7 +579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_capped_tools": _q_capped_tools,
         "t_conv_join": _q_conv_join,
         "t_asof_join": _q_asof_join,
+        "t_range_join": _q_range_join,
+        "t_mode_dispatch": _q_mode_dispatch,
         "t_sessionize": _q_sessionize,
+        "e_hopping_counts": _q_hopping_counts,
         "t_top_tools": _q_top_tools,
         "t_sample": _q_sample,
         "t_split": _q_split,
@@ -540,7 +641,12 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN ({_agg.LATEST_STATE_SQL}) l USING (conv_id)"
         ),
         "t_asof_join": f"{_CTE} {ASOF_JOIN_SQL}",
+        "t_range_join": f"{_CTE} {RANGE_JOIN_SQL}",
+        "t_mode_dispatch": f"{_CTE} {MODE_DISPATCH_SQL}",
         "t_sessionize": f"{_CTE} {_conv.sessionize_sql(3600 * 24)}",
+        "e_hopping_counts": _agg.hopping_counts_sql(
+            ["event_type"], table="events", window="1h", hop="10m"
+        ),
         "t_top_tools": f"{_CTE} {_agg.top_tools_sql(5)}",
         "t_sample": (
             f"{_CTE} "

@@ -236,3 +236,44 @@ def asof_join(
     return both.groupby("_bucket").map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def range_join_broadcast(
+    left: rd.Dataset,
+    bands: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    batch_size: int = 65536,
+) -> rd.Dataset:
+    """Range (interval) join against a SMALL banding table: each left
+    row matches the band with ``lo ≤ value < hi`` (``hi`` null = +inf).
+    Bands must be sorted, non-overlapping and gapless from their first
+    ``lo`` (validated) — the common case for latency/size/score bands —
+    so the match is one vectorized ``np.searchsorted`` per batch
+    against the broadcast boundary array; rows below the first ``lo``
+    match nothing (payload nulls).  For a LARGE right side, co-locate
+    by a shared coarse key and run the same searchsorted per bucket
+    (bucket_join machinery)."""
+    bands = bands.sort_values(lo_col).reset_index(drop=True)
+    los = bands[lo_col].to_numpy(dtype=np.float64)
+    his = bands[hi_col].to_numpy(dtype=np.float64)  # NaN = +inf
+    his = np.where(np.isnan(his), np.inf, his)
+    if not (los[1:] == his[:-1]).all():
+        raise ValueError("bands must be non-overlapping and gapless")
+    payload_cols = [c for c in bands.columns if c not in (lo_col, hi_col)]
+    payload = {c: bands[c].to_numpy() for c in payload_cols}
+    ref = ray.put({"los": los, "payload": payload})
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        idx = np.searchsorted(b["los"], v, side="right") - 1
+        ok = (idx >= 0) & ~np.isnan(v)
+        df = df.copy()
+        for c, vals in b["payload"].items():
+            col = np.where(ok, vals[np.clip(idx, 0, len(vals) - 1)], None)
+            df[c] = col
+        return df
+
+    return left.map_batches(fn, batch_format="pandas", batch_size=batch_size)

@@ -71,8 +71,10 @@ def validate_intervals(intervals: Sequence[str]) -> None:
 
 
 def window_start(ts: pa.ChunkedArray | pa.Array, interval_us: int) -> pa.Array:
-    """floor(ts, interval) as timestamp[us] — pure int64 arithmetic."""
-    us = pc.cast(ts, pa.int64())
+    """floor(ts, interval) as timestamp[us] — pure int64 arithmetic.
+    Normalizes the input to µs first (pandas-built datasets carry
+    timestamp[ns])."""
+    us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
     floored = pc.multiply(pc.divide(us, interval_us), interval_us)
     return pc.cast(floored, pa.timestamp("us"))
 
@@ -940,3 +942,88 @@ FROM (
   FROM enriched
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — the windowed-aggregate shape streaming
+# engines call HOP(window, hop): each event contributes to
+# window/hop overlapping windows.  The reference only keeps tumbling
+# intervals (lsminterval), so this is beyond-reference scope for the
+# training-data brief; the batch translation keeps the same
+# combiner-first discipline (each batch emits pre-aggregated rows per
+# (window_start, keys), exploded by the window/hop offsets).
+# ---------------------------------------------------------------------------
+
+
+def hopping_counts(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    window: str = "1h",
+    hop: str = "10m",
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """count(*) per (window_start, keys) over HOPPING windows of size
+    ``window`` advancing every ``hop`` (``window`` must be a multiple
+    of ``hop``).  An event with time t lands in the windows starting at
+    floor(t/hop)*hop - j*hop for j in 0..window/hop-1."""
+    validate_intervals([window, hop])
+    w_us, h_us = INTERVALS_US[window], INTERVALS_US[hop]
+    if w_us % h_us:
+        raise ValueError(f"window {window} not a multiple of hop {hop}")
+    n_off = w_us // h_us
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.multiply(
+            pc.divide(
+                pc.cast(
+                    pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64()
+                ),
+                h_us,
+            ),
+            h_us,
+        )
+        pieces = []
+        for j in range(n_off):
+            t = pa.table(
+                {
+                    "window_start": pc.cast(
+                        pc.subtract(base, j * h_us), pa.timestamp("us")
+                    ),
+                    **{k: batch[k] for k in keys},
+                }
+            )
+            g = t.group_by(["window_start"] + keys).aggregate(
+                [([], "count_all")]
+            )
+            pieces.append(g.rename_columns(["window_start"] + keys + ["n"]))
+        return pa.concat_tables(pieces)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return merge_partials(partials, ["window_start"] + keys, [("n", "sum")])
+
+
+def hopping_counts_sql(
+    keys: Sequence[str],
+    table: str = "transcripts",
+    ts_col: str = "ts",
+    window: str = "1h",
+    hop: str = "10m",
+) -> str:
+    w_us, h_us = INTERVALS_US[window], INTERVALS_US[hop]
+    n_off = w_us // h_us
+    key_list = ", ".join(keys)
+    parts = [
+        f"SELECT make_timestamp(((epoch_us({ts_col}) // {h_us}) - {j})"
+        f" * {h_us}) AS window_start, {key_list} FROM {table}"
+        for j in range(n_off)
+    ]
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT window_start, {key_list}, COUNT(*) AS n FROM ({union}) "
+        f"GROUP BY window_start, {key_list}"
+    )

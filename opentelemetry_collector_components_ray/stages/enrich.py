@@ -248,3 +248,53 @@ ENRICHED_SQL_COLUMNS = f"""
 ENRICHED_SQL = (
     "SELECT parsed.*, " + ENRICHED_SQL_COLUMNS + " FROM parsed"
 )
+
+
+# ---------------------------------------------------------------------------
+# Mode dispatch: per-record enricher selection.  The reference keeps
+# THREE enricher implementations per signal (default / APM / OTel) and
+# picks one per record from its origin (telemetry.sdk.name ==
+# "ElasticAPM") and the x-elastic-mapping-mode client metadata
+# (processor/elasticapmprocessor/processor.go:96-130, config.go:24-38).
+# Batch translation: a mode column partitions each batch, each
+# partition runs its own enrich kernel, partitions re-concatenate
+# (row order within a batch is not preserved — consistent with the
+# engine's unordered semantics).
+# ---------------------------------------------------------------------------
+
+
+def dispatch_enrich(
+    ds,
+    enrichers: dict,
+    mode_fn,
+    batch_size: int = 65536,
+):
+    """``mode_fn(batch) -> pa.Array[string]`` names the enricher for
+    each row; ``enrichers[name](sub_batch) -> pa.Table`` runs on that
+    row slice.  All enrichers must emit the same schema.  Unknown modes
+    raise (the reference's default enricher is just another entry)."""
+
+    names = list(enrichers)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        modes = mode_fn(batch)
+        seen = pc.unique(modes).to_pylist()
+        unknown = [m for m in seen if m not in enrichers]
+        if unknown:
+            raise ValueError(
+                f"no enricher for mode(s) {unknown}; have {names}"
+            )
+        parts = []
+        for name in names:
+            sub = batch.filter(pc.equal(modes, name))
+            if sub.num_rows:
+                parts.append(enrichers[name](sub))
+        if not parts:
+            # preserve schema on empty batches
+            return enrichers[names[0]](batch)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )

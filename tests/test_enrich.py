@@ -120,3 +120,45 @@ def test_lookup_sql_case_matches_python(oracle):
         for k in keys
     ]
     assert got == want
+
+
+def test_dispatch_enrich_partitions_and_rejects_unknown(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        dispatch_enrich,
+    )
+
+    t = pa.table({"role": ["user", "tool", "user"], "x": [1, 2, 3]})
+
+    def mode_fn(batch):
+        return pc.if_else(
+            pc.equal(batch["role"], "tool"),
+            pa.scalar("apm"),
+            pa.scalar("otel"),
+        )
+
+    def mk(tag):
+        def fn(batch):
+            return batch.append_column(
+                "m", pa.array([tag] * batch.num_rows)
+            )
+
+        return fn
+
+    out = (
+        dispatch_enrich(
+            rd.from_arrow(t), {"apm": mk("A"), "otel": mk("O")}, mode_fn
+        )
+        .to_pandas()
+        .sort_values("x")
+    )
+    assert out.m.tolist() == ["O", "A", "O"]
+
+    with pytest.raises(Exception):
+        dispatch_enrich(
+            rd.from_arrow(t), {"apm": mk("A")}, mode_fn
+        ).materialize()

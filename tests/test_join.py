@@ -137,3 +137,51 @@ def test_asof_join_forward_direction(ray_session):
         .reset_index(drop=True)
     )
     assert got.rv.tolist() == [7, 9]
+
+
+def test_range_join_broadcast(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        range_join_broadcast,
+    )
+
+    left = pd.DataFrame(
+        {"v": [0.0, 49.9, 50.0, 999.0, 5000.0, -3.0, np.nan]}
+    )
+    bands = pd.DataFrame(
+        {
+            "lo": [0.0, 50.0, 1000.0],
+            "hi": [50.0, 1000.0, None],
+            "band": ["low", "mid", "high"],
+        }
+    )
+    out = (
+        range_join_broadcast(rd.from_pandas(left), bands, value_col="v")
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    by_v = dict(zip(out.v, out.band))
+    assert by_v[0.0] == "low" and by_v[49.9] == "low"
+    assert by_v[50.0] == "mid" and by_v[999.0] == "mid"
+    assert by_v[5000.0] == "high"
+    assert by_v[-3.0] is None  # below first band
+    assert out[out.v.isna()].band.isna().all()
+
+
+def test_range_join_rejects_gappy_bands(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        range_join_broadcast,
+    )
+
+    left = pd.DataFrame({"v": [1.0]})
+    bad = pd.DataFrame(
+        {"lo": [0.0, 60.0], "hi": [50.0, None], "band": ["a", "b"]}
+    )
+    with pytest.raises(ValueError):
+        range_join_broadcast(rd.from_pandas(left), bad, value_col="v")

@@ -133,3 +133,43 @@ def test_expo_latency_histogram_partition_invariant(ray_session, enriched_ds):
     assert a.drop(columns=["counts"]).equals(b.drop(columns=["counts"]))
     for x, y in zip(a["counts"], b["counts"]):
         assert list(x) == list(y)
+
+
+def test_hopping_counts_small(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.aggregate import (
+        hopping_counts,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:05:00")
+    df = pd.DataFrame(
+        {
+            "ts": [base, base + pd.Timedelta(minutes=25)],
+            "k": ["a", "a"],
+        }
+    )
+    out = hopping_counts(
+        rd.from_pandas(df), keys=["k"], window="1h", hop="10m"
+    ).to_pandas()
+    # each event lands in 6 windows; windows covering both events get 2
+    assert out.n.sum() == 12
+    assert out.n.max() == 2
+    covered_by_both = out[out.n == 2]
+    # overlap: both events' start sets intersect in {23:40, 23:50, 00:00}
+    assert len(covered_by_both) == 3
+
+
+def test_hopping_counts_validates_multiple(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.aggregate import (
+        hopping_counts,
+    )
+
+    df = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "k": ["a"]})
+    with pytest.raises(ValueError):
+        hopping_counts(rd.from_pandas(df), ["k"], window="10m", hop="1h")
