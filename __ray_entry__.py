@@ -34,7 +34,10 @@ from opentelemetry_collector_components_ray.stages import (
     sampling as _sampling,
 )
 from opentelemetry_collector_components_ray.stages import text as _text
-from opentelemetry_collector_components_ray.stages.enrich import ENRICHED_SQL
+from opentelemetry_collector_components_ray.stages.enrich import (
+    ENRICHED_SQL,
+    parse_user_agent_sql,
+)
 from opentelemetry_collector_components_ray.stages.parse import PARSED_SQL
 from opentelemetry_collector_components_ray.stages import route as _route_mod
 from opentelemetry_collector_components_ray.stages.route import ROUTED_SQL
@@ -338,6 +341,80 @@ LEFT JOIN (VALUES (0.0, 50.0, 'fast'), (50.0, 250.0, 'ok'),
 """
 
 
+UA_SYNTH_SQL = """
+CASE turn_idx % 7
+  WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/'
+              || CAST((turn_idx % 9) + 100 AS VARCHAR) || '.0.0 Safari/537.36'
+  WHEN 1 THEN 'Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/'
+              || CAST((turn_idx % 9) + 100 AS VARCHAR) || '.0'
+  WHEN 2 THEN 'Mozilla/5.0 (Macintosh) AppleWebKit/605.1 Version/'
+              || CAST((turn_idx % 9) + 15 AS VARCHAR) || '.1 Safari/605.1'
+  WHEN 3 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0 Safari/537.36 Edg/'
+              || CAST((turn_idx % 9) + 100 AS VARCHAR) || '.0'
+  WHEN 4 THEN 'curl/8.' || CAST(turn_idx % 9 AS VARCHAR)
+  WHEN 5 THEN 'python-requests/2.' || CAST(turn_idx % 9 AS VARCHAR)
+  ELSE 'WeirdAgent/1.0'
+END
+"""
+
+
+def _q_ua_parse(sf_dir: str):
+    """uap-style user-agent parse (enricher.go:36-47, span.go:457-467):
+    a deterministic user_agent column (derived from turn_idx so the
+    oracle rebuilds it byte-identically) parsed by the ordered pattern
+    catalog."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        parse_user_agent,
+    )
+
+    def synth_ua(batch: pa.Table) -> pa.Table:
+        t = batch["turn_idx"]
+        sel = pc.cast(pc.subtract(t, pc.multiply(pc.divide(t, 7), 7)),
+                      pa.int32())
+        v9 = pc.cast(pc.subtract(t, pc.multiply(pc.divide(t, 9), 9)),
+                     pa.int64())
+        v100 = pc.cast(pc.add(v9, 100), pa.string())
+        v15 = pc.cast(pc.add(v9, 15), pa.string())
+        v9s = pc.cast(v9, pa.string())
+        choices = [
+            pc.binary_join_element_wise(
+                pa.scalar("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/"),
+                v100, pa.scalar(".0.0 Safari/537.36"), ""),
+            pc.binary_join_element_wise(
+                pa.scalar("Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/"),
+                v100, pa.scalar(".0"), ""),
+            pc.binary_join_element_wise(
+                pa.scalar("Mozilla/5.0 (Macintosh) AppleWebKit/605.1 Version/"),
+                v15, pa.scalar(".1 Safari/605.1"), ""),
+            pc.binary_join_element_wise(
+                pa.scalar("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0 Safari/537.36 Edg/"),
+                v100, pa.scalar(".0"), ""),
+            pc.binary_join_element_wise(
+                pa.scalar("curl/8."), v9s, ""),
+            pc.binary_join_element_wise(
+                pa.scalar("python-requests/2."), v9s, ""),
+        ]
+        ua = pa.array(["WeirdAgent/1.0"] * batch.num_rows, pa.string())
+        for i in range(len(choices) - 1, -1, -1):
+            ua = pc.if_else(pc.equal(sel, i), choices[i], ua)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "user_agent": ua,
+            }
+        )
+
+    ds = read_transcripts(sf_dir).map_batches(
+        synth_ua, batch_format="pyarrow"
+    )
+    return parse_user_agent(ds)
+
+
 def _q_sessionize(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -581,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_asof_join": _q_asof_join,
         "t_range_join": _q_range_join,
         "t_mode_dispatch": _q_mode_dispatch,
+        "t_ua_parse": _q_ua_parse,
         "t_sessionize": _q_sessionize,
         "e_hopping_counts": _q_hopping_counts,
         "t_top_tools": _q_top_tools,
@@ -643,6 +721,12 @@ def oracle_sql() -> dict[str, str]:
         "t_asof_join": f"{_CTE} {ASOF_JOIN_SQL}",
         "t_range_join": f"{_CTE} {RANGE_JOIN_SQL}",
         "t_mode_dispatch": f"{_CTE} {MODE_DISPATCH_SQL}",
+        "t_ua_parse": (
+            f"{_CTE} SELECT conv_id, turn_idx, user_agent, "
+            + parse_user_agent_sql("user_agent")
+            + f" FROM (SELECT conv_id, turn_idx, ({UA_SYNTH_SQL}) AS "
+            "user_agent FROM transcripts)"
+        ),
         "t_sessionize": f"{_CTE} {_conv.sessionize_sql(3600 * 24)}",
         "e_hopping_counts": _agg.hopping_counts_sql(
             ["event_type"], table="events", window="1h", hop="10m"

@@ -298,3 +298,99 @@ def dispatch_enrich(
         fn, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# User-agent parsing — the uap-style stateful parser the reference
+# shares across enrichers (internal/enrichments/enricher.go:36-47: the
+# ~500-regex uap-core catalog compiled ONCE per process via
+# sync.OnceValue; span.go:457-467 derives user_agent.name = family and
+# user_agent.version, applied only when not already set,
+# span.go:893-905).  Engine analogue: an ordered first-match-wins
+# pattern catalog evaluated vectorized (one pc.extract_regex per
+# pattern, ~constant pattern count), with the per-process cache as the
+# compile-once analogue.  The catalog below is a small public-knowledge
+# subset of the uap-core shapes (browsers/tools/bots); swap in the full
+# uap-core regexes the same way when available.
+# ---------------------------------------------------------------------------
+
+# (family, regex with (major)(minor) groups) — ORDER MATTERS
+# (Edge/Opera tokens also contain "Chrome/", so they come first)
+# named groups: pc.extract_regex requires them; DuckDB regexp_extract
+# addresses the same groups positionally (1=major, 2=minor)
+UA_PATTERNS: tuple = (
+    ("Edge", r"Edg/(?P<major>\d+)\.(?P<minor>\d+)"),
+    ("Opera", r"OPR/(?P<major>\d+)\.(?P<minor>\d+)"),
+    ("Chrome", r"Chrome/(?P<major>\d+)\.(?P<minor>\d+)"),
+    ("Firefox", r"Firefox/(?P<major>\d+)\.(?P<minor>\d+)"),
+    ("Safari", r"Version/(?P<major>\d+)\.(?P<minor>\d+)[^;]*Safari"),
+    ("curl", r"curl/(?P<major>\d+)\.(?P<minor>\d+)"),
+    ("python-requests", r"python-requests/(?P<major>\d+)\.(?P<minor>\d+)"),
+    ("Googlebot", r"Googlebot/(?P<major>\d+)\.(?P<minor>\d+)"),
+)
+UA_OTHER = "Other"
+
+
+def parse_user_agent_batch(
+    ua: pa.ChunkedArray | pa.Array,
+) -> tuple:
+    """(ua_name, ua_version) arrays: first matching catalog pattern
+    wins; no match → ("Other", null).  Fully vectorized: one RE2 pass
+    per catalog pattern over the batch."""
+    if isinstance(ua, pa.ChunkedArray):
+        ua = ua.combine_chunks()
+    n = len(ua)
+    name = pa.nulls(n, pa.string())
+    version = pa.nulls(n, pa.string())
+    for family, pattern in UA_PATTERNS:
+        ex = pc.extract_regex(ua, pattern)
+        hit = pc.is_valid(ex)
+        fresh = pc.and_(hit, pc.is_null(name))
+        if not pc.any(fresh).as_py():
+            continue
+        major = pc.struct_field(ex, "major")
+        minor = pc.struct_field(ex, "minor")
+        ver = pc.binary_join_element_wise(major, minor, ".")
+        name = pc.if_else(fresh, pa.scalar(family), name)
+        version = pc.if_else(fresh, ver, version)
+    name = pc.fill_null(name, UA_OTHER)
+    return name, version
+
+
+def parse_user_agent(
+    ds, ua_col: str = "user_agent", batch_size: int = 65536
+):
+    """Append ``ua_name``/``ua_version`` derived from ``ua_col``
+    (only-if-missing semantics live with the caller: the reference
+    applies inferred values only when the explicit attributes are
+    unset)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        name, version = parse_user_agent_batch(batch[ua_col])
+        return batch.append_column("ua_name", name).append_column(
+            "ua_version", version
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def parse_user_agent_sql(ua_expr: str = "user_agent") -> str:
+    """DuckDB twin generated from the SAME catalog (no drift)."""
+    name_case = ["CASE"]
+    ver_case = ["CASE"]
+    for family, pattern in UA_PATTERNS:
+        cond = f"regexp_matches({ua_expr}, '{pattern}')"
+        name_case.append(f"WHEN {cond} THEN '{family}'")
+        ver_case.append(
+            f"WHEN {cond} THEN regexp_extract({ua_expr}, '{pattern}', 1)"
+            f" || '.' || regexp_extract({ua_expr}, '{pattern}', 2)"
+        )
+    name_case.append(f"ELSE '{UA_OTHER}' END")
+    ver_case.append("ELSE NULL END")
+    return (
+        " ".join(name_case) + " AS ua_name, "
+        + " ".join(ver_case) + " AS ua_version"
+    )

@@ -162,3 +162,36 @@ def test_dispatch_enrich_partitions_and_rejects_unknown(ray_session):
         dispatch_enrich(
             rd.from_arrow(t), {"apm": mk("A")}, mode_fn
         ).materialize()
+
+
+def test_parse_user_agent_families():
+    import pyarrow as pa
+
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        parse_user_agent_batch,
+    )
+
+    ua = pa.array(
+        [
+            "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 "
+            "Chrome/120.0.0 Safari/537.36",
+            # Edge token must win over the embedded Chrome token
+            "Mozilla/5.0 Chrome/120.0.0 Safari/537.36 Edg/121.2",
+            "Mozilla/5.0 Chrome/120.0.0 Safari/537.36 OPR/106.5",
+            "Mozilla/5.0 (X11) Gecko/20100101 Firefox/115.3",
+            "Mozilla/5.0 (Macintosh) Version/17.1 Safari/605.1",
+            "curl/8.4",
+            "python-requests/2.31",
+            "Googlebot/2.1 (+http://www.google.com/bot.html)",
+            "CompletelyUnknown/9",
+        ]
+    )
+    name, version = parse_user_agent_batch(ua)
+    assert name.to_pylist() == [
+        "Chrome", "Edge", "Opera", "Firefox", "Safari", "curl",
+        "python-requests", "Googlebot", "Other",
+    ]
+    assert version.to_pylist() == [
+        "120.0", "121.2", "106.5", "115.3", "17.1", "8.4", "2.31",
+        "2.1", None,
+    ]
