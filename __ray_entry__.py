@@ -626,6 +626,23 @@ def _q_ivf_topk(sf_dir: str):
     )
 
 
+def _q_ivf_index(sf_dir: str):
+    """Persistent IVF index: build parquet partitioned by centroid,
+    search with a partition-pruned read (rows-only; equality with the
+    streaming ivf_topk is unit-tested)."""
+    import shutil
+
+    from opentelemetry_collector_components_ray.stages import ann
+
+    idx = "/tmp/occr_ivf_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    embs = _embs(sf_dir)
+    ann.ivf_build_index(embs, idx, n_centroids=16)
+    return ann.ivf_search_index(
+        idx, embs.filter(expr="vec_id < 5"), k=10, nprobe=8
+    )
+
+
 def _q_embedding_clusters(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import ann
 
@@ -688,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_topk": _q_cosine_topk,
         "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
+        "e_ivf_index": _q_ivf_index,  # rows-only (pruned-read IVF; equality tested)
         "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
         "m_image_features": _q_image_features,  # rows-only (stub codec)
         "m_audio_features": _q_audio_features,  # rows-only (stub codec)

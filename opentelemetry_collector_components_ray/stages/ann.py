@@ -556,3 +556,124 @@ def plant_near_dup_twins(
     return base.union(
         base.map_batches(twins, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: the partition-pruned read path.  ivf_topk
+# streams the whole corpus per query batch; at 100 TB the win is to
+# WRITE the assignment once (parquet partitioned by centroid_id) and
+# have every search read ONLY its nprobe partitions — the "assignment
+# column doubles as a parquet partition key" design the ivf_topk
+# docstring promises.  Build once, search many.
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train centroids, assign every vector, write the corpus as
+    parquet hive-partitioned by ``centroid_id`` plus the centroid
+    matrix (``centroids.npy``).  Returns the centroids."""
+    import os
+
+    cent = train_centroids(ds, n_centroids, vec_col, id_col=id_col)
+    cent_ref = ray.put(cent)
+    akey = ("ivf_assign", cent_ref.hex(), vec_col)
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        a = process_cached(akey, lambda: IvfAssigner(cent_ref, vec_col))
+        return a(batch)
+
+    assigned = ds.map_batches(
+        assign_fn, batch_format="pyarrow", batch_size=8192
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    assigned.write_parquet(
+        f"{index_dir}/vectors", partition_cols=["centroid_id"]
+    )
+    np.save(f"{index_dir}/centroids.npy", cent)
+    return cent
+
+
+def ivf_search_index(
+    index_dir: str,
+    query_ds: rd.Dataset,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Approximate top-k against a built index — reads ONLY the
+    ``nprobe`` closest centroid partitions per query (union over the
+    query batch), so the scan cost is |probed partitions| / |corpus|,
+    pruned at the parquet layer, not post-read."""
+    import glob as _glob
+
+    from ..sources.parquet import read_parquet_clean
+
+    cent = np.load(f"{index_dir}/centroids.npy")
+    qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
+    qdf = qdf.sort_values(id_col, kind="mergesort")
+    qm = _normalize(np.stack(qdf[vec_col].to_numpy()).astype(np.float64))
+    probes = np.argsort(-_det_matmul(qm, cent.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in probes for c in row})
+    paths = []
+    for c in needed:
+        paths.extend(
+            sorted(
+                _glob.glob(f"{index_dir}/vectors/centroid_id={c}/*.parquet")
+            )
+        )
+    if not paths:
+        raise FileNotFoundError(f"no index partitions under {index_dir}")
+    # Ray recovers centroid_id from the hive directory names even for
+    # an explicit file list — normalize its type and use it directly
+    # (no re-assignment matmul)
+    pruned = read_parquet_clean(paths)
+
+    import pyarrow.compute as pc
+
+    def fix_cid(batch: pa.Table) -> pa.Table:
+        cid = pc.cast(batch["centroid_id"], pa.int64())
+        i = batch.schema.get_field_index("centroid_id")
+        return batch.set_column(i, "centroid_id", cid)
+
+    assigned = pruned.map_batches(
+        fix_cid, batch_format="pyarrow", batch_size=8192
+    )
+    ctx_ref = ray.put(
+        {
+            "qids": qdf[id_col].to_numpy().astype(np.int64),
+            "matrix": qm,
+            "probes": probes,
+        }
+    )
+    ikey = ("ivf_score", ctx_ref.hex(), k, id_col, vec_col)
+
+    def iscore_fn(batch: pa.Table) -> pa.Table:
+        sc = process_cached(
+            ikey, lambda: IvfScorer(ctx_ref, k, id_col, vec_col)
+        )
+        return sc(batch)
+
+    partials = assigned.map_batches(
+        iscore_fn, batch_format="pyarrow", batch_size=8192
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", "vec_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", as_index=False, sort=True).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df.reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

@@ -135,3 +135,33 @@ def test_planted_twins_found_with_high_recall(emb_ds):
     assert (got.id_b - got.id_a == 1_000_000).all()
     assert (got.sim >= 0.99).all()
     assert len(got) >= 0.9 * n_planted
+
+
+def test_ivf_index_search_equals_streaming_ivf(emb_ds, tmp_path):
+    """Build-once parquet IVF index searched with partition-pruned
+    reads returns exactly what the streaming ivf_topk returns for the
+    same centroids/probes."""
+    idx = str(tmp_path / "ivf")
+    ann.ivf_build_index(emb_ds, idx, n_centroids=8)
+    q = emb_ds.filter(expr="vec_id < 5")
+    got = (
+        ann.ivf_search_index(idx, q, k=10, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ann.ivf_topk(emb_ds, q, k=10, n_centroids=8, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+    # the pruned read touches at most nprobe*|queries| partitions
+    import glob
+
+    all_parts = glob.glob(f"{idx}/vectors/centroid_id=*")
+    assert len(all_parts) >= 5  # corpus actually spread over partitions
