@@ -643,6 +643,21 @@ def _q_ivf_index(sf_dir: str):
     )
 
 
+def _q_quantize(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import ann
+
+    return ann.quantize_embeddings_flat(_embs(sf_dir))
+
+
+def _q_stratified_sample(sf_dir: str):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages import sampling
+
+    return sampling.stratified_sample(
+        read_transcripts(sf_dir), "conv_id", n_per_key=10
+    )
+
+
 def _q_embedding_clusters(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import ann
 
@@ -703,6 +718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_lang_id": _q_lang_id,
         "d_fingerprints": _q_fingerprints,
         "e_cosine_topk": _q_cosine_topk,
+        "e_quantize": _q_quantize,
+        "t_stratified_sample": _q_stratified_sample,
         "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
         "e_ivf_index": _q_ivf_index,  # rows-only (pruned-read IVF; equality tested)
@@ -784,6 +801,10 @@ def oracle_sql() -> dict[str, str]:
         "d_lang_id": _text.lang_id_sql(),
         "d_fingerprints": _text.FINGERPRINTS_SQL,
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
+        "e_quantize": _ann.quantize_embeddings_sql(dim=64),
+        "t_stratified_sample": (
+            f"{_CTE} {_sampling.stratified_sample_sql('conv_id', 10)}"
+        ),
         "r_pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "r_revenue_by_year": _rel.REVENUE_BY_YEAR_SQL,
     }

