@@ -609,6 +609,12 @@ def _q_fingerprints(sf_dir: str):
     return text.fingerprints(_docs(sf_dir))
 
 
+def _q_normalize_text(sf_dir: str):
+    from opentelemetry_collector_components_ray.stages import text
+
+    return text.normalize_text(_docs(sf_dir))
+
+
 def _q_cosine_topk(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import ann
 
@@ -717,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_quality": _q_quality,
         "d_lang_id": _q_lang_id,
         "d_fingerprints": _q_fingerprints,
+        "d_normalize_text": _q_normalize_text,
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "t_stratified_sample": _q_stratified_sample,
@@ -800,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "d_quality": _text.QUALITY_SCORES_SQL,
         "d_lang_id": _text.lang_id_sql(),
         "d_fingerprints": _text.FINGERPRINTS_SQL,
+        "d_normalize_text": _text.NORMALIZE_TEXT_SQL,
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         "e_quantize": _ann.quantize_embeddings_sql(dim=64),
         "t_stratified_sample": (

@@ -383,9 +383,29 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+def _capped_fold(agg: pd.DataFrame, limit: int) -> pd.DataFrame:
+    agg = agg.sort_values(["role", "first_ts", "tool"], kind="mergesort")
+    agg["rk"] = agg.groupby("role").cumcount() + 1
+    agg["tool_out"] = agg["tool"].where(agg["rk"] <= limit, "_other")
+    out = (
+        agg.groupby(["role", "tool_out"], as_index=False)
+        .agg(
+            turn_count=("n", "sum"),
+            overflow_tools=("rk", lambda r: int((r > limit).sum())),
+        )
+        .rename(columns={"tool_out": "tool"})
+    )
+    out["turn_count"] = out["turn_count"].astype("int64")
+    out["overflow_tools"] = out["overflow_tools"].astype("int64")
+    return out.sort_values(["role", "tool"]).reset_index(drop=True)
+
+
 def capped_tool_summary(
-    ds: rd.Dataset, limit: int = 4, batch_size: int = 131072
-) -> pd.DataFrame:
+    ds: rd.Dataset,
+    limit: int = 4,
+    batch_size: int = 131072,
+    distributed: bool = True,
+):
     """Per-role turn counts by tool with a cardinality cap.
 
     Keeps the first ``limit`` distinct tools per role in deterministic
@@ -395,10 +415,14 @@ def capped_tool_summary(
     ``_other`` row decorated with the count of dropped distinct tools
     (merger/value.go:311-362; ``_other`` naming config.go:193-226).
 
-    The (role, tool) key space is structurally tiny so the fold runs on
-    the driver over the aggregated table; for large key spaces the
-    dropped-unique count comes from the mergeable HLL
-    (functions/sketches.py) instead of an exact distinct.
+    Default (``distributed=True``): the fold runs per ROLE in a
+    ``groupby("role").map_groups`` over the pre-aggregated (role, tool)
+    table, returning a Dataset — no single worker holds more than one
+    role's distinct tools.  A role whose distinct-tool set itself
+    exceeds worker memory would switch the dropped-unique count to the
+    mergeable HLL (functions/sketches.py) — the reference's own scale
+    rule.  ``distributed=False`` folds on the driver and returns a
+    pandas DataFrame (handy for tiny key spaces / interactive use).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -416,21 +440,12 @@ def capped_tool_summary(
     )
     agg = merge_partials(
         partials, ["role", "tool"], [("n", "sum"), ("first_ts", "min")]
-    ).to_pandas()
-    agg = agg.sort_values(["role", "first_ts", "tool"], kind="mergesort")
-    agg["rk"] = agg.groupby("role").cumcount() + 1
-    agg["tool_out"] = agg["tool"].where(agg["rk"] <= limit, "_other")
-    out = (
-        agg.groupby(["role", "tool_out"], as_index=False)
-        .agg(
-            turn_count=("n", "sum"),
-            overflow_tools=("rk", lambda r: int((r > limit).sum())),
-        )
-        .rename(columns={"tool_out": "tool"})
     )
-    out["turn_count"] = out["turn_count"].astype("int64")
-    out["overflow_tools"] = out["overflow_tools"].astype("int64")
-    return out.sort_values(["role", "tool"]).reset_index(drop=True)
+    if not distributed:
+        return _capped_fold(agg.to_pandas(), limit)
+    return agg.groupby("role").map_groups(
+        lambda df: _capped_fold(df, limit), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -207,3 +207,38 @@ def fingerprints(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 
 FINGERPRINTS_SQL = "SELECT documents.*, md5(text) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (training-data cleaning): NFC → lower → collapse
+# whitespace → trim.  NFC goes through Python's unicodedata on
+# np.unique-amortized values — pyarrow's utf8_normalize(form="NFC")
+# does NOT compose (leaves e + combining accent), which would diverge
+# from DuckDB's nfc_normalize and every downstream exact-dedup.
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(
+    ds: rd.Dataset, text_col: str = "text", out_col: str = "text_norm"
+) -> rd.Dataset:
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[text_col].to_numpy(zero_copy_only=False).astype(object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        normed = np.array(
+            [unicodedata.normalize("NFC", s) for s in uniq], dtype=object
+        )
+        arr = pa.array(normed[inv], pa.string())
+        arr = pc.utf8_lower(arr)
+        arr = pc.replace_substring_regex(arr, r"\s+", " ")
+        arr = pc.utf8_trim_whitespace(arr)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_TEXT_SQL = (
+    "SELECT documents.*, trim(regexp_replace(lower(nfc_normalize(text)),"
+    " '\\s+', ' ', 'g')) AS text_norm FROM documents"
+)

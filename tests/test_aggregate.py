@@ -27,7 +27,7 @@ def test_latest_state_matches_oracle(enriched_ds, oracle, cte_prefix):
 
 
 def test_capped_tool_summary_matches_oracle(enriched_ds, oracle, cte_prefix):
-    got = agg.capped_tool_summary(enriched_ds, limit=4)
+    got = agg.capped_tool_summary(enriched_ds, limit=4).to_pandas()
     want = oracle.execute(
         f"{cte_prefix} {agg.capped_tool_summary_sql(4)}"
     ).df()
@@ -106,7 +106,7 @@ def test_overflow_fold_deterministic(ray_session):
             "ts": pa.array(range(1, n + 1), pa.timestamp("us")),
         }
     )
-    out = agg.capped_tool_summary(rd.from_arrow(rows), limit=3)
+    out = agg.capped_tool_summary(rd.from_arrow(rows), limit=3).to_pandas()
     kept = out[out.tool != "_other"]
     assert sorted(kept.tool) == ["t1", "t2", "t3"]
     other = out[out.tool == "_other"].iloc[0]
@@ -192,3 +192,18 @@ def test_summary_merge_distributed_equals_coalesced(enriched_ds):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dist, coal)
+
+
+def test_capped_tool_summary_distributed_equals_driver(enriched_ds):
+    dist = (
+        agg.capped_tool_summary(enriched_ds, limit=4, distributed=True)
+        .to_pandas()
+        .sort_values(["role", "tool"])
+        .reset_index(drop=True)
+    )
+    drv = (
+        agg.capped_tool_summary(enriched_ds, limit=4, distributed=False)
+        .sort_values(["role", "tool"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, drv)

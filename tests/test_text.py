@@ -52,3 +52,33 @@ def test_token_counts_unit(ray_session):
     assert out.n_tokens.tolist() == [3, 0, 1]
     # BPE-ish: 'hi' '42' '!' 'x' → 4
     assert out.n_bpe_tokens.tolist() == [3, 0, 4]
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        normalize_text,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "  Café   MENU  ",  # decomposed accent + spaces
+                "Tabs\tand\nnewlines",
+                "already clean",
+            ],
+        }
+    )
+    out = (
+        normalize_text(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.text_norm.tolist() == [
+        "café menu",  # composed é, single spaces, trimmed
+        "tabs and newlines",
+        "already clean",
+    ]
