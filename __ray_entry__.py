@@ -488,6 +488,21 @@ def _q_image_features(sf_dir: str):
     return decode_stage(rd.from_arrow(synth_image_table(n)))
 
 
+def _q_video_frames(sf_dir: str):
+    """Video analogue of m_image_features: multi-frame binary payloads,
+    in-payload every-k frame sampling on an actor pool (stub codec,
+    real payload-exploding plumbing); rows-only."""
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        synth_video_table,
+        video_frame_stage,
+    )
+
+    n = max(32, _docs(sf_dir).count() // 20)
+    return video_frame_stage(rd.from_arrow(synth_video_table(n)), every_k=4)
+
+
 def _q_conv_stats(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -733,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
         "m_image_features": _q_image_features,  # rows-only (stub codec)
         "m_audio_features": _q_audio_features,  # rows-only (stub codec)
+        "m_video_frames": _q_video_frames,  # rows-only (stub codec)
         # relational demos over the TPC-H-ish tables
         "r_pricing_summary": _q_pricing_summary,
         "r_revenue_by_year": _q_revenue_by_year,

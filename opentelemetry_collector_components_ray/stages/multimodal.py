@@ -274,3 +274,109 @@ def frame_sample(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: multi-frame binary payloads + in-payload frame sampling.
+# ``frame_sample`` above thins ROWS; a video is one row whose payload
+# holds many frames, so sampling must explode the payload — a
+# payload-expanding map (1 row in, n_frames/every_k rows out) on an
+# actor pool (the codec-state shape), with byte-sized batching.
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"VID1"
+VIDEO_HEADER = struct.Struct("<4sHHHI")  # magic, n_frames, w, h, seed
+
+
+def synth_video_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic 'video' rows: VID1 header + n_frames
+    concatenated w×h uint8 frames."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, nf_, w_, h_ = [], [], [], [], []
+    for i in range(n):
+        nf = int(rng.randint(4, 17))
+        w = int(rng.randint(8, 32))
+        h = int(rng.randint(8, 32))
+        body = rng.bytes(nf * w * h)
+        payloads.append(VIDEO_HEADER.pack(VIDEO_MAGIC, nf, w, h, i) + body)
+        ids.append(i)
+        nf_.append(nf)
+        w_.append(w)
+        h_.append(h)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-synthetic"] * n, pa.string()),
+            "n_frames": pa.array(nf_, pa.int32()),
+            "width": pa.array(w_, pa.int32()),
+            "height": pa.array(h_, pa.int32()),
+        }
+    )
+
+
+class FakeVideoDecoder:
+    """Deterministic codec stand-in: yields (frame_idx, (h, w) uint8)
+    for every ``every_k``-th frame WITHOUT materializing the other
+    frames (a real decoder would seek keyframes the same way)."""
+
+    def frames(self, payload: bytes, every_k: int):
+        magic, nf, w, h, _seed = VIDEO_HEADER.unpack(
+            payload[: VIDEO_HEADER.size]
+        )
+        if magic != VIDEO_MAGIC:
+            raise ValueError("bad magic")
+        fsz = w * h
+        for fi in range(0, nf, every_k):
+            off = VIDEO_HEADER.size + fi * fsz
+            yield fi, np.frombuffer(
+                payload, dtype=np.uint8, offset=off, count=fsz
+            ).reshape(h, w)
+
+
+class SampleVideoFrames:
+    """Actor: one video row in → one row per sampled frame out
+    (video_id, frame_idx, mean/std features).  Codec held per actor."""
+
+    def __init__(self, every_k: int = 4):
+        self.every_k = every_k
+        self.codec = FakeVideoDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, fidx, means, stds = [], [], [], []
+        ids = batch["video_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        for vid, payload in zip(ids, payloads):
+            for fi, frame in self.codec.frames(payload, self.every_k):
+                vids.append(int(vid))
+                fidx.append(fi)
+                f = frame.astype(np.float64)
+                means.append(round(float(f.mean()), 6))
+                stds.append(round(float(f.std()), 6))
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_mean": pa.array(means, pa.float64()),
+                "frame_std": pa.array(stds, pa.float64()),
+            }
+        )
+
+
+def video_frame_stage(
+    ds: rd.Dataset,
+    every_k: int = 4,
+    batch_size: int = 16,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Frame-sampled features from video payloads.  Small batch_size:
+    rows are megabyte-scale; batch bytes × concurrency must fit worker
+    heaps (the multimodal sizing rule in the module docstring)."""
+    return ds.map_batches(
+        SampleVideoFrames,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -91,3 +91,31 @@ def test_frame_sample(ray_session):
     assert sorted(out.image_id) == list(range(0, 32, 4))
     out3 = frame_sample(rd.from_arrow(t), every_k=3).to_pandas()
     assert sorted(out3.image_id) == list(range(0, 32, 3))
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        SampleVideoFrames,
+        synth_video_table,
+        video_frame_stage,
+    )
+
+    t = synth_video_table(20)
+    import numpy as np
+    import pandas as pd
+
+    out = video_frame_stage(rd.from_arrow(t), every_k=4).to_pandas()
+    # every video contributes ceil(n_frames/4) rows
+
+    nf = dict(zip(t["video_id"].to_pylist(), t["n_frames"].to_pylist()))
+    per_vid = out.groupby("video_id").size()
+    for vid, n in nf.items():
+        assert per_vid[vid] == -(-n // 4)
+    assert (out.frame_idx % 4 == 0).all()
+    # deterministic: same features on rerun
+    out2 = video_frame_stage(rd.from_arrow(t), every_k=4).to_pandas()
+    a = out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
