@@ -81,16 +81,13 @@ def main() -> None:
         )
 
         shutil.rmtree(OUT, ignore_errors=True)
-        routed = routed_transcripts(inp)
+        # materialize once; both consumers (fan-out write + aggregate)
+        # read the object-store blocks — no recompute, no disk re-read
+        routed = routed_transcripts(inp).materialize()
         write_fanout(routed, f"{OUT}/sinks")
-        # aggregate from the routed parquet (no parse/enrich recompute)
-        from opentelemetry_collector_components_ray.sources import (
-            read_parquet_clean,
+        service_summary(routed, ("1h", "24h")).write_parquet(
+            f"{OUT}/service_summary"
         )
-
-        service_summary(
-            read_parquet_clean(f"{OUT}/sinks"), ("1h", "24h")
-        ).write_parquet(f"{OUT}/service_summary")
 
     cold, _ = _timed(headline)
     warm, _ = _timed(headline)
