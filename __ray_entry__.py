@@ -39,6 +39,9 @@ from opentelemetry_collector_components_ray.stages.enrich import (
     parse_user_agent_sql,
 )
 from opentelemetry_collector_components_ray.stages.parse import PARSED_SQL
+from opentelemetry_collector_components_ray.stages.ratelimit import (
+    rate_limit_quota_sql,
+)
 from opentelemetry_collector_components_ray.stages import route as _route_mod
 from opentelemetry_collector_components_ray.stages.route import ROUTED_SQL
 from opentelemetry_collector_components_ray.synth import TRANSCRIPTS_SQL
@@ -415,6 +418,22 @@ def _q_ua_parse(sf_dir: str):
     return parse_user_agent(ds)
 
 
+def _q_rate_limit(sf_dir: str):
+    """Windowed-quota rate limiting (batch translation of the
+    ratelimitprocessor token bucket with rate*interval = limit;
+    per-key overrides, first-match)."""
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.ratelimit import (
+        rate_limit_quota,
+    )
+
+    return rate_limit_quota(
+        read_transcripts(sf_dir),
+        key="role", interval="1h", limit=3,
+        overrides=[("tool", 1)],
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import conversation
@@ -712,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_range_join": _q_range_join,
         "t_mode_dispatch": _q_mode_dispatch,
         "t_ua_parse": _q_ua_parse,
+        "t_rate_limit": _q_rate_limit,
         "t_sessionize": _q_sessionize,
         "e_hopping_counts": _q_hopping_counts,
         "t_top_tools": _q_top_tools,
@@ -784,6 +804,12 @@ def oracle_sql() -> dict[str, str]:
             + parse_user_agent_sql("user_agent")
             + f" FROM (SELECT conv_id, turn_idx, ({UA_SYNTH_SQL}) AS "
             "user_agent FROM transcripts)"
+        ),
+        "t_rate_limit": (
+            f"{_CTE} " + rate_limit_quota_sql(
+                key="role", interval="1h", limit=3,
+                overrides=[("tool", 1)],
+            )
         ),
         "t_sessionize": f"{_CTE} {_conv.sessionize_sql(3600 * 24)}",
         "e_hopping_counts": _agg.hopping_counts_sql(

@@ -17,6 +17,7 @@ import os
 import subprocess
 import sys
 import time
+from shutil import which as shutil_which
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -81,13 +82,31 @@ def main() -> None:
         )
 
         shutil.rmtree(OUT, ignore_errors=True)
-        # materialize once; both consumers (fan-out write + aggregate)
-        # read the object-store blocks — no recompute, no disk re-read
-        routed = routed_transcripts(inp).materialize()
-        write_fanout(routed, f"{OUT}/sinks")
-        service_summary(routed, ("1h", "24h")).write_parquet(
-            f"{OUT}/service_summary"
-        )
+        if os.environ.get("GRAFT_BENCH_DISKBACK"):
+            # cluster-representative configuration: the routed set is
+            # written once and the aggregation reads the parquet back.
+            # At 100 TB the routed dataset cannot live in the object
+            # store, so THIS is the shape a multi-node run executes —
+            # and it strong-scales at ~1.0 (see BASELINE.md).
+            from opentelemetry_collector_components_ray.sources import (
+                read_parquet_clean,
+            )
+
+            routed = routed_transcripts(inp)
+            write_fanout(routed, f"{OUT}/sinks")
+            service_summary(
+                read_parquet_clean(f"{OUT}/sinks"), ("1h", "24h")
+            ).write_parquet(f"{OUT}/service_summary")
+        else:
+            # single-node latency mode: materialize once; both
+            # consumers read the object-store blocks (fastest at every
+            # CPU count measured, but memory-bandwidth-bound — its
+            # 8→32-core efficiency is ~0.76 vs ~1.0 disk-backed)
+            routed = routed_transcripts(inp).materialize()
+            write_fanout(routed, f"{OUT}/sinks")
+            service_summary(routed, ("1h", "24h")).write_parquet(
+                f"{OUT}/service_summary"
+            )
 
     cold, _ = _timed(headline)
     warm, _ = _timed(headline)
@@ -235,16 +254,38 @@ def scaling() -> None:
     Each level runs TWICE (headline only) and takes the per-level min —
     cross-process runs vary ±20% with filesystem/page-cache state, and
     the steady-state minimum is the defensible throughput number.
+
+    The scaling input defaults to 4× the full-bench input (48M turns):
+    after the round-2 materialize optimization the 32-cpu headline
+    dropped to ~4 s, where the ~1.5 s of fixed driver/scheduling cost
+    masquerades as scaling loss.  Throughput scaling must be measured
+    in the throughput regime — runtime ≫ fixed cost at BOTH levels;
+    the input is still identical across the two levels (strong
+    scaling).  Override with GRAFT_BENCH_REPEAT.
     """
+    scale_repeat = os.environ.get("GRAFT_BENCH_REPEAT", str(REPEAT * 4))
 
     def run_once(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_BENCH_REPEAT=scale_repeat,
+            # scaling measures the cluster-representative (disk-backed)
+            # flagship configuration; the materialized latency mode is
+            # reported separately in the full bench (see headline())
+            GRAFT_BENCH_DISKBACK="1",
         )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # OS-level pinning: ray.init(num_cpus=N) does NOT bound
+        # pyarrow/Acero worker threads, so an unpinned "8-cpu" level
+        # borrows the whole machine's cores for Arrow kernels and
+        # overstates small-cluster throughput.  taskset makes the
+        # simulated N-core node honest.
+        if ncpu < os.cpu_count() and shutil_which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

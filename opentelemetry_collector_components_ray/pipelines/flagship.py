@@ -165,21 +165,36 @@ def run_flagship(
     out_dir: str,
     intervals: Sequence[str] = ("1h", "24h"),
     batch_size: int = 65536,
+    materialize_routed: bool = True,
 ) -> Dict[str, str]:
     """Full run with physical sinks: per-sink routed parquet + aggregate.
 
-    One pass over the raw input: the routed dataset is materialized
-    once in the object store and feeds BOTH consumers (fan-out write +
-    aggregation) — no parse/enrich recompute and no disk round-trip
-    (measured ~30% faster than aggregating from the written parquet at
-    12M turns).  The object store spills gracefully when the routed
-    set exceeds memory, degrading to exactly the disk-backed cost.
-    Same shape as ``_flagship_shard_fn``."""
-    routed = routed_transcripts(
-        sf_dir_or_path, batch_size=batch_size
-    ).materialize()
+    One pass over the raw input, two modes:
+
+    - ``materialize_routed=True`` (default, single-node latency mode):
+      the routed dataset is materialized once in the object store and
+      feeds BOTH consumers — no parse/enrich recompute, no disk
+      round-trip.  ~30% faster at 12M turns, but the object-store
+      copies are memory-bandwidth-bound (8→32-core efficiency ~0.76).
+    - ``materialize_routed=False`` (cluster mode): aggregate reads the
+      just-written sink parquet back.  The right shape when the routed
+      set exceeds object-store memory (any multi-TB run) — and it
+      strong-scales at ~1.0 (BASELINE.md round-2 measurements).
+
+    Same shape as ``_flagship_shard_fn`` in either mode."""
+    routed = routed_transcripts(sf_dir_or_path, batch_size=batch_size)
+    if materialize_routed:
+        routed = routed.materialize()
     paths = write_fanout(routed, f"{out_dir}/sinks")
-    agg = service_summary(routed, intervals, batch_size * 2)
+    if materialize_routed:
+        agg = service_summary(routed, intervals, batch_size * 2)
+    else:
+        from ..sources.parquet import read_parquet_clean
+
+        agg = service_summary(
+            read_parquet_clean(f"{out_dir}/sinks"), intervals,
+            batch_size * 2,
+        )
     agg_path = f"{out_dir}/service_summary"
     agg.write_parquet(agg_path)
     paths["service_summary"] = agg_path
