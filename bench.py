@@ -113,6 +113,18 @@ def main() -> None:
     queries["flagship_e2e_cold"] = cold
     queries["flagship_e2e"] = min(cold, warm)
 
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") and not os.environ.get(
+        "GRAFT_BENCH_DISKBACK"
+    ):
+        # also record the cluster-representative configuration (the
+        # shape --scaling measures; see headline() for the trade)
+        os.environ["GRAFT_BENCH_DISKBACK"] = "1"
+        try:
+            db, _ = _timed(headline)
+            queries["flagship_e2e_diskback"] = db
+        finally:
+            del os.environ["GRAFT_BENCH_DISKBACK"]
+
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         val = queries["flagship_e2e"]
         print(
