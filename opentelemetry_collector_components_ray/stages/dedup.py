@@ -509,56 +509,72 @@ class JaccardVerifier:
         )
 
 
-def _attach_shingles(
-    pairs: rd.Dataset,
+def _verify_pairs_partitioned(
+    cand: rd.Dataset,
     docs: rd.Dataset,
-    owner_col: str,
-    out_col: str,
     text_col: str,
     id_col: str,
     k: int,
     num_buckets: int,
 ) -> rd.Dataset:
-    """One co-location pass of the partitioned Jaccard verify: route
-    candidate-pair rows by ``hash(pair[owner_col]) % num_buckets`` and
-    doc rows by ``hash(doc_id) % num_buckets``; inside each bucket,
-    shingle ONLY the docs that local pairs reference (lazy, candidates
-    ≪ corpus) and attach the shingle hashes to the pair rows as a
-    binary column (``np.uint64.tobytes`` — no nested Arrow types cross
-    the shuffle).  No worker ever sees more than its hash slice of the
-    corpus — the scale-safe replacement for round 1's whole-corpus
-    ``to_pandas()`` broadcast (review finding #2)."""
-    pair_cols = pairs.schema().names
+    """Partitioned Jaccard verification, docs shuffled ONCE.
 
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        cols = {c: t[c] for c in pair_cols}
-        cols[text_col] = pa.nulls(t.num_rows, pa.string())
-        cols["_owner"] = pc.cast(t[owner_col], pa.int64())
-        cols["_side"] = pa.array(
-            np.zeros(t.num_rows, dtype=np.int8)
-        )
-        return pa.table(cols)
+    Phase 1 (co-locate by owner-id hash): each candidate pair is split
+    into two HALF rows — one keyed by id_a, one by id_b — and unioned
+    with the docs table keyed by doc_id.  Inside each bucket, only the
+    docs local pairs reference are shingled (lazy; candidates ≪
+    corpus) and each half row picks up its side's shingle hashes as a
+    binary payload (``np.uint64.tobytes`` — no nested Arrow types
+    cross the shuffle).
+
+    Phase 2 (co-locate by pair hash): the two halves of every pair
+    meet; exact Jaccard from the two payloads.
+
+    The corpus text crosses the wire exactly once (phase 1); phase 2
+    moves only candidate halves — the round-1 whole-corpus broadcast
+    (review finding #2) is gone and, unlike a two-pass
+    attach-per-side design, so is the second docs shuffle.
+    """
+
+    def tag_half(owner_col: str, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id_a": pc.cast(t["id_a"], pa.int64()),
+                    "id_b": pc.cast(t["id_b"], pa.int64()),
+                    text_col: pa.nulls(t.num_rows, pa.string()),
+                    "_owner": pc.cast(t[owner_col], pa.int64()),
+                    "_side": pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return fn
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        cols = {}
-        for c in pair_cols:
-            if c in ("id_a", "id_b"):
-                cols[c] = pa.nulls(t.num_rows, pa.int64())
-            else:  # an already-attached shingle column
-                cols[c] = pa.nulls(t.num_rows, pa.binary())
-        cols[text_col] = t[text_col]
-        cols["_owner"] = pc.cast(t[id_col], pa.int64())
-        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
-        return pa.table(cols)
+        return pa.table(
+            {
+                "id_a": pa.nulls(t.num_rows, pa.int64()),
+                "id_b": pa.nulls(t.num_rows, pa.int64()),
+                text_col: t[text_col],
+                "_owner": pc.cast(t[id_col], pa.int64()),
+                "_side": pa.array(np.full(t.num_rows, 2, dtype=np.int8)),
+            }
+        )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         v = t["_owner"].to_numpy(zero_copy_only=False).astype(np.int64)
         mixed = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         g = (mixed % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column("_g", pa.array(g))
+        out = t.append_column("_g", pa.array(g))
+        if out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
 
     both = (
-        pairs.map_batches(tag_pairs, batch_format="pyarrow")
+        cand.map_batches(tag_half("id_a", 0), batch_format="pyarrow")
+        .union(cand.map_batches(tag_half("id_b", 1), batch_format="pyarrow"))
         .union(
             docs.select_columns([id_col, text_col]).map_batches(
                 tag_docs, batch_format="pyarrow"
@@ -570,21 +586,18 @@ def _attach_shingles(
     def attach(df: pd.DataFrame) -> pa.Table:
         # typed Arrow output (int64 ids, binary shingles) — empty
         # object-dtype pandas columns trip Ray's block-size estimator
-        is_doc = df["_side"].to_numpy() == 1
-        p = df[~is_doc]
-
-        def typed(col: str, values) -> pa.Array:
-            if col in ("id_a", "id_b"):
-                return pa.array(
-                    np.asarray(values, dtype=np.int64), pa.int64()
-                )
-            return pa.array(list(values), pa.binary())
-
-        if not len(p):
+        side = df["_side"].to_numpy()
+        halves = df[side != 2]
+        if not len(halves):
             return pa.table(
-                {c: typed(c, []) for c in pair_cols + [out_col]}
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "_side": pa.array([], pa.int8()),
+                    "_sh": pa.array([], pa.binary()),
+                }
             )
-        d = df[is_doc]
+        d = df[side == 2]
         texts = dict(zip(d["_owner"].astype(np.int64), d[text_col]))
         cache: Dict[int, bytes] = {}
 
@@ -594,14 +607,82 @@ def _attach_shingles(
                 b = cache[i] = _shingles(texts[i], k).tobytes()
             return b
 
-        cols = {c: typed(c, p[c].to_numpy()) for c in pair_cols}
-        cols[out_col] = pa.array(
-            [sh_bytes(int(i)) for i in p["_owner"].to_numpy()],
-            pa.binary(),
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    halves["id_a"].to_numpy().astype(np.int64)
+                ),
+                "id_b": pa.array(
+                    halves["id_b"].to_numpy().astype(np.int64)
+                ),
+                "_side": pa.array(
+                    halves["_side"].to_numpy().astype(np.int8)
+                ),
+                "_sh": pa.array(
+                    [
+                        sh_bytes(int(i))
+                        for i in halves["_owner"].to_numpy()
+                    ],
+                    pa.binary(),
+                ),
+            }
         )
-        return pa.table(cols)
 
-    return both.groupby("_g").map_groups(attach, batch_format="pandas")
+    halves = both.groupby("_g").map_groups(attach, batch_format="pandas")
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = a * np.uint64(0x9E3779B97F4A7C15) + b
+        g = (mixed % np.uint64(num_buckets)).astype(np.int64)
+        out = t.append_column("_pg", pa.array(g))
+        if out.schema.metadata:
+            out = out.replace_schema_metadata(None)
+        return out
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        df = df.sort_values(["id_a", "id_b", "_side"], kind="mergesort")
+        sh = df["_sh"].to_numpy()
+        ida = df["id_a"].to_numpy()
+        idb = df["id_b"].to_numpy()
+        n_pairs = len(df) // 2
+        out_a = np.empty(n_pairs, dtype=np.int64)
+        out_b = np.empty(n_pairs, dtype=np.int64)
+        jac = np.empty(n_pairs)
+        for i in range(n_pairs):
+            r = 2 * i
+            assert ida[r] == ida[r + 1] and idb[r] == idb[r + 1]
+            x = np.frombuffer(sh[r], dtype=np.uint64)
+            y = np.frombuffer(sh[r + 1], dtype=np.uint64)
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
+            out_a[i] = ida[r]
+            out_b[i] = idb[r]
+            jac[i] = inter / union if union else 1.0
+        return pd.DataFrame(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "jaccard": round_half_away(jac, 6),
+            }
+        )
+
+    return (
+        halves.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pg")
+        .map_groups(
+            lambda df: score(df.drop(columns=["_pg"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def minhash_near_dups(
@@ -655,33 +736,9 @@ def minhash_near_dups(
     if verify != "partitioned":
         raise ValueError(f"unknown verify mode {verify!r}")
 
-    with_a = _attach_shingles(
-        cand, docs, "id_a", "_sh_a", text_col, id_col, k, num_buckets
+    verified = _verify_pairs_partitioned(
+        cand, docs, text_col, id_col, k, num_buckets
     )
-    with_b = _attach_shingles(
-        with_a, docs, "id_b", "_sh_b", text_col, id_col, k, num_buckets
-    )
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        jac = np.empty(n)
-        sa = df["_sh_a"].to_numpy()
-        sb = df["_sh_b"].to_numpy()
-        for i in range(n):
-            x = np.frombuffer(sa[i], dtype=np.uint64)
-            y = np.frombuffer(sb[i], dtype=np.uint64)
-            inter = np.intersect1d(x, y, assume_unique=True).size
-            union = x.size + y.size - inter
-            jac[i] = inter / union if union else 1.0
-        return pd.DataFrame(
-            {
-                "id_a": df["id_a"].astype("int64").to_numpy(),
-                "id_b": df["id_b"].astype("int64").to_numpy(),
-                "jaccard": round_half_away(jac, 6),
-            }
-        )
-
-    verified = with_b.map_batches(score, batch_format="pandas")
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
