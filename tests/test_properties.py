@@ -129,3 +129,94 @@ def test_hash64_stable_and_consistent(strs):
     # equal inputs hash equal (vectorized path == per-value path)
     for i, s in enumerate(strs):
         assert h1[i] == hash64(np.asarray([s], dtype=object))[0]
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_md5vec_matches_hashlib(strs):
+    import hashlib
+
+    from opentelemetry_collector_components_ray.functions.md5vec import (
+        md5_hex,
+        md5_hex_np,
+    )
+
+    exp = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strs]
+    assert list(md5_hex_np(np.array(strs, dtype=object))) == exp
+    assert md5_hex(pa.array(strs, pa.string())).to_pylist() == exp
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False).filter(lambda x: x != 0),
+        min_size=1, max_size=300,
+    ),
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False).filter(lambda x: x != 0),
+        min_size=1, max_size=300,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_expo_merge_commutative_with_negatives(xs, ys):
+    from opentelemetry_collector_components_ray.functions.histograms import (
+        ExpoHist,
+    )
+
+    a1 = ExpoHist.from_values(np.array(xs), scale=3)
+    b1 = ExpoHist.from_values(np.array(ys), scale=3)
+    a2 = ExpoHist.from_values(np.array(xs), scale=3)
+    b2 = ExpoHist.from_values(np.array(ys), scale=3)
+    m1 = a1.merge(b1)
+    m2 = b2.merge(a2)
+    assert m1.scale == m2.scale
+    assert m1.count == m2.count
+    assert int(m1.counts.sum()) == int(m2.counts.sum())
+    assert int(m1.neg_counts.sum()) == int(m2.neg_counts.sum())
+    assert m1.zero_count == m2.zero_count
+    # totals conserved
+    assert m1.count == len(xs) + len(ys)
+    assert (
+        int(m1.counts.sum()) + int(m1.neg_counts.sum()) + m1.zero_count
+        == m1.count
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 40)),
+        min_size=1, max_size=300,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_label_propagation_is_connected_components(edges):
+    """Driver-side propagation labels == true connected components of
+    the bipartite graph (checked against a union-find)."""
+    from opentelemetry_collector_components_ray.stages.dedup import (
+        label_propagation,
+    )
+
+    bkeys = np.array([b for b, _ in edges], dtype=np.int64)
+    ids = np.array([i for _, i in edges], dtype=np.int64)
+    got = label_propagation(bkeys, ids, max_rounds=200)
+
+    # union-find ground truth over (bucket+OFFSET, id) nodes
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        parent[find(x)] = find(y)
+
+    OFF = 10**9
+    for b, i in edges:
+        union(b + OFF, i)
+    want = {}
+    for i in set(ids.tolist()):
+        want.setdefault(find(i), []).append(i)
+    comp_min = {root: min(members) for root, members in want.items()}
+    for _, row in got.iterrows():
+        assert row.cluster_id == comp_min[find(int(row.id))]
