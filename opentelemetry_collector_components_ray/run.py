@@ -26,9 +26,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--job",
         default="flagship",
-        choices=("flagship", "dedup", "ndjson"),
+        choices=("flagship", "dedup", "cluster-dedup", "ndjson"),
         help="flagship: sharded parse→enrich→route→aggregate over "
-        "parquet; dedup: exact-dedup a documents parquet; ndjson: "
+        "parquet; dedup: exact-dedup a documents parquet; "
+        "cluster-dedup: MinHash near-dup cluster dedup (distributed "
+        "label propagation) writing survivors + cluster map; ndjson: "
         "flagship over NDJSON stream files",
     )
     p.add_argument("--shards", type=int, default=16)
@@ -66,6 +68,37 @@ def main(argv=None) -> int:
         os.path.join(inp, "events.parquet")
     ):
         inp = materialize_transcripts(inp)
+
+    if args.job == "cluster-dedup":
+        from .sources.parquet import read_parquet_clean
+        from .stages.dedup import minhash_clusters
+
+        src = (
+            os.path.join(args.input, "documents.parquet")
+            if os.path.isdir(args.input)
+            and os.path.exists(
+                os.path.join(args.input, "documents.parquet")
+            )
+            else args.input
+        )
+        docs = read_parquet_clean(src)
+        clusters = minhash_clusters(docs, distributed=True).materialize()
+        clusters.write_parquet(f"{args.out}/clusters")
+        survivors = clusters.filter(expr="doc_id == cluster_id")
+        survivors.write_parquet(f"{args.out}/survivors")
+        print(
+            json.dumps(
+                {
+                    "status": "ok",
+                    "clusters": f"{args.out}/clusters",
+                    "survivors": f"{args.out}/survivors",
+                    "n_docs": clusters.count(),
+                    "n_survivors": survivors.count(),
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
 
     if args.job == "dedup":
         import ray.data as rd
