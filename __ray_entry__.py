@@ -751,7 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops: dedup / text analysis / similarity search
         "d_exact_dedup": _q_exact_dedup,
         "d_dedup_stats": _q_dedup_stats,
-        "d_minhash_pairs": _q_minhash_pairs,  # rows-only (LSH)
+        "d_minhash_pairs": _q_minhash_pairs,
         "d_simhash_pairs": _q_simhash_pairs,  # rows-only (LSH)
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,  # rows-only (LSH clusters)
         "d_token_counts": _q_token_counts,
@@ -841,10 +841,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "d_exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "d_dedup_stats": _dedup.DEDUP_STATS_SQL,
-        # d_minhash_pairs / d_simhash_pairs / e_cosine_neardup: LSH
-        # candidate generation is not SQL-expressible → rows-only check;
-        # recall is tested against brute force in tests/test_dedup.py
-        # and tests/test_ann.py.
+        # d_minhash_pairs: the seeded LSH candidate set is a
+        # deterministic function of the input and every qualifying pair
+        # sits far above the detection knee, so the brute-force SQL
+        # ground truth doubles as a value-level oracle (see
+        # dedup.minhash_pairs_oracle_sql).
+        "d_minhash_pairs": _dedup.minhash_pairs_oracle_sql(0.8, 3),
+        # d_simhash_pairs / e_cosine_neardup: LSH candidate generation
+        # is not SQL-expressible → rows-only check; recall is tested
+        # against brute force in tests/test_dedup.py and tests/test_ann.py.
         "d_token_counts": _text.TOKEN_COUNTS_SQL,
         "d_quality": _text.QUALITY_SCORES_SQL,
         "d_lang_id": _text.lang_id_sql(),

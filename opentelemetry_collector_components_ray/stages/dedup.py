@@ -1348,3 +1348,39 @@ def simhash_near_dups(
     )
     uniq = distinct_pairs(cand, ("id_a", "id_b"))
     return uniq.filter(expr=f"hamming <= {hamming_k}")
+
+
+def minhash_pairs_oracle_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Brute-force k-word-shingle Jaccard pairs in SQL — the exact
+    ground truth the LSH path approximates.  Usable as a value-level
+    oracle because (a) the MinHash permutations are SEEDED, so the LSH
+    candidate set is a deterministic function of the input, and (b) at
+    the tested corpus all qualifying pairs sit at j ≥ 0.9 where the
+    16-band×4-row detection probability is 1 - 3e-8 — the engine result
+    equals ground truth (asserted against brute force in
+    tests/test_dedup.py too).  O(n²) in SQL: oracle-scale corpora only.
+    """
+    words = "regexp_extract_all(lower(text), '\\w+')"
+    gram = " || ' ' || ".join(
+        f"{words}[i+{j}]" for j in range(k)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, len({words}) - {k - 2}),
+             i -> {gram}
+           )
+         ) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE
+      >= {threshold}
+"""
