@@ -160,28 +160,64 @@ def run_flagship_sharded(
     return final_path
 
 
+def _estimate_input_bytes(path: str) -> int:
+    """Sum of parquet file sizes under ``path`` (file or dir)."""
+    import glob as _g
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(p)
+        for p in _g.glob(os.path.join(path, "**", "*.parquet"),
+                         recursive=True)
+    )
+
+
+def _should_materialize(input_path: str) -> bool:
+    """Materialize the routed set only when its decoded size clearly
+    fits the object store.  Decoded Arrow runs ~2-3× the parquet
+    bytes; past ~50% of the store the materialized blocks thrash the
+    spill path and the disk-backed mode wins outright (measured: 48M
+    turns materialized 12.6 s vs 15.7 disk-backed; 96M turns 88 s
+    materialized [spilling] vs 29.7 disk-backed)."""
+    import ray
+
+    try:
+        store = ray.cluster_resources().get("object_store_memory", 0)
+    except Exception:
+        return False
+    est_decoded = _estimate_input_bytes(input_path) * 3
+    return bool(store) and est_decoded < 0.5 * store
+
+
 def run_flagship(
     sf_dir_or_path: str,
     out_dir: str,
     intervals: Sequence[str] = ("1h", "24h"),
     batch_size: int = 65536,
-    materialize_routed: bool = True,
+    materialize_routed: bool | None = None,
 ) -> Dict[str, str]:
     """Full run with physical sinks: per-sink routed parquet + aggregate.
 
     One pass over the raw input, two modes:
 
-    - ``materialize_routed=True`` (default, single-node latency mode):
-      the routed dataset is materialized once in the object store and
+    - ``materialize_routed=True`` (single-node latency mode): the
+      routed dataset is materialized once in the object store and
       feeds BOTH consumers — no parse/enrich recompute, no disk
       round-trip.  ~30% faster at 12M turns, but the object-store
-      copies are memory-bandwidth-bound (8→32-core efficiency ~0.76).
+      copies are memory-bandwidth-bound (8→32-core efficiency ~0.76)
+      and past ~50% store occupancy the spill path makes it SLOWER
+      than disk-backed (96M turns: 88 s vs 29.7 s).
     - ``materialize_routed=False`` (cluster mode): aggregate reads the
       just-written sink parquet back.  The right shape when the routed
       set exceeds object-store memory (any multi-TB run) — and it
       strong-scales at ~1.0 (BASELINE.md round-2 measurements).
+    - ``None`` (default): auto-select from the input size estimate vs
+      the object store (:func:`_should_materialize`).
 
     Same shape as ``_flagship_shard_fn`` in either mode."""
+    if materialize_routed is None:
+        materialize_routed = _should_materialize(sf_dir_or_path)
     routed = routed_transcripts(sf_dir_or_path, batch_size=batch_size)
     if materialize_routed:
         routed = routed.materialize()
