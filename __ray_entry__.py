@@ -563,6 +563,20 @@ def _q_cardinality_route(sf_dir: str):
     return cardinality_route(enriched_transcripts(sf_dir))
 
 
+def _q_cardinality_route_hll(sf_dir: str):
+    """HLL-sketch cardinality routing (router.go:287-297 precision-14
+    estimates).  At driver cardinalities the linear-counting range
+    makes the estimate exact, so this can share the exact oracle."""
+    from opentelemetry_collector_components_ray.pipelines import (
+        enriched_transcripts,
+    )
+    from opentelemetry_collector_components_ray.stages.route import (
+        cardinality_route_hll,
+    )
+
+    return cardinality_route_hll(enriched_transcripts(sf_dir))
+
+
 def _q_jaccard_pairs(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import dedup
 
@@ -742,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_approx_convs": _q_approx_convs,  # rows-only (HLL estimate)
         "t_ecs_remap": _q_ecs_remap,
         "t_cardinality_route": _q_cardinality_route,
+        "t_cardinality_route_hll": _q_cardinality_route_hll,  # rows-only (sketch)
         "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
         "t_summary_merge": _q_summary_merge,
@@ -827,6 +842,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle → rows-only; accuracy asserted in tests/test_conversation.py
         "t_ecs_remap": f"{_CTE} {_remap.RemapSpec().sql_select('enriched')}",
         "t_cardinality_route": f"{_CTE} {_route_mod.cardinality_route_sql()}",
+        # t_cardinality_route_hll: sketch estimates are ±1 even in the
+        # linear-counting range (register collisions) → rows-only;
+        # accuracy asserted in tests/test_cardinality_route.py
         "d_jaccard_pairs": _dedup.word_jaccard_pairs_sql(0.5, 400),
         "t_latency_histogram": (
             f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"

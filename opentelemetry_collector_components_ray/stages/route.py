@@ -285,3 +285,79 @@ SELECT {config.key}, combo_card, {case} AS sink FROM (
   GROUP BY {config.key}
 )
 """
+
+
+def cardinality_route_hll(
+    ds: rd.Dataset,
+    config: CardinalityRouterConfig = CardinalityRouterConfig(),
+    batch_size: int = 131072,
+    num_buckets: int = 64,
+    precision: int = 14,
+) -> rd.Dataset:
+    """Cardinality routing with MERGEABLE HLL sketches — the scale path
+    the reference itself uses for its estimates (router.go:287-297
+    records combos into a precision-14 HLL; thresholds compare against
+    the estimate, dynamicroutingconnector/README.md:272-278).
+
+    Use when even one key's distinct-combo set is too large to dedup
+    exactly per bucket: each batch folds its combos into one sketch
+    per key (16 KiB, fixed), sketches merge per key in a key-hash
+    bucketed reduce, and the threshold compares the ±0.8% estimate.
+    Decisions near a threshold can differ from the exact path —
+    exactly as they can in the reference; rows-only checked, accuracy
+    asserted in tests.  Output: (key, combo_card, sink) with
+    combo_card = HLL estimate (int64).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.blocks import to_clean_arrow
+    from ..functions.sketches import HyperLogLog, hash64
+
+    cols = [config.key, *config.measure_by]
+
+    def partial(df: "pd.DataFrame"):
+        # one sketch per key per batch, combo hashed as joined string
+        combo = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            combo = combo + "\x1f" + df[c].astype(str)
+        h = hash64(combo.to_numpy(dtype=object))
+        keys = df[config.key].to_numpy(dtype=object)
+        out_k, out_s = [], []
+        order = np.argsort(keys, kind="stable")
+        sk, sh = keys[order], h[order]
+        start = 0
+        for i in range(1, len(sk) + 1):
+            if i == len(sk) or sk[i] != sk[start]:
+                hll = HyperLogLog(precision).add_hashes(sh[start:i])
+                out_k.append(sk[start])
+                out_s.append(hll.to_bytes())
+                start = i
+        g = pd.DataFrame({config.key: out_k, "_sketch": out_s})
+        g["_bucket"] = (
+            hash64(g[config.key].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return to_clean_arrow(g)
+
+    def reduce_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for key_val, grp in df.groupby(config.key, sort=True):
+            hll = HyperLogLog(precision)
+            for b in grp["_sketch"]:
+                hll.merge(HyperLogLog.from_bytes(bytes(b), precision))
+            est = int(round(hll.estimate()))
+            rows.append((key_val, est, config.sink_for(est)))
+        return pd.DataFrame(
+            rows, columns=[config.key, "combo_card", "sink"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=batch_size)
+        .groupby("_bucket")
+        .map_groups(
+            lambda df: reduce_bucket(df.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )

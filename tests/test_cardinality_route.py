@@ -68,3 +68,64 @@ def test_distributed_finish_equals_coalesced(enriched_ds):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dist, coal)
+
+
+def test_hll_route_matches_exact_at_low_cardinality(enriched_ds):
+    """At combo cardinalities ≪ 1/HLL-error the estimate is exact
+    (linear counting), so decisions equal the exact path."""
+    from opentelemetry_collector_components_ray.stages.route import (
+        cardinality_route_hll,
+    )
+
+    exact = (
+        cardinality_route(enriched_ds)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    hll = (
+        cardinality_route_hll(enriched_ds)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    # register collisions make the estimate ±1 even in the
+    # linear-counting range; decisions may only differ for keys whose
+    # exact count sits adjacent to a threshold
+    diff = (exact.combo_card - hll.combo_card).abs()
+    assert (diff <= 1).all()
+    disagree = exact.sink != hll.sink
+    thresholds = {2, 6}
+    for _, row in exact[disagree].iterrows():
+        assert any(abs(row.combo_card - t) <= 1 for t in thresholds)
+
+
+def test_hll_route_estimate_accuracy_large_keyspace(ray_session):
+    """A key with 50k distinct combos: estimate within ±2%."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.route import (
+        CardinalityRouterConfig,
+        cardinality_route_hll,
+    )
+
+    n = 50_000
+    t = pa.table(
+        {
+            "conv_id": ["big"] * n,
+            "role": [f"r{i}" for i in range(n)],  # all distinct combos
+            "tool": ["t"] * n,
+        }
+    )
+    cfg = CardinalityRouterConfig(
+        rules=((40_000, "low_card"), (None, "high_card"))
+    )
+    out = cardinality_route_hll(
+        rd.from_arrow(t).repartition(8), cfg
+    ).to_pandas()
+    assert len(out) == 1
+    est = out.combo_card.iloc[0]
+    assert abs(est - n) / n < 0.02
+    assert out.sink.iloc[0] == "high_card"
