@@ -30,10 +30,50 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch
 
 
+def _clean_schema_for(path, columns=None):
+    """Metadata-free footer schema for the first parquet file under
+    ``path`` — passed to ``read_parquet(schema=)`` so even the READ
+    operator's own schema handling (SplitBlocks unify) never sees the
+    unhashable pandas metadata blob."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    p = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(p):
+        files = sorted(
+            _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return None
+        rel = os.path.relpath(files[0], p)
+        if "=" in rel:
+            # hive-partitioned layout: the partition column lives in
+            # the directory names, not the footer — forcing the footer
+            # schema would drop it; let Ray infer (the downstream strip
+            # map still cleans the metadata)
+            return None
+        p = files[0]
+    try:
+        schema = _pq.read_schema(p).remove_metadata()
+    except Exception:
+        return None
+    if columns:
+        try:
+            schema = pa.schema([schema.field(c) for c in columns])
+        except KeyError:
+            return None
+    return schema
+
+
 def read_parquet_clean(path, columns=None, **kwargs) -> rd.Dataset:
     """``ray.data.read_parquet`` with schema metadata stripped (see
     :func:`_strip_schema_metadata`) — use this for every parquet read
     in the engine."""
+    if "schema" not in kwargs:
+        schema = _clean_schema_for(path, columns)
+        if schema is not None:
+            kwargs["schema"] = schema
     ds = rd.read_parquet(
         path, columns=list(columns) if columns else None, **kwargs
     )
