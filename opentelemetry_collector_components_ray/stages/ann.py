@@ -66,7 +66,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class TopKScorer:
-    """Actor: holds the broadcast normalized query matrix; per batch
+    """Per-process-cached scorer: holds the broadcast normalized query
+    matrix (resolved once per worker from a ``ray.put`` ref); per batch
     computes cosine vs all queries and emits the batch-local top-k."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):

@@ -3,7 +3,8 @@
 Large-scale-training-pipeline ops, built Ray-Data-first:
 
 - **Exact dedup**: two-phase min-reduce keyed on content — per-batch
-  combiner emits one (text, min doc_id) row, tree merge finishes.  The
+  combiner emits one (text, min doc_id) row, text-hash-bucketed
+  distributed finish (coalesced finish for small corpora).  The
   reference's analogue is identity-hash dedup when merging resources
   (internal/merger/value.go:364-462) and intake event fingerprint dedup
   (ndjsondecoder/stream.go:513).
@@ -217,7 +218,10 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 class MinHasher:
-    """Per-batch minhash signatures (actor pool: params built once)."""
+    """Per-batch minhash signatures (per-process cached via
+    functions/broadcast.process_cached: params built once per worker
+    process — see that module for why this beats an actor pool here;
+    also usable directly as an actor-pool callable class)."""
 
     def __init__(
         self,
@@ -469,10 +473,11 @@ def lsh_candidate_pairs(
 
 
 class JaccardVerifier:
-    """Actor: holds the broadcast (id → shingle-set) index, verifies
-    candidate pairs with exact Jaccard.  Broadcast is the small side
-    (signature/shingle index); at larger scale, partition the index by
-    id-hash and route pair batches to the matching actor instead.
+    """Broadcast-path verifier (per-process cached): holds the
+    (id → shingle-set) index resolved from a ``ray.put`` ref, verifies
+    candidate pairs with exact Jaccard.  This is the SMALL-corpus fast
+    path; the default at scale is :func:`_verify_pairs_partitioned`
+    (id-hash-partitioned shingle state, no broadcast).
     """
 
     def __init__(self, docs_ref, text_col: str, id_col: str, k: int):

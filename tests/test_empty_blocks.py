@@ -89,3 +89,91 @@ def test_pipeline_with_empty_filter_result(ray_session, sf_dir):
     )
     out = service_summary(ds, ("1h",)).to_pandas()
     assert len(out) == 0
+
+
+def test_round2_ops_on_empty_datasets(ray_session):
+    """Round-2 operators survive empty inputs end-to-end (the
+    streaming executor regularly emits zero-row blocks)."""
+    import numpy as np
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        asof_join,
+        range_join_broadcast,
+    )
+    from opentelemetry_collector_components_ray.stages.aggregate import (
+        hopping_counts,
+        summary_datapoints,
+        summary_merge,
+    )
+    from opentelemetry_collector_components_ray.stages.ann import (
+        quantize_embeddings,
+    )
+    from opentelemetry_collector_components_ray.stages.ratelimit import (
+        rate_limit_quota,
+    )
+    from opentelemetry_collector_components_ray.stages.sampling import (
+        stratified_sample,
+    )
+    from opentelemetry_collector_components_ray.stages.text import (
+        normalize_text,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": [0, 1],
+            "role": ["user", "tool"],
+            "text": ["a b", "c d"],
+            "tool": ["", "sql"],
+            "ts": [base, base],
+        }
+    )
+    # empty via an impossible filter — exercises the real empty-block path
+    empty = rd.from_pandas(tr).filter(expr="turn_idx > 100")
+
+    assert hopping_counts(empty, ["role"]).count() == 0
+    assert stratified_sample(empty, "conv_id", 3).count() == 0
+    assert rate_limit_quota(empty, key="role").count() == 0
+    assert normalize_text(
+        empty.map_batches(
+            lambda t: t.rename_columns(
+                ["doc_id" if c == "conv_id" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    ).count() == 0
+
+    lat = pd.DataFrame(
+        {
+            "role": ["u"], "tool": ["t"],
+            "ts": [base], "turn_idx": [0],
+            "latency_ms": [5],
+        }
+    )
+    assert summary_merge(
+        summary_datapoints(rd.from_pandas(lat).filter(expr="turn_idx > 5"))
+    ).count() == 0
+
+    # asof join with an empty right side: all left rows unmatched
+    left = rd.from_pandas(
+        pd.DataFrame({"k": ["a"], "t": np.array([5], dtype="int64"),
+                      "lv": [1]})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"k": ["a"], "t": np.array([3], dtype="int64"),
+                      "rv": [9]})
+    ).filter(expr="t > 100")
+    out = asof_join(left, right, by="k", on="t").to_pandas()
+    assert len(out) == 1 and pd.isna(out.rv.iloc[0])
+
+    bands = pd.DataFrame(
+        {"lo": [0.0], "hi": [None], "band": ["all"]}
+    )
+    emb_empty = rd.from_pandas(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.1, 0.2]],
+                      "v": [1.0]})
+    ).filter(expr="vec_id > 5")
+    assert range_join_broadcast(emb_empty, bands, value_col="v").count() == 0
+    assert quantize_embeddings(emb_empty).count() == 0
