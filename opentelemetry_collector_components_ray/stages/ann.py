@@ -349,28 +349,6 @@ def _hyperplanes(d: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(d, n_bits))
 
 
-class HyperplaneHasher:
-    def __init__(self, d: int, n_bits: int, id_col: str, vec_col: str,
-                 seed: int = 42):
-        self.h = _hyperplanes(d, n_bits, seed)
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _matrix(batch[self.vec_col])
-        signs = (m @ self.h) > 0  # (n, n_bits)
-        key = np.zeros(len(m), dtype=np.int64)
-        for b in range(signs.shape[1]):
-            key = (key << 1) | signs[:, b]
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "bucket": key,
-                self.vec_col: batch[self.vec_col],
-            }
-        )
-
-
 def embedding_clusters(
     ds: rd.Dataset,
     n_bits: int = 10,

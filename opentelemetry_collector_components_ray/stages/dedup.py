@@ -709,11 +709,12 @@ def minhash_near_dups(
     tested against brute force in tests/test_dedup.py.
 
     ``verify="partitioned"`` (default) verifies candidates against
-    id-hash-partitioned shingle state (two co-location passes, one per
-    pair side — :func:`_attach_shingles`); no worker or driver ever
-    holds the whole corpus.  ``verify="broadcast"`` is the small-corpus
-    fast path: one ``ray.put`` of the (id, text) table, verified on an
-    actor pool with a lazy shingle cache.
+    id-hash-partitioned shingle state (docs shuffled once, pair halves
+    re-joined by pair hash — :func:`_verify_pairs_partitioned`); no
+    worker or driver ever holds the whole corpus.
+    ``verify="broadcast"`` is the small-corpus fast path: one
+    ``ray.put`` of the (id, text) table with a lazy per-process
+    shingle cache.
     """
     sigs = docs.map_batches(
         _minhash_fn(text_col, id_col, k, num_perm),
