@@ -176,6 +176,13 @@ def run_sharded(
     def run_one(sid: int, files: Sequence[str]) -> dict:
         final_dir = os.path.join(out_dir, f"shard={sid:05d}")
         if resume and shard_complete(out_dir, sid, files):
+            # a compaction of this shard's outputs may have crashed
+            # mid-swap since the manifest was written — recover any
+            # '.old'/'.compact' leftovers before trusting the skip
+            for leftover in glob.glob(
+                os.path.join(final_dir, "**", "*.old"), recursive=True
+            ):
+                heal_compaction(leftover[: -len(".old")])
             return load_manifest(out_dir, sid)
         if not files:  # stable hashing can leave a shard empty
             manifest = {

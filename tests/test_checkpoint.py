@@ -223,3 +223,36 @@ def test_compaction_refuses_non_parquet_content(ray_session, tmp_path):
     os.makedirs(os.path.join(path, "nested"))
     with pytest.raises(ValueError):
         cp.compact_parquet_dir(path)
+
+
+def test_resume_heals_crashed_compaction_in_shard(ray_session, tmp_path):
+    """A compaction that crashed mid-swap inside a completed shard's
+    output is recovered on the next resumable run (advice finding)."""
+    import pandas as pd
+    import ray.data as rd
+
+    inp = str(tmp_path / "in")
+    rd.from_pandas(
+        pd.DataFrame({"x": range(100)})
+    ).repartition(4).write_parquet(inp)
+    out = str(tmp_path / "out")
+
+    def shard_fn(ds, shard_dir):
+        ds.write_parquet(f"{shard_dir}/data")
+        return {}
+
+    cp.run_sharded(inp, out, shard_fn, num_shards=2, max_concurrent=1)
+    # simulate crash-mid-swap in shard 0's data dir
+    victim = None
+    for d in sorted(glob.glob(f"{out}/shard=*/data")):
+        victim = d
+        break
+    assert victim
+    os.replace(victim, victim + ".old")
+    assert not os.path.exists(victim)
+
+    cp.run_sharded(inp, out, shard_fn, num_shards=2, max_concurrent=1)
+    assert os.path.exists(victim)
+    assert not os.path.exists(victim + ".old")
+    back = rd.read_parquet(sorted(glob.glob(f"{out}/shard=*/data")))
+    assert back.count() == 100
