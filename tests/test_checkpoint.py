@@ -254,5 +254,7 @@ def test_resume_heals_crashed_compaction_in_shard(ray_session, tmp_path):
     cp.run_sharded(inp, out, shard_fn, num_shards=2, max_concurrent=1)
     assert os.path.exists(victim)
     assert not os.path.exists(victim + ".old")
-    back = rd.read_parquet(sorted(glob.glob(f"{out}/shard=*/data")))
+    back = rd.read_parquet(
+        sorted(glob.glob(f"{out}/shard=*/data/*.parquet"))
+    )
     assert back.count() == 100
