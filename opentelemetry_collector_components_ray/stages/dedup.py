@@ -253,16 +253,15 @@ class MinHasher:
         words_list = _pc.split_pattern_regex(
             _pc.utf8_lower(arr), r"\W+"
         )
-        flat_words = np.asarray(
-            _pc.list_flatten(words_list).to_pylist(), dtype=object
-        )
+        flat_arr = _pc.list_flatten(words_list)
         word_counts = np.asarray(
             _pc.list_value_length(words_list), dtype=np.int64
         )
-        keep = flat_words != ""  # split artifacts at string edges
-        h = np.zeros(len(flat_words), dtype=np.uint64)
-        if keep.any():
-            h[keep] = hash64(flat_words[keep])
+        # split artifacts at string edges are empty strings
+        keep = _pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
+        # buffer-level vectorized word hash — the flat word array never
+        # round-trips through Python objects (round-2 review finding)
+        h = hash64(flat_arr)
         # recompute per-doc word counts after dropping empties
         doc_ids = np.repeat(np.arange(len(texts)), word_counts)
         doc_ids = doc_ids[keep]
@@ -1207,20 +1206,19 @@ class SimHasher:
         n_docs = len(texts)
         arr = _pa.array(list(texts), _pa.string())
         words_list = _pc.split_pattern_regex(_pc.utf8_lower(arr), r"\W+")
-        flat = np.asarray(
-            _pc.list_flatten(words_list).to_pylist(), dtype=object
-        )
+        flat_arr = _pc.list_flatten(words_list)
         counts = np.asarray(
             _pc.list_value_length(words_list), dtype=np.int64
         )
         doc_ids = np.repeat(np.arange(n_docs), counts)
-        keep = flat != ""
-        flat, doc_ids = flat[keep], doc_ids[keep]
+        keep = _pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
+        # buffer-level vectorized word hash (no Python round-trip)
+        h_all = hash64(flat_arr)
+        h, doc_ids = h_all[keep], doc_ids[keep]
         counts = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
         out = np.zeros(n_docs, dtype=np.uint64)
-        if len(flat) == 0:
+        if len(h) == 0:
             return out
-        h = hash64(flat)
         offsets = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(counts[:-1], out=offsets[1:])
         # bit-majority per doc: reduceat of each bit column
