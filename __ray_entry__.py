@@ -722,11 +722,19 @@ def _q_cosine_neardup(sf_dir: str):
     """The raw synthetic embeddings contain no near-dups (max organic
     cosine ≈ 0.51), so plant deterministic twins first — otherwise the
     rows-only check passes vacuously on an empty result (round-1
-    review finding)."""
+    review finding).
+
+    Value-gated (round 3): with n_bits=6 / n_tables=8 a planted twin
+    (cos ≈ 0.995, θ ≈ 0.1 rad) collides in ≥1 table with probability
+    1 − (1 − (1 − θ/π)^6)^8 ≈ 1 − 9e-7, so the LSH output equals the
+    brute-force twin set (ann.cosine_neardup_sql) except with
+    probability ≪ 1e-4 over the whole corpus."""
     from opentelemetry_collector_components_ray.stages import ann
 
     planted = ann.plant_near_dup_twins(_embs(sf_dir), every=10, eps=0.1)
-    return ann.cosine_near_dup_pairs(planted, threshold=0.99)
+    return ann.cosine_near_dup_pairs(
+        planted, threshold=0.99, n_bits=6, n_tables=8
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -777,7 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "t_stratified_sample": _q_stratified_sample,
-        "e_cosine_neardup": _q_cosine_neardup,  # rows-only (LSH)
+        "e_cosine_neardup": _q_cosine_neardup,
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
         "e_ivf_index": _q_ivf_index,  # rows-only (pruned-read IVF; equality tested)
         "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
@@ -865,9 +873,16 @@ def oracle_sql() -> dict[str, str]:
         # ground truth doubles as a value-level oracle (see
         # dedup.minhash_pairs_oracle_sql).
         "d_minhash_pairs": _dedup.minhash_pairs_oracle_sql(0.8, 3),
-        # d_simhash_pairs / e_cosine_neardup: LSH candidate generation
-        # is not SQL-expressible → rows-only check; recall is tested
-        # against brute force in tests/test_dedup.py and tests/test_ann.py.
+        # e_cosine_neardup: same argument — planted twins are the only
+        # qualifying pairs and the driver LSH config pushes per-pair
+        # detection to ≈1−1e-6, so the brute-force twin reconstruction
+        # is a value oracle (see ann.cosine_neardup_sql).
+        "e_cosine_neardup": _ann.cosine_neardup_sql(
+            every=10, eps=0.1, threshold=0.99
+        ),
+        # d_simhash_pairs: LSH candidate generation over simhash bit
+        # planes is not SQL-expressible → rows-only check; recall is
+        # tested against brute force in tests/test_dedup.py.
         "d_token_counts": _text.TOKEN_COUNTS_SQL,
         "d_quality": _text.QUALITY_SCORES_SQL,
         "d_lang_id": _text.lang_id_sql(),

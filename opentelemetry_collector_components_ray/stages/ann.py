@@ -491,6 +491,49 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_neardup_sql(
+    every: int = 10,
+    offset: int = 1_000_000,
+    eps: float = 0.1,
+    threshold: float = 0.99,
+    dim: int = 64,
+) -> str:
+    """DuckDB value oracle for ``plant_near_dup_twins`` →
+    ``cosine_near_dup_pairs``: brute-force reconstruction of the planted
+    twin set.  Valid as an exact oracle because (a) the twin corpus is a
+    pure function of the input (no RNG), (b) every qualifying pair is a
+    planted twin — organic max cosine ≈ 0.51 sits far below the 0.99
+    threshold — and (c) the driver config raises LSH tables / shortens
+    band bits so per-pair detection probability is ≈ 1 − 1e-6 (the same
+    argument that value-gated d_minhash_pairs in round 2).
+
+    Float parity: the engine builds twins in float64 (``_matrix``) and
+    casts to float32 (Arrow ``list<float>``); the SQL mirrors with
+    DOUBLE arithmetic CAST to FLOAT per element — float64 sums/products
+    of float32 inputs are exact, so the final float32 rounding is
+    identical on both sides.  ``np.roll(m, 1, axis=1)`` maps element i
+    (1-based) to element i-1, wrapping 1 → dim."""
+    return f"""
+WITH twins AS (
+  SELECT vec_id AS id_a, vec_id + {offset} AS id_b,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(
+           generate_series(1, {dim}),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + {eps} * CAST(embedding[CASE WHEN i = 1 THEN {dim}
+                                              ELSE i - 1 END] AS DOUBLE)
+                     AS FLOAT)
+         ) AS twin
+  FROM embeddings WHERE vec_id % {every} = 0
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(v, CAST(twin AS DOUBLE[])), 6) AS sim
+FROM twins
+WHERE round(list_cosine_similarity(v, CAST(twin AS DOUBLE[])), 6)
+      >= {threshold}
+"""
+
+
 def plant_near_dup_twins(
     ds: rd.Dataset,
     every: int = 10,
