@@ -144,11 +144,17 @@ def _q_latency_histogram(sf_dir: str):
 
 
 def _q_expo_histogram(sf_dir: str):
+    """Flat exploded expo-histogram (one row per non-empty bucket +
+    repeated group totals/min/max) so the driver can value-gate the
+    base-2 merge math against a DuckDB twin — the e_quantize flat-form
+    trick (round-2 verdict item 1b)."""
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
     )
 
-    return _agg.expo_latency_histogram(enriched_transcripts(sf_dir), "24h")
+    return _agg.expo_latency_histogram_flat(
+        enriched_transcripts(sf_dir), "24h"
+    )
 
 
 def _q_summary_merge(sf_dir: str):
@@ -768,8 +774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
         "t_summary_merge": _q_summary_merge,
-        "t_expo_histogram": _q_expo_histogram,  # rows-only (list column)
-        "t_latency_quantiles": _q_latency_quantiles,  # rows-only (sketch)
+        "t_expo_histogram": _q_expo_histogram,
+        "t_latency_quantiles": _q_latency_quantiles,
         "e_event_counts": _q_event_counts,
         # training-data ops: dedup / text analysis / similarity search
         "d_exact_dedup": _q_exact_dedup,
@@ -858,9 +864,21 @@ def oracle_sql() -> dict[str, str]:
             f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"
         ),
         "t_summary_merge": f"{_CTE} {_agg.summary_merge_sql('24h')}",
-        # t_expo_histogram: bucket-run list column + base-2 downscale
-        # merge is not SQL-expressible → rows-only; semantics unit-tested
-        # in tests/test_histograms.py.
+        # t_expo_histogram (value-gated, round 3): flat exploded form —
+        # bucket_idx = ceil(log2(latency)*2^scale)-1 with the 160-cap's
+        # final scale recomputed from the merged span (a pure function
+        # of min/max index, hence batching-independent); min/max merge
+        # parity columns included.  Negative-run merge math stays
+        # unit/property-tested (synthetic latencies are non-negative).
+        "t_expo_histogram": (
+            f"{_CTE} {_agg.expo_histogram_flat_sql('24h')}"
+        ),
+        # t_latency_quantiles (value-gated, round 3): quantiles are a
+        # deterministic CDF walk over the same flat histogram, so the
+        # SQL twin recomputes them from exploded buckets.
+        "t_latency_quantiles": (
+            f"{_CTE} {_agg.latency_quantiles_sql('24h')}"
+        ),
         "e_event_counts": (
             f"SELECT {_agg.window_start_sql('1h')} AS window_start, "
             "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"

@@ -130,6 +130,11 @@ class ExpoHist:
     neg_counts: np.ndarray = field(
         default_factory=lambda: np.zeros(0, dtype=np.int64)
     )
+    # min/max merge parity (internal/data/add.go:94-97,152-155): the
+    # reference tracks Min()/Max() on exponential-histogram datapoints
+    # and merges them when both sides carry one.  NaN = "not set".
+    hmin: float = float("nan")
+    hmax: float = float("nan")
 
     @classmethod
     def empty(cls, scale: int = 0) -> "ExpoHist":
@@ -150,6 +155,9 @@ class ExpoHist:
         h.count = int(values.size)
         h.sum = float(values.sum()) if values.size else 0.0
         h.zero_count = int((values == 0).sum())
+        if values.size:
+            h.hmin = float(values.min())
+            h.hmax = float(values.max())
         if pos.size:
             h.offset, h.counts = _run_from_indices(
                 _bucket_indices(pos, scale)
@@ -207,6 +215,10 @@ class ExpoHist:
         self.count = self.count + other.count
         self.sum = self.sum + other.sum
         self.zero_count = self.zero_count + other.zero_count
+        # add.go:94-97,152-155: keep min-of-mins / max-of-maxes; an
+        # unset side (NaN) defers to the other
+        self.hmin = _nan_combine(self.hmin, other.hmin, min)
+        self.hmax = _nan_combine(self.hmax, other.hmax, max)
         return self
 
 
@@ -243,9 +255,18 @@ def expo_quantile(h: ExpoHist, q: float) -> float:
     return float(2.0 ** ((h.offset + len(h.counts)) * base_log2))
 
 
+def _nan_combine(a: float, b: float, op) -> float:
+    if a != a:  # NaN: unset
+        return b
+    if b != b:
+        return a
+    return float(op(a, b))
+
+
 def _copy(h: ExpoHist) -> ExpoHist:
     return ExpoHist(h.scale, h.offset, h.counts.copy(), h.count, h.sum,
-                    h.zero_count, h.neg_offset, h.neg_counts.copy())
+                    h.zero_count, h.neg_offset, h.neg_counts.copy(),
+                    h.hmin, h.hmax)
 
 
 def _add_two_runs(

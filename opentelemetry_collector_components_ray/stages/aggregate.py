@@ -698,6 +698,8 @@ def expo_latency_histogram(
                     "count": pd.Series([], dtype="int64"),
                     "hsum": pd.Series([], dtype="float64"),
                     "zero_count": pd.Series([], dtype="int64"),
+                    "hmin": pd.Series([], dtype="float64"),
+                    "hmax": pd.Series([], dtype="float64"),
                 }
             )
         ts_us = df["ts"].astype("int64")
@@ -709,13 +711,13 @@ def expo_latency_histogram(
             )
             rows.append(
                 (w, r, h.scale, h.offset, h.counts.tolist(), h.count,
-                 h.sum, h.zero_count)
+                 h.sum, h.zero_count, h.hmin, h.hmax)
             )
         return pd.DataFrame(
             rows,
             columns=[
                 "window_start", "role", "scale", "offset", "counts",
-                "count", "hsum", "zero_count",
+                "count", "hsum", "zero_count", "hmin", "hmax",
             ],
         )
 
@@ -729,19 +731,23 @@ def expo_latency_histogram(
                     np.asarray(row["counts"], dtype=np.int64),
                     int(row["count"]), float(row["hsum"]),
                     int(row["zero_count"]),
+                    hmin=float(row["hmin"]), hmax=float(row["hmax"]),
                 )
                 h = nxt if h is None else h.merge(nxt)
             rows.append(
                 (interval, w, r, h.scale, h.offset, h.counts.tolist(),
-                 h.count, round(h.sum, 6), h.zero_count)
+                 h.count, round(h.sum, 6), h.zero_count, h.hmin, h.hmax)
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=[
                 "interval", "window_start", "role", "scale", "offset",
-                "counts", "count", "hsum", "zero_count",
+                "counts", "count", "hsum", "zero_count", "hmin", "hmax",
             ],
         )
+        # Timestamp tuples materialize as ns; downstream speaks us
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
 
     partials = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
@@ -749,6 +755,165 @@ def expo_latency_histogram(
     return partials.repartition(1).map_batches(
         reduce_all, batch_format="pandas", batch_size=None
     )
+
+
+def expo_latency_histogram_flat(
+    ds: rd.Dataset,
+    interval: str = "24h",
+    scale: int = 4,
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """Flat exploded form of ``expo_latency_histogram`` for value-level
+    oracle comparison: one row per NON-EMPTY positive bucket —
+    (interval, window_start, role, scale, bucket_idx, bucket_count)
+    plus the per-group total_count / hsum / zero_count / hmin / hmax
+    repeated on each row.  SQL-expressible because the bucket index is
+    ``ceil(log2(latency_ms) * 2^scale) - 1`` and the 160-bucket cap's
+    final scale is a pure function of the merged index span (downscale
+    halves indices, so span(s) = floor(max4/2^d) - floor(min4/2^d) + 1
+    — batching-independent; see the merge-cap proof in
+    functions/histograms.py tests).  Synthetic latencies are
+    non-negative integers so negative runs stay empty here (their merge
+    math is unit/property-tested)."""
+
+    import numpy as np
+
+    hist = expo_latency_histogram(ds, interval, scale, batch_size)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            counts = np.asarray(row["counts"], dtype=np.int64)
+            for i in np.flatnonzero(counts):
+                rows.append(
+                    (
+                        row["interval"], row["window_start"], row["role"],
+                        int(row["scale"]), int(row["offset"]) + int(i),
+                        int(counts[i]), int(row["count"]),
+                        float(row["hsum"]), int(row["zero_count"]),
+                        float(row["hmin"]), float(row["hmax"]),
+                    )
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "interval", "window_start", "role", "scale", "bucket_idx",
+                "bucket_count", "total_count", "hsum", "zero_count",
+                "hmin", "hmax",
+            ],
+        )
+        # pandas materializes Timestamp tuples as ns; the oracle (and
+        # every other windowed stage) speaks timestamp[us]
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    return hist.map_batches(explode, batch_format="pandas", batch_size=None)
+
+
+def expo_histogram_flat_sql(
+    interval: str = "24h", scale: int = 4, max_buckets: int = 160
+) -> str:
+    """DuckDB twin of ``expo_latency_histogram_flat``.  The final scale
+    per (window, role) is the largest s ≤ ``scale`` whose merged index
+    span fits ``max_buckets`` (downscaling halves indices with floor
+    division).  latency_ms is an integer, so log2 boundary cases only
+    occur at exact powers of two where libm log2 is exact on both
+    sides, and the float64 sum of integers is exact."""
+    w = window_start_sql(interval)
+    pow2 = 1 << scale
+    idx_expr = (
+        f"CASE WHEN latency_ms > 0 THEN "
+        f"CAST(ceil(log2(CAST(latency_ms AS DOUBLE)) * {pow2}) AS BIGINT)"
+        f" - 1 END"
+    )
+    rows_sub = f"""
+    SELECT {w} AS window_start, role, latency_ms,
+           {idx_expr} AS idx4
+    FROM enriched WHERE latency_ms IS NOT NULL"""
+    # final scale = largest s <= scale whose span fits max_buckets;
+    # span at s is floor(mx/2^d) - floor(mn/2^d) + 1 with d = scale - s
+    cases = []
+    for s in range(scale, -1, -1):
+        d = 1 << (scale - s)
+        cases.append(
+            f"WHEN floor(CAST(MAX(idx4) AS DOUBLE) / {d})"
+            f" - floor(CAST(MIN(idx4) AS DOUBLE) / {d}) + 1 <= {max_buckets}"
+            f" THEN {s}"
+        )
+    scale_case = "CASE " + " ".join(cases) + " ELSE -1 END"
+    return f"""
+SELECT '{interval}' AS interval,
+       b.window_start, b.role,
+       CAST(g.fscale AS BIGINT) AS scale,
+       CAST(floor(CAST(b.idx4 AS DOUBLE)
+                  / CAST(power(2, {scale} - g.fscale) AS DOUBLE))
+            AS BIGINT) AS bucket_idx,
+       CAST(COUNT(*) AS BIGINT) AS bucket_count,
+       CAST(MAX(g.total) AS BIGINT) AS total_count,
+       round(MAX(g.lat_sum), 6) AS hsum,
+       CAST(MAX(g.zeros) AS BIGINT) AS zero_count,
+       MAX(g.lat_min) AS hmin,
+       MAX(g.lat_max) AS hmax
+FROM ({rows_sub}) b
+JOIN (
+  SELECT window_start, role, {scale_case} AS fscale,
+         SUM(CASE WHEN latency_ms = 0 THEN 1 ELSE 0 END) AS zeros,
+         COUNT(*) AS total,
+         SUM(CAST(latency_ms AS DOUBLE)) AS lat_sum,
+         MIN(CAST(latency_ms AS DOUBLE)) AS lat_min,
+         MAX(CAST(latency_ms AS DOUBLE)) AS lat_max
+  FROM ({rows_sub})
+  GROUP BY window_start, role
+) g ON b.window_start = g.window_start AND b.role = g.role
+WHERE b.idx4 IS NOT NULL
+GROUP BY b.window_start, b.role, g.fscale, bucket_idx
+"""
+
+
+def latency_quantiles_sql(
+    interval: str = "24h",
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    scale: int = 4,
+    max_buckets: int = 160,
+) -> str:
+    """DuckDB twin of ``latency_quantiles``: rebuilds the merged expo
+    histogram via ``expo_histogram_flat_sql`` and walks its CDF — a
+    quantile is the upper boundary 2^((idx+1)·2^-scale) of the first
+    bucket whose cumulative count crosses q·total (zeros first; no
+    negative values in synthetic latencies).  q is cast to DOUBLE so
+    the crossing comparison uses the same float64 target as the engine
+    (DuckDB would otherwise parse 0.95 as DECIMAL and cross exactly)."""
+    flat = expo_histogram_flat_sql(interval, scale, max_buckets)
+    qcols = []
+    for q in qs:
+        cond = (
+            f"zero_count + cum >= CAST({q!r} AS DOUBLE) * total_count"
+        )
+        qcols.append(
+            f"""CASE WHEN MAX(zero_count) >= CAST({q!r} AS DOUBLE)
+                 * MAX(total_count) THEN 0.0
+       ELSE round(power(2.0,
+              (MIN(CASE WHEN {cond} THEN bucket_idx END) + 1)
+              * power(2.0, CAST(-scale AS DOUBLE))), 6)
+       END AS p{int(q * 100)}"""
+        )
+    qsel = ",\n       ".join(qcols)
+    return f"""
+SELECT interval, window_start, role, scale,
+       CAST(MIN(bucket_idx) AS BIGINT) AS "offset",
+       CAST(MAX(total_count) AS BIGINT) AS "count",
+       MAX(hsum) AS hsum,
+       CAST(MAX(zero_count) AS BIGINT) AS zero_count,
+       MAX(hmin) AS hmin,
+       MAX(hmax) AS hmax,
+       {qsel}
+FROM (
+  SELECT f.*, SUM(bucket_count) OVER (
+           PARTITION BY window_start, role ORDER BY bucket_idx) AS cum
+  FROM ({flat}) f
+)
+GROUP BY interval, window_start, role, scale
+"""
 
 
 def latency_quantiles(

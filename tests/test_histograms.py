@@ -136,3 +136,46 @@ def test_expo_quantile_with_negatives():
     assert p10 <= p50 <= p90
     # ~one-bucket relative error against exact percentiles
     assert abs(p90 - np.percentile(vals, 90)) / abs(np.percentile(vals, 90)) < 0.1
+
+
+def test_expo_minmax_merge_parity():
+    """add.go:94-97,152-155: min-of-mins / max-of-maxes; an unset side
+    (empty histogram, NaN sentinel) defers to the other."""
+    import numpy as np
+
+    from opentelemetry_collector_components_ray.functions.histograms import (
+        ExpoHist,
+    )
+
+    a = ExpoHist.from_values(np.array([4.0, 90.0, 17.0]), scale=4)
+    b = ExpoHist.from_values(np.array([2.0, 300.0]), scale=4)
+    assert (a.hmin, a.hmax) == (4.0, 90.0)
+    a.merge(b)
+    assert (a.hmin, a.hmax) == (2.0, 300.0)
+    # empty side keeps the set side's min/max
+    e = ExpoHist.empty(4)
+    assert e.hmin != e.hmin  # NaN = unset
+    e.merge(ExpoHist.from_values(np.array([7.0]), scale=4))
+    assert (e.hmin, e.hmax) == (7.0, 7.0)
+
+
+def test_expo_flat_scale_is_batching_independent():
+    """The 160-cap's final scale must be a pure function of the merged
+    span: merging many small batches equals one from_values over all."""
+    import numpy as np
+
+    from opentelemetry_collector_components_ray.functions.histograms import (
+        ExpoHist,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 200_000, 5000).astype(np.float64)
+    whole = ExpoHist.from_values(vals, scale=4)
+    merged = None
+    for chunk in np.array_split(vals, 13):
+        h = ExpoHist.from_values(chunk, scale=4)
+        merged = h if merged is None else merged.merge(h)
+    assert merged.scale == whole.scale
+    assert merged.offset == whole.offset
+    assert np.array_equal(merged.counts, whole.counts)
+    assert (merged.hmin, merged.hmax) == (whole.hmin, whole.hmax)
