@@ -634,9 +634,14 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_minhash_dedup_keep(sf_dir: str):
+    """Verified-edge cluster dedup (round 3): components of the
+    exact-Jaccard-verified pair graph, min-id survivor per component —
+    value-gated against a recursive-CTE closure of the brute-force
+    pair set.  The bucket-graph variant (minhash_dedup_keep) remains
+    the linear scale path for corpora with huge duplicate clusters."""
     from opentelemetry_collector_components_ray.stages import dedup
 
-    return dedup.minhash_dedup_keep(_docs(sf_dir))
+    return dedup.minhash_dedup_keep_verified(_docs(sf_dir), threshold=0.8)
 
 
 def _q_token_counts(sf_dir: str):
@@ -719,9 +724,16 @@ def _q_stratified_sample(sf_dir: str):
 
 
 def _q_embedding_clusters(sf_dir: str):
+    """Verified-edge embedding clusters over the planted-twin corpus
+    (round 3): exact-cosine-verified pairs as edges, strong LSH config
+    (detection ~1-1e-6 per twin) — value-gated against the SQL twin
+    reconstruction (ann.embedding_clusters_sql)."""
     from opentelemetry_collector_components_ray.stages import ann
 
-    return ann.embedding_clusters(_embs(sf_dir))
+    planted = ann.plant_near_dup_twins(_embs(sf_dir), every=10, eps=0.1)
+    return ann.embedding_clusters(
+        planted, threshold=0.99, n_bits=6, n_tables=8
+    )
 
 
 def _q_cosine_neardup(sf_dir: str):
@@ -782,7 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_dedup_stats": _q_dedup_stats,
         "d_minhash_pairs": _q_minhash_pairs,
         "d_simhash_pairs": _q_simhash_pairs,  # rows-only (LSH)
-        "d_minhash_dedup_keep": _q_minhash_dedup_keep,  # rows-only (LSH clusters)
+        "d_minhash_dedup_keep": _q_minhash_dedup_keep,
         "d_token_counts": _q_token_counts,
         "d_quality": _q_quality,
         "d_lang_id": _q_lang_id,
@@ -794,7 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_neardup": _q_cosine_neardup,
         "e_ivf_topk": _q_ivf_topk,  # rows-only (approximate; recall tested)
         "e_ivf_index": _q_ivf_index,  # rows-only (pruned-read IVF; equality tested)
-        "e_embedding_clusters": _q_embedding_clusters,  # rows-only (LSH)
+        "e_embedding_clusters": _q_embedding_clusters,
         "m_image_features": _q_image_features,  # rows-only (stub codec)
         "m_audio_features": _q_audio_features,  # rows-only (stub codec)
         "m_video_frames": _q_video_frames,  # rows-only (stub codec)
@@ -896,6 +908,15 @@ def oracle_sql() -> dict[str, str]:
         # detection to ≈1−1e-6, so the brute-force twin reconstruction
         # is a value oracle (see ann.cosine_neardup_sql).
         "e_cosine_neardup": _ann.cosine_neardup_sql(
+            every=10, eps=0.1, threshold=0.99
+        ),
+        # d_minhash_dedup_keep (value-gated, round 3): verified-edge
+        # clustering ⇒ recursive-CTE closure over the brute-force pair
+        # set is the exact component structure.
+        "d_minhash_dedup_keep": _dedup.minhash_keep_verified_sql(0.8, 3),
+        # e_embedding_clusters (value-gated, round 3): components over
+        # the planted-twin corpus are exactly the qualifying twin pairs.
+        "e_embedding_clusters": _ann.embedding_clusters_sql(
             every=10, eps=0.1, threshold=0.99
         ),
         # d_simhash_pairs: LSH candidate generation over simhash bit

@@ -358,6 +358,7 @@ def embedding_clusters(
     dim: int = 64,
     distributed: bool = True,
     coarse_buckets: int = 64,
+    threshold: float | None = None,
 ) -> rd.Dataset:
     """Embedding near-duplicate CLUSTERS: multiple independent
     hyperplane hash tables (union of bucket edges raises recall), then
@@ -367,8 +368,26 @@ def embedding_clusters(
     (dedup.label_propagation_ds — nothing driver-side);
     ``distributed=False`` collects the edge arrays to the driver
     (cheaper fixed cost for small corpora).  Returns
-    (id_col, cluster_id)."""
-    from .dedup import label_propagation, label_propagation_ds
+    (id_col, cluster_id).
+
+    With ``threshold`` set, edges are EXACT-cosine-verified pairs from
+    :func:`cosine_near_dup_pairs` instead of raw bucket co-membership —
+    quadratic only within buckets, and SQL-expressible when every
+    qualifying pair is detected (the planted-twin driver config), which
+    is what value-gates e_embedding_clusters."""
+    from .dedup import (
+        clusters_from_pairs,
+        label_propagation,
+        label_propagation_ds,
+    )
+
+    if threshold is not None:
+        pairs = cosine_near_dup_pairs(
+            ds, threshold, n_bits, n_tables, id_col, vec_col, dim
+        )
+        return clusters_from_pairs(
+            pairs, ds, id_col, coarse_buckets
+        )
 
     hashers = [
         _hyperplanes(dim, n_bits, seed=42 + t) for t in range(n_tables)
@@ -531,6 +550,31 @@ SELECT id_a, id_b,
 FROM twins
 WHERE round(list_cosine_similarity(v, CAST(twin AS DOUBLE[])), 6)
       >= {threshold}
+"""
+
+
+def embedding_clusters_sql(
+    every: int = 10,
+    offset: int = 1_000_000,
+    eps: float = 0.1,
+    threshold: float = 0.99,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of verified-edge ``embedding_clusters`` over the
+    planted-twin corpus: components are exactly the qualifying
+    (original, twin) pairs — twins only pair with their original and
+    organic similarities sit far below threshold — so cluster_id is the
+    original's id for a qualifying twin and self otherwise."""
+    neardup = cosine_neardup_sql(every, offset, eps, threshold, dim)
+    return f"""
+SELECT t.vec_id, COALESCE(q.id_a, t.vec_id) AS cluster_id
+FROM (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + {offset} AS vec_id
+  FROM embeddings WHERE vec_id % {every} = 0
+) t
+LEFT JOIN ({neardup}) q ON t.vec_id = q.id_b
 """
 
 

@@ -1081,6 +1081,140 @@ def minhash_dedup_keep(
     return clusters.map_batches(survivors, batch_format="pandas")
 
 
+def pair_edges_fn(id_col: str = "doc_id"):
+    """(id_a, id_b) pair rows → bipartite (bkey, id) edge rows for
+    :func:`label_propagation_ds`: each pair becomes a synthetic
+    two-member bucket keyed by a mix of both ids (64-bit, collision
+    probability ~n²/2^64 — a collision could only ever merge two
+    components, never split one)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey = (
+            (a * np.uint64(0x9E3779B97F4A7C15) + b)
+            ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bkey": np.concatenate([bkey, bkey]),
+                id_col: np.concatenate(
+                    [a.astype(np.int64), b.astype(np.int64)]
+                ),
+            }
+        )
+
+    return fn
+
+
+def clusters_from_pairs(
+    pairs: rd.Dataset,
+    all_ids: rd.Dataset,
+    id_col: str = "doc_id",
+    coarse_buckets: int = 64,
+) -> rd.Dataset:
+    """Connected components over an exact-verified pair Dataset,
+    extended to every id in ``all_ids`` (ids touching no pair stay
+    singletons).  Returns (id_col, cluster_id = component min id).
+
+    Distributed throughout: pair edges → :func:`label_propagation_ds`,
+    then one id-bucketed min-merge folds the singleton base in."""
+    edges = pairs.map_batches(pair_edges_fn(id_col), batch_format="pyarrow")
+    labeled = label_propagation_ds(
+        edges, id_col=id_col, key_col="bkey", coarse_buckets=coarse_buckets
+    )
+
+    def selfc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: ids, "cluster_id": ids})
+
+    base = all_ids.select_columns([id_col]).map_batches(
+        selfc, batch_format="pyarrow"
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(
+            coarse_buckets
+        )
+        return batch.append_column("_g", pa.array(g.astype(np.int64)))
+
+    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(id_col, as_index=False)["cluster_id"].min()
+        )
+        return out
+
+    return (
+        base.union(labeled)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(
+            lambda df: min_label(df.drop(columns=["_g"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def minhash_dedup_keep_verified(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    coarse_buckets: int = 64,
+    **kwargs,
+) -> rd.Dataset:
+    """Survivors after VERIFIED near-dup clustering: components of the
+    exact-Jaccard-verified pair graph (``minhash_near_dups``), min-id
+    doc kept per component.
+
+    Unlike :func:`minhash_dedup_keep` (bucket-graph components — linear
+    even when one doc has 10^4 copies, but edges are estimated), every
+    edge here passed an exact shingle-Jaccard ≥ threshold check, which
+    makes the result SQL-expressible: the DuckDB oracle takes the
+    recursive closure of the brute-force pair set
+    (:func:`minhash_keep_verified_sql`).  Detection ≈ 1 at the
+    threshold (1-(1-0.8^4)^16 ≈ 0.9998 per pair), so engine ≡ oracle."""
+    pairs = minhash_near_dups(
+        docs, threshold, text_col, id_col, **kwargs
+    )
+    clusters = clusters_from_pairs(
+        pairs, docs, id_col, coarse_buckets
+    )
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col] == df["cluster_id"]][[id_col]]
+
+    return clusters.map_batches(survivors, batch_format="pandas")
+
+
+def minhash_keep_verified_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """DuckDB twin of :func:`minhash_dedup_keep_verified`: recursive
+    closure over the brute-force shingle-Jaccard pair set; a doc is
+    removed iff some smaller id is reachable."""
+    pairs = minhash_pairs_oracle_sql(threshold, k)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pairs}) p
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+removed AS (
+  SELECT u FROM reach GROUP BY u HAVING MIN(v) < u
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT u FROM removed)
+"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram (word-set) Jaccard pairs — exhaustive over a bounded subset,
 # SQL-twinnable (the oracle cross-joins with list_intersect), so the

@@ -184,3 +184,29 @@ def test_quantize_embeddings_roundtrip(emb_ds):
         f = flat[flat.vec_id == vid].sort_values("dim_idx")
         l = np.asarray(lst[lst.vec_id == vid].qvec.iloc[0], dtype=np.int64)
         assert (f.q.to_numpy() == l).all()
+
+
+def test_embedding_clusters_verified_twins(ray_session):
+    """threshold mode: planted twins cluster with their original, all
+    other vectors stay singletons."""
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+    from opentelemetry_collector_components_ray.stages import ann
+
+    embs = read_parquet_clean(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    planted = ann.plant_near_dup_twins(embs, every=10, eps=0.1)
+    out = ann.embedding_clusters(
+        planted, threshold=0.99, n_bits=6, n_tables=8
+    ).to_pandas()
+    label = dict(zip(out["vec_id"], out["cluster_id"]))
+    n_twin = 0
+    for vid, lab in label.items():
+        if vid >= 1_000_000:
+            assert lab == vid - 1_000_000
+            n_twin += 1
+        else:
+            assert lab == vid
+    assert n_twin > 0

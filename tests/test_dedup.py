@@ -304,3 +304,65 @@ def test_dedup_stats_distributed_equals_coalesced(docs_ds):
     dist = dedup.dedup_stats(docs_ds, distributed=True, num_buckets=7)
     coal = dedup.dedup_stats(docs_ds, distributed=False)
     pd.testing.assert_frame_equal(dist, coal)
+
+
+def test_minhash_dedup_keep_verified_matches_union_find(ray_session):
+    """Verified-edge survivors == union-find over brute-force pairs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import dedup
+
+    base = [
+        f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+        f"iota kappa lambda mu nu xi omicron pi rho sigma tau"
+        for i in range(30)
+    ]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        texts.append(t)
+        ids.append(i)
+    # chain: 100 ~ 101 ~ 102 (identical texts → jaccard 1)
+    for j, tid in enumerate((100, 101, 102)):
+        texts.append(base[0])
+        ids.append(tid)
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    out = (
+        dedup.minhash_dedup_keep_verified(docs, threshold=0.8)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    # component {0, 100, 101, 102} keeps 0; everything else survives
+    expect = sorted(set(ids) - {100, 101, 102})
+    assert out == expect
+
+
+def test_clusters_from_pairs_chain_and_singletons(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.dedup import (
+        clusters_from_pairs,
+    )
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array([1, 2, 7], pa.int64()),
+                  "id_b": pa.array([2, 3, 9], pa.int64())})
+    )
+    ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    )
+    out = (
+        clusters_from_pairs(pairs, ids)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    label = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert label[1] == label[2] == label[3] == 1
+    assert label[7] == label[9] == 7
+    for s in (0, 4, 5, 6, 8):
+        assert label[s] == s
