@@ -44,6 +44,7 @@ from opentelemetry_collector_components_ray.stages.ratelimit import (
 )
 from opentelemetry_collector_components_ray.stages import route as _route_mod
 from opentelemetry_collector_components_ray.stages.route import ROUTED_SQL
+from opentelemetry_collector_components_ray import synth as _synth
 from opentelemetry_collector_components_ray.synth import TRANSCRIPTS_SQL
 
 _CTE = (
@@ -65,6 +66,26 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 # queries / oracle pairs (SURVEY.md §2 coverage)
 # ---------------------------------------------------------------------------
+
+
+def _q_ndjson_multi(sf_dir: str):
+    """Multi-event-type intake NDJSON decode (round-3 parity item):
+    five per-type decoders behind a first-key type sniff, union schema,
+    per-stream metadata fold-in (ndjsondecoder/stream.go:159-258,907).
+    Input streams are synthesized deterministically from the events
+    table, so the decoded union has an exact SQL twin."""
+    import glob
+
+    from opentelemetry_collector_components_ray.sources.ndjson import (
+        read_ndjson_multi,
+    )
+    from opentelemetry_collector_components_ray.synth import (
+        materialize_intake_ndjson,
+    )
+
+    d = materialize_intake_ndjson(sf_dir)
+    files = sorted(glob.glob(d + "/*.ndjson"))
+    return read_ndjson_multi(files)
 
 
 def _q_transcripts(sf_dir: str):
@@ -759,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # transcript pipeline (north-rule flagship)
         "t_transcripts": _q_transcripts,
+        "t_ndjson_multi": _q_ndjson_multi,
         "t_parse": _q_parse,
         "t_enrich": _q_enrich,
         "t_route": _q_route,
@@ -895,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_agg.window_start_sql('1h')} AS window_start, "
             "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
         ),
+        "t_ndjson_multi": _synth.INTAKE_MULTI_SQL,
         "d_exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "d_dedup_stats": _dedup.DEDUP_STATS_SQL,
         # d_minhash_pairs: the seeded LSH candidate set is a

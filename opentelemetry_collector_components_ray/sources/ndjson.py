@@ -222,3 +222,192 @@ def read_ndjson_errors(paths) -> rd.Dataset:
         )
 
     return decoded.map_batches(only_errors, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Multi-event-type intake decode (round-3 parity item).
+#
+# The reference type-sniffs each line by its FIRST json key and
+# dispatches to five typed decoders — transaction / span / error / log
+# / metricset (ndjsondecoder/stream.go:159-258; sniff :907-922 reads
+# the first quoted string after '{').  Here each type decodes to typed
+# columns folded into one UNION schema (a row per event, nulls where a
+# field doesn't apply; metricset samples explode one row per sample,
+# mirroring appendMetricEvent).  Unknown types and malformed lines
+# become dedicated error rows — same contract as decode_stream.
+# ---------------------------------------------------------------------------
+
+INTAKE_TYPES = ("transaction", "span", "error", "log", "metricset")
+
+MULTI_COLS = [
+    "event_type", "event_id", "trace_id", "parent_id", "name",
+    "subtype", "duration_ms", "result", "outcome", "message",
+    "severity", "metric_name", "metric_value", "ts", "session", "agent",
+]
+
+
+def detect_event_type(line: bytes) -> str:
+    """stream.go:907-922: the first '"'-delimited string after the
+    first '{' — independent of json validity."""
+    start = line.find(b"{")
+    if start < 0:
+        return ""
+    i = line.find(b'"', start + 1)
+    if i < 0:
+        return ""
+    end = line.find(b'"', i + 1)
+    if end < 0:
+        return ""
+    return line[i + 1 : end].decode("utf-8", "replace")
+
+
+def _multi_row(etype: str, ev: dict) -> List[dict]:
+    """One typed event dict → union-schema row dicts (metricset may
+    yield one per sample)."""
+    base = dict.fromkeys(MULTI_COLS[:-2])  # session/agent added later
+    base["event_type"] = etype
+    ts = ev.get("timestamp")
+    base["ts"] = int(ts) if ts is not None else None
+    if etype == "transaction":
+        base.update(
+            event_id=ev.get("id"), trace_id=ev.get("trace_id"),
+            name=ev.get("name"), subtype=ev.get("type"),
+            duration_ms=ev.get("duration"), result=ev.get("result"),
+            outcome=ev.get("outcome"),
+        )
+    elif etype == "span":
+        base.update(
+            event_id=ev.get("id"), trace_id=ev.get("trace_id"),
+            parent_id=ev.get("parent_id"), name=ev.get("name"),
+            subtype=ev.get("type"), duration_ms=ev.get("duration"),
+            outcome=ev.get("outcome"),
+        )
+    elif etype == "error":
+        base.update(
+            event_id=ev.get("id"), trace_id=ev.get("trace_id"),
+            name=ev.get("culprit"), message=ev.get("message"),
+        )
+    elif etype == "log":
+        base.update(
+            message=ev.get("message"), severity=ev.get("level"),
+        )
+    elif etype == "metricset":
+        samples = ev.get("samples") or {}
+        out = []
+        for mname in sorted(samples):
+            row = dict(base)
+            sval = samples[mname] or {}
+            row.update(metric_name=mname, metric_value=sval.get("value"))
+            out.append(row)
+        return out
+    return [base]
+
+
+def decode_stream_multi(data: bytes, path: str = "") -> pa.Table:
+    """Decode one multi-type intake NDJSON stream into the union
+    schema + dedicated error rows."""
+    lines = [ln for ln in data.split(b"\n") if ln.strip()]
+    meta = {"session": "", "agent": ""}
+    rows: List[dict] = []
+    errors: List[tuple] = []
+
+    if lines:
+        try:
+            first = json.loads(lines[0])
+            if "metadata" in first:
+                m = first["metadata"] or {}
+                meta["session"] = str(m.get("session", ""))
+                meta["agent"] = str(m.get("agent", ""))
+                body, offset = lines[1:], 2
+            else:
+                errors.append((1, "missing metadata line"))
+                body, offset = lines, 1
+        except json.JSONDecodeError:
+            errors.append((1, "invalid json in metadata line"))
+            body, offset = lines[1:], 2
+    else:
+        body, offset = [], 1
+
+    for i, ln in enumerate(body):
+        etype = detect_event_type(ln)
+        if etype not in INTAKE_TYPES:
+            errors.append((offset + i, f"unknown event type {etype!r}"))
+            continue
+        try:
+            obj = json.loads(ln)
+        except json.JSONDecodeError:
+            errors.append((offset + i, "invalid json"))
+            continue
+        ev = obj.get(etype)
+        if not isinstance(ev, dict):
+            errors.append((offset + i, f"empty {etype} body"))
+            continue
+        rows.extend(_multi_row(etype, ev))
+
+    return _multi_table(rows, meta, path, errors)
+
+
+def _multi_table(rows, meta, path, errors=()) -> pa.Table:
+    n, ne = len(rows), len(errors)
+
+    def col(name, typ):
+        vals = [r.get(name) for r in rows] + [None] * ne
+        return pa.array(vals, typ)
+
+    ts_vals = [r.get("ts") for r in rows] + [None] * ne
+    cols = {
+        "event_type": pa.array(
+            [r["event_type"] for r in rows] + [""] * ne, pa.string()
+        ),
+        "event_id": col("event_id", pa.string()),
+        "trace_id": col("trace_id", pa.string()),
+        "parent_id": col("parent_id", pa.string()),
+        "name": col("name", pa.string()),
+        "subtype": col("subtype", pa.string()),
+        "duration_ms": col("duration_ms", pa.float64()),
+        "result": col("result", pa.string()),
+        "outcome": col("outcome", pa.string()),
+        "message": col("message", pa.string()),
+        "severity": col("severity", pa.string()),
+        "metric_name": col("metric_name", pa.string()),
+        "metric_value": col("metric_value", pa.float64()),
+        "ts": pa.array(ts_vals, pa.int64()).cast(pa.timestamp("us")),
+        "session": pa.array([meta["session"]] * (n + ne), pa.string()),
+        "agent": pa.array([meta["agent"]] * (n + ne), pa.string()),
+        "decode_error": pa.array(
+            [None] * n + [why for _, why in errors], pa.string()
+        ),
+        "error_line": pa.array(
+            [None] * n + [ln for ln, _ in errors], pa.int32()
+        ),
+        "src_path": pa.array([path] * (n + ne), pa.string()),
+    }
+    return pa.table(cols)
+
+
+def read_ndjson_multi(paths, include_errors: bool = False) -> rd.Dataset:
+    """Dataset over multi-type intake NDJSON stream files — the
+    five-decoder union analogue of :func:`read_ndjson_transcripts`."""
+    files = rd.read_binary_files(paths, include_paths=True)
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        tables = [
+            decode_stream_multi(
+                batch["bytes"][i].as_py(), batch["path"][i].as_py()
+            )
+            for i in range(batch.num_rows)
+        ]
+        if not tables:
+            return _multi_table([], {"session": "", "agent": ""}, "")
+        return pa.concat_tables(tables)
+
+    decoded = files.map_batches(decode_batch, batch_format="pyarrow")
+    if include_errors:
+        return decoded
+
+    def only_events(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["decode_error"])).drop_columns(
+            ERROR_COLS
+        )
+
+    return decoded.map_batches(only_events, batch_format="pyarrow")

@@ -211,3 +211,170 @@ def materialize_scaled_transcripts(
     finally:
         con.close()
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Multi-event-type intake NDJSON synthesis (round-3 ndjson parity item).
+# Deterministic event → intake-v2-style line mapping so the decoded
+# union table has an exact SQL twin over the events view:
+#   click    → transaction   view  → span      error → error
+#   signup   → log           purchase → metricset
+# Streams are chunks of LINES_PER_STREAM events in event_id order, each
+# with a metadata first line {"session": "s-<chunk>", "agent": "loadgen"}.
+# ---------------------------------------------------------------------------
+
+INTAKE_LINES_PER_STREAM = 2500
+INTAKE_AGENT = "loadgen"
+
+
+def _intake_line(event_id, ts_us, user_id, event_type, value, k) -> str:
+    import json as _json
+
+    eid = f"{event_id:08x}"
+    tid = f"{user_id * 1000000 + event_id:016x}"
+    fail = event_id % 10 == 0
+    if event_type == "click":
+        ev = {
+            "id": eid, "trace_id": tid, "name": f"click-{k}",
+            "type": "request", "duration": value,
+            "result": "HTTP 5xx" if fail else "HTTP 2xx",
+            "outcome": "failure" if fail else "success",
+            "timestamp": ts_us,
+        }
+        return _json.dumps({"transaction": ev})
+    if event_type == "view":
+        ev = {
+            "id": eid, "trace_id": tid, "parent_id": f"{user_id:08x}",
+            "name": f"view-{k}", "type": "db", "duration": value,
+            "outcome": "failure" if fail else "success",
+            "timestamp": ts_us,
+        }
+        return _json.dumps({"span": ev})
+    if event_type == "error":
+        ev = {
+            "id": eid, "trace_id": tid, "culprit": f"handler-{k}",
+            "message": f"error user {user_id}", "timestamp": ts_us,
+        }
+        return _json.dumps({"error": ev})
+    if event_type == "signup":
+        ev = {
+            "message": f"signup user {user_id}",
+            "level": ("debug", "info", "warning", "error")[event_id % 4],
+            "timestamp": ts_us,
+        }
+        return _json.dumps({"log": ev})
+    # purchase → metricset
+    ev = {
+        "samples": {"purchase.value": {"value": value}},
+        "timestamp": ts_us,
+    }
+    return _json.dumps({"metricset": ev})
+
+
+def materialize_intake_ndjson(sf_dir: str, force: bool = False) -> str:
+    """Write (once, cached) the multi-type intake NDJSON streams derived
+    from ``sf_dir``/events.parquet; returns the stream directory."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(cache_dir(), f"intake_ndjson_{tag}")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        return out_dir
+    t = pq.read_table(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).sort_by("event_id")
+    os.makedirs(out_dir, exist_ok=True)
+    eids = t["event_id"].to_pylist()
+    ts_us = t["ts"].cast("int64").to_pylist()
+    uids = t["user_id"].to_pylist()
+    types = t["event_type"].to_pylist()
+    vals = t["value"].to_pylist()
+    ks = [_json.loads(p)["k"] for p in t["props"].to_pylist()]
+    n = len(eids)
+    per = INTAKE_LINES_PER_STREAM
+    for chunk in range((n + per - 1) // per):
+        lines = [
+            _json.dumps(
+                {"metadata": {"session": f"s-{chunk}",
+                              "agent": INTAKE_AGENT}}
+            )
+        ]
+        for i in range(chunk * per, min((chunk + 1) * per, n)):
+            lines.append(
+                _intake_line(
+                    eids[i], ts_us[i], uids[i], types[i], vals[i], ks[i]
+                )
+            )
+        tmp = os.path.join(out_dir, f".stream-{chunk:05d}.tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, os.path.join(out_dir, f"stream-{chunk:05d}.ndjson"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+INTAKE_MULTI_SQL = f"""
+SELECT * FROM (
+  SELECT 'transaction' AS event_type,
+         printf('%08x', event_id) AS event_id,
+         printf('%016x', user_id * 1000000 + event_id) AS trace_id,
+         CAST(NULL AS VARCHAR) AS parent_id,
+         'click-' || json_extract_string(props, '$.k') AS name,
+         'request' AS subtype, value AS duration_ms,
+         CASE WHEN event_id % 10 = 0 THEN 'HTTP 5xx'
+              ELSE 'HTTP 2xx' END AS result,
+         CASE WHEN event_id % 10 = 0 THEN 'failure'
+              ELSE 'success' END AS outcome,
+         CAST(NULL AS VARCHAR) AS message,
+         CAST(NULL AS VARCHAR) AS severity,
+         CAST(NULL AS VARCHAR) AS metric_name,
+         CAST(NULL AS DOUBLE) AS metric_value, ts,
+         's-' || CAST(event_id // {INTAKE_LINES_PER_STREAM} AS VARCHAR)
+           AS session,
+         '{INTAKE_AGENT}' AS agent
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'span', printf('%08x', event_id),
+         printf('%016x', user_id * 1000000 + event_id),
+         printf('%08x', user_id),
+         'view-' || json_extract_string(props, '$.k'),
+         'db', value, NULL,
+         CASE WHEN event_id % 10 = 0 THEN 'failure' ELSE 'success' END,
+         NULL, NULL, NULL, CAST(NULL AS DOUBLE), ts,
+         's-' || CAST(event_id // {INTAKE_LINES_PER_STREAM} AS VARCHAR),
+         '{INTAKE_AGENT}'
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT 'error', printf('%08x', event_id),
+         printf('%016x', user_id * 1000000 + event_id),
+         NULL, 'handler-' || json_extract_string(props, '$.k'),
+         NULL, CAST(NULL AS DOUBLE), NULL, NULL,
+         'error user ' || CAST(user_id AS VARCHAR),
+         NULL, NULL, CAST(NULL AS DOUBLE), ts,
+         's-' || CAST(event_id // {INTAKE_LINES_PER_STREAM} AS VARCHAR),
+         '{INTAKE_AGENT}'
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'log', NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE),
+         NULL, NULL,
+         'signup user ' || CAST(user_id AS VARCHAR),
+         CASE event_id % 4 WHEN 0 THEN 'debug' WHEN 1 THEN 'info'
+              WHEN 2 THEN 'warning' ELSE 'error' END,
+         NULL, CAST(NULL AS DOUBLE), ts,
+         's-' || CAST(event_id // {INTAKE_LINES_PER_STREAM} AS VARCHAR),
+         '{INTAKE_AGENT}'
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT 'metricset', NULL, NULL, NULL, NULL, NULL,
+         CAST(NULL AS DOUBLE), NULL, NULL, NULL, NULL,
+         'purchase.value', value, ts,
+         's-' || CAST(event_id // {INTAKE_LINES_PER_STREAM} AS VARCHAR),
+         '{INTAKE_AGENT}'
+  FROM events WHERE event_type = 'purchase'
+)
+"""
