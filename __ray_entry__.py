@@ -34,6 +34,7 @@ from opentelemetry_collector_components_ray.stages import (
     sampling as _sampling,
 )
 from opentelemetry_collector_components_ray.stages import text as _text
+from opentelemetry_collector_components_ray.stages import enrich as _enrich_mod
 from opentelemetry_collector_components_ray.stages.enrich import (
     ENRICHED_SQL,
     parse_user_agent_sql,
@@ -46,6 +47,58 @@ from opentelemetry_collector_components_ray.stages import route as _route_mod
 from opentelemetry_collector_components_ray.stages.route import ROUTED_SQL
 from opentelemetry_collector_components_ray import synth as _synth
 from opentelemetry_collector_components_ray.synth import TRANSCRIPTS_SQL
+
+_ENRICH_FULL_INPUTS_SQL = """SELECT conv_id, turn_idx, role, tool,
+  CASE WHEN turn_idx % 4 = 0 THEN
+    CASE turn_idx % 3 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql'
+         ELSE 'redis' END END AS db_system,
+  CASE WHEN turn_idx % 4 = 0 AND turn_idx % 6 <> 0
+       THEN 'db_' || role END AS db_name,
+  CASE WHEN turn_idx % 4 = 1 THEN
+    CASE WHEN turn_idx % 2 = 0 THEN 'kafka' ELSE 'rabbitmq' END
+  END AS messaging_system,
+  CASE WHEN turn_idx % 4 = 1 AND turn_idx % 7 <> 1
+       THEN 'queue-' || (CASE WHEN tool = '' THEN 'internal'
+                              ELSE tool END) END
+    AS messaging_destination,
+  (turn_idx % 4 = 1 AND turn_idx % 6 = 1) AS messaging_temp,
+  CASE WHEN turn_idx % 4 = 2 THEN 'grpc' END AS rpc_system,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 8 <> 2
+       THEN 'svc.' || role END AS rpc_service,
+  CASE WHEN (turn_idx % 4 = 3 AND turn_idx % 28 <> 3)
+         OR (turn_idx % 4 = 2 AND turn_idx % 8 = 2) THEN
+    (CASE WHEN turn_idx % 2 = 0 THEN 'http' ELSE 'https' END)
+    || '://' || (CASE WHEN tool = '' THEN 'internal' ELSE tool END)
+    || '.svc.local'
+    || (CASE turn_idx % 5 WHEN 1 THEN ':8080' WHEN 2 THEN ':443'
+             WHEN 3 THEN ':80' WHEN 4 THEN ':9200' ELSE '' END)
+    || '/api/' || role END AS url_full,
+  CASE WHEN turn_idx % 5 = 0 THEN 'peer-' || role END AS peer_service,
+  CASE WHEN turn_idx % 10 = 0
+       THEN '10.0.0.' || CAST(turn_idx % 9 AS VARCHAR)
+  END AS peer_address,
+  CASE turn_idx % 6 WHEN 0 THEN 'linux' WHEN 1 THEN 'windows'
+       WHEN 2 THEN 'darwin' WHEN 3 THEN 'aix' WHEN 4 THEN 'freebsd'
+       END AS os_type,
+  CASE turn_idx % 4 WHEN 0 THEN 'Android' WHEN 1 THEN 'iOS'
+       WHEN 2 THEN 'Ubuntu' END AS os_name,
+  CASE WHEN turn_idx % 3 <> 0 THEN 'opentelemetry'
+       END AS telemetry_sdk_name,
+  CASE turn_idx % 3 WHEN 0 THEN 'go' WHEN 1 THEN 'python'
+       END AS telemetry_sdk_language,
+  CASE WHEN turn_idx % 2 = 0
+       THEN '1.' || CAST(turn_idx % 10 AS VARCHAR)
+  END AS telemetry_sdk_version,
+  CASE WHEN turn_idx % 5 = 0 THEN 'elastic' END AS telemetry_distro_name,
+  CASE WHEN turn_idx % 10 = 0
+       THEN '9.0.' || CAST(turn_idx % 7 AS VARCHAR)
+  END AS telemetry_distro_version,
+  CASE WHEN turn_idx % 4 = 0 THEN 'c-' || conv_id END AS container_id,
+  'h-' || CAST(turn_idx % 7 AS VARCHAR) AS host_name,
+  CASE WHEN turn_idx % 11 = 0
+       THEN 'node-' || CAST(turn_idx % 13 AS VARCHAR)
+  END AS k8s_node_name
+FROM transcripts"""
 
 _CTE = (
     f"WITH transcripts AS ({TRANSCRIPTS_SQL}), "
@@ -86,6 +139,97 @@ def _q_ndjson_multi(sf_dir: str):
     d = materialize_intake_ndjson(sf_dir)
     files = sorted(glob.glob(d + "/*.ndjson"))
     return read_ndjson_multi(files)
+
+
+def _q_enrich_full(sf_dir: str):
+    """Round-3 enrichment breadth: span destination / service.target
+    ladder (span.go:623-784, schemeDefaultPort :1082-1090) and resource
+    os/agent derivations (resource.go:187-285) over deterministic
+    synthesized inputs (so the oracle rebuilds them byte-identically).
+    Branch assignment by turn_idx % 4: db / messaging / rpc / http."""
+    import numpy as np
+    import pandas as pd
+
+    from opentelemetry_collector_components_ray.functions.blocks import (
+        to_clean_arrow,
+    )
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_resource_batch,
+        enrich_span_dest_batch,
+    )
+
+    def synth_inputs(df: pd.DataFrame):
+        t = df["turn_idx"].astype("int64")
+        role = df["role"].astype(str)
+        tool = df["tool"].astype(str)
+        conv = df["conv_id"].astype(str)
+        toolh = tool.where(tool != "", "internal")
+        branch = t % 4
+
+        out = pd.DataFrame(
+            {"conv_id": conv, "turn_idx": t, "role": role, "tool": tool}
+        )
+        dbsys = pd.Series(
+            np.select([t % 3 == 0, t % 3 == 1], ["mysql", "postgresql"],
+                      "redis"), index=df.index)
+        out["db_system"] = dbsys.where(branch == 0, None)
+        out["db_name"] = ("db_" + role).where(
+            (branch == 0) & (t % 6 != 0), None)
+        msys = pd.Series(np.where(t % 2 == 0, "kafka", "rabbitmq"),
+                         index=df.index)
+        out["messaging_system"] = msys.where(branch == 1, None)
+        out["messaging_destination"] = ("queue-" + toolh).where(
+            (branch == 1) & (t % 7 != 1), None)
+        out["messaging_temp"] = ((branch == 1) & (t % 6 == 1))
+        out["rpc_system"] = pd.Series("grpc", index=df.index).where(
+            branch == 2, None)
+        out["rpc_service"] = ("svc." + role).where(
+            (branch == 2) & (t % 8 != 2), None)
+        scheme = pd.Series(np.where(t % 2 == 0, "http", "https"),
+                           index=df.index)
+        portsfx = pd.Series(
+            np.select([t % 5 == 1, t % 5 == 2, t % 5 == 3, t % 5 == 4],
+                      [":8080", ":443", ":80", ":9200"], ""),
+            index=df.index)
+        url = (scheme + "://" + toolh + ".svc.local" + portsfx
+               + "/api/" + role)
+        has_url = ((branch == 3) & (t % 28 != 3)) | (
+            (branch == 2) & (t % 8 == 2))
+        out["url_full"] = url.where(has_url, None)
+        out["peer_service"] = ("peer-" + role).where(t % 5 == 0, None)
+        out["peer_address"] = ("10.0.0." + (t % 9).astype(str)).where(
+            t % 10 == 0, None)
+        out["os_type"] = pd.Series(
+            np.select([t % 6 == 0, t % 6 == 1, t % 6 == 2, t % 6 == 3,
+                       t % 6 == 4],
+                      ["linux", "windows", "darwin", "aix", "freebsd"],
+                      None), index=df.index)
+        out["os_name"] = pd.Series(
+            np.select([t % 4 == 0, t % 4 == 1, t % 4 == 2],
+                      ["Android", "iOS", "Ubuntu"], None), index=df.index)
+        out["telemetry_sdk_name"] = pd.Series(
+            "opentelemetry", index=df.index).where(t % 3 != 0, None)
+        out["telemetry_sdk_language"] = pd.Series(
+            np.select([t % 3 == 0, t % 3 == 1], ["go", "python"], None),
+            index=df.index)
+        out["telemetry_sdk_version"] = ("1." + (t % 10).astype(str)).where(
+            t % 2 == 0, None)
+        out["telemetry_distro_name"] = pd.Series(
+            "elastic", index=df.index).where(t % 5 == 0, None)
+        out["telemetry_distro_version"] = (
+            "9.0." + (t % 7).astype(str)).where(t % 10 == 0, None)
+        out["container_id"] = ("c-" + conv).where(t % 4 == 0, None)
+        out["host_name"] = "h-" + (t % 7).astype(str)
+        out["k8s_node_name"] = ("node-" + (t % 13).astype(str)).where(
+            t % 11 == 0, None)
+        return to_clean_arrow(out)
+
+    ds = read_transcripts(sf_dir).map_batches(
+        synth_inputs, batch_format="pandas"
+    )
+    ds = ds.map_batches(enrich_span_dest_batch, batch_format="pyarrow")
+    return ds.map_batches(enrich_resource_batch, batch_format="pyarrow")
 
 
 def _q_transcripts(sf_dir: str):
@@ -781,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcript pipeline (north-rule flagship)
         "t_transcripts": _q_transcripts,
         "t_ndjson_multi": _q_ndjson_multi,
+        "t_enrich_full": _q_enrich_full,
         "t_parse": _q_parse,
         "t_enrich": _q_enrich,
         "t_route": _q_route,
@@ -918,6 +1063,12 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2"
         ),
         "t_ndjson_multi": _synth.INTAKE_MULTI_SQL,
+        "t_enrich_full": (
+            f"{_CTE} "
+            + _enrich_mod.resource_enrich_sql(
+                _enrich_mod.span_dest_sql(_ENRICH_FULL_INPUTS_SQL)
+            )
+        ),
         "d_exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "d_dedup_stats": _dedup.DEDUP_STATS_SQL,
         # d_minhash_pairs: the seeded LSH candidate set is a

@@ -394,3 +394,496 @@ def parse_user_agent_sql(ua_expr: str = "user_agent") -> str:
         " ".join(name_case) + " AS ua_name, "
         + " ".join(ver_case) + " AS ua_version"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 enrichment breadth: span destination / service.target ladder
+# and resource os/agent derivations.
+#
+# References:
+# - service.target.*: processor/elasticapmprocessor/internal/
+#   enrichments/span.go:623-671 (branch ladder db > messaging > rpc >
+#   http; peer.service seeds the name, branch fields override).
+# - span.destination.service.*, destination.address/port, url.original:
+#   span.go:674-784 (httpDestinationDetails) + schemeDefaultPort
+#   span.go:1082-1090 (http=80, https=443; default-port normalization:
+#   an implicit default port is APPENDED to the resource, an explicit
+#   default port is STRIPPED from the service name URL).
+# - host.os.type ECS map, agent name/version chains, service.instance.id,
+#   k8s node-name host override: internal/enrichments/
+#   resource.go:187-285.
+#
+# Unset fields follow the pdata convention: attributes are only written
+# when non-empty — modeled as NULL columns here.
+# ---------------------------------------------------------------------------
+
+# all groups named (pc.extract_regex requirement); the port wrapper is
+# non-capturing so DuckDB positional groups stay 1=scheme 2=host 3=port
+_URL_RE = (
+    r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://(?P<host>[^/:?#]+)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>[/?#].*)?$"
+)
+
+
+def _nonempty(col) -> pa.Array:
+    # fill_null first: plain pc.and_ is not Kleene, so a null column
+    # would poison the condition (null, not False) and null the output
+    return pc.not_equal(pc.fill_null(col, ""), "")
+
+
+def _coalesce_str(*cols):
+    out = cols[-1]
+    for c in reversed(cols[:-1]):
+        out = pc.if_else(_nonempty(c), c, out)
+    return out
+
+
+def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized span.go:623-784 ladder.  Consumes nullable string
+    columns ``url_full, db_system, db_name, messaging_system,
+    messaging_destination, messaging_temp (bool), rpc_system,
+    rpc_service, peer_service, peer_address`` and appends
+    ``service_target_type, service_target_name, destination_address,
+    destination_port, url_original, span_destination_service_name,
+    span_destination_service_resource, span_destination_service_type``.
+    """
+    n = batch.num_rows
+    null_s = pa.nulls(n, pa.string())
+    empty = pa.array([""] * n, pa.string())
+
+    def col(name, default=None):
+        if name in batch.column_names:
+            c = batch[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return default if default is not None else null_s
+
+    url = col("url_full")
+    peer_service = col("peer_service")
+    peer_address = col("peer_address")
+    db_system, db_name = col("db_system"), col("db_name")
+    msg_system = col("messaging_system")
+    msg_dest = col("messaging_destination")
+    msg_temp = col("messaging_temp", pa.array([False] * n, pa.bool_()))
+    rpc_system, rpc_service = col("rpc_system"), col("rpc_service")
+
+    # ---- url parse + default-port normalization (span.go:736-784)
+    parts = pc.extract_regex(pc.fill_null(url, ""), _URL_RE)
+    ok_url = pc.and_(pc.is_valid(url), pc.is_valid(parts))
+    scheme = pc.if_else(ok_url, pc.struct_field(parts, "scheme"), null_s)
+    hostname = pc.if_else(ok_url, pc.struct_field(parts, "host"), null_s)
+    port_str = pc.if_else(ok_url, pc.struct_field(parts, "port"), null_s)
+    has_port = _nonempty(port_str)
+    default_port = pc.case_when(
+        pc.make_struct(
+            pc.equal(scheme, "http"), pc.equal(scheme, "https")
+        ),
+        pa.scalar(80, pa.int64()), pa.scalar(443, pa.int64()),
+        pa.scalar(0, pa.int64()),
+    )
+    dest_port = pc.if_else(
+        has_port,
+        pc.cast(pc.if_else(has_port, port_str, "0"), pa.int64()),
+        default_port,
+    )
+    # Host as written: hostname[:port if explicitly present]
+    host_as_written = pc.if_else(
+        has_port,
+        pc.binary_join_element_wise(hostname, port_str, ":"),
+        hostname,
+    )
+    is_default = pc.and_(
+        pc.greater(default_port, 0), pc.equal(dest_port, default_port)
+    )
+    # resource: implicit default port appended
+    resource = pc.if_else(
+        pc.and_(is_default, pc.invert(has_port)),
+        pc.binary_join_element_wise(
+            hostname, pc.cast(default_port, pa.string()), ":"
+        ),
+        host_as_written,
+    )
+    # url-for-name host: explicit default port stripped
+    name_host = pc.if_else(
+        pc.and_(is_default, has_port), hostname, host_as_written
+    )
+    http_name = pc.binary_join_element_wise(scheme, name_host, "://")
+    url_original = pc.if_else(ok_url, url, null_s)
+
+    # ---- branch flags (ladder order db > messaging > rpc > http)
+    is_db = _nonempty(db_system)
+    is_msg = pc.and_(pc.invert(is_db), _nonempty(msg_system))
+    is_rpc = pc.and_(
+        pc.invert(pc.or_(is_db, is_msg)), _nonempty(rpc_system)
+    )
+    is_http = pc.and_(
+        pc.invert(pc.or_(pc.or_(is_db, is_msg), is_rpc)), ok_url
+    )
+
+    peer = pc.fill_null(peer_service, "")
+
+    # ---- service.target (span.go:623-671)
+    t_type = pc.case_when(
+        pc.make_struct(is_db, is_msg, is_rpc, is_http),
+        _coalesce_str(db_system, pa.array(["db"] * n, pa.string())),
+        _coalesce_str(msg_system, pa.array(["messaging"] * n, pa.string())),
+        _coalesce_str(rpc_system, pa.array(["external"] * n, pa.string())),
+        pa.array(["http"] * n, pa.string()),
+        empty,
+    )
+    msg_name_ok = pc.and_(
+        pc.invert(pc.fill_null(msg_temp, False)), _nonempty(msg_dest)
+    )
+    t_name = pc.case_when(
+        pc.make_struct(is_db, is_msg, is_rpc, is_http),
+        pc.if_else(_nonempty(db_name), pc.fill_null(db_name, ""), peer),
+        pc.if_else(msg_name_ok, pc.fill_null(msg_dest, ""), peer),
+        pc.if_else(
+            _nonempty(rpc_service), pc.fill_null(rpc_service, ""), peer
+        ),
+        # http: a parsed url's resource overrides peer.service
+        pc.if_else(ok_url, pc.fill_null(resource, ""), peer),
+        peer,
+    )
+    any_target = pc.or_(pc.not_equal(t_type, ""), pc.not_equal(t_name, ""))
+    service_target_type = pc.if_else(any_target, t_type, null_s)
+    service_target_name = pc.if_else(any_target, t_name, null_s)
+
+    # ---- span.destination.service.* (span.go:674-728)
+    destn0 = pc.if_else(
+        pc.and_(_nonempty(peer_service), _nonempty(peer_address)),
+        pc.fill_null(peer_address, ""),
+        peer,
+    )
+    http_details = pc.and_(is_http, ok_url)
+    dest_name = pc.if_else(
+        http_details,
+        pc.if_else(_nonempty(peer_service), peer, http_name),
+        null_s,
+    )
+    dest_type = pc.if_else(
+        pc.or_(is_rpc, is_http),
+        pc.if_else(http_details, pa.scalar("external"), null_s),
+        null_s,
+    )
+    no_destn = pc.equal(destn0, "")
+    destn = pc.case_when(
+        pc.make_struct(is_db, is_msg, pc.or_(is_rpc, is_http)),
+        pc.if_else(
+            pc.and_(no_destn, _nonempty(db_system)),
+            pc.fill_null(db_system, ""), destn0,
+        ),
+        pc.if_else(
+            pc.and_(_nonempty(
+                pc.if_else(no_destn, msg_system, destn0)
+            ), _nonempty(msg_dest)),
+            pc.binary_join_element_wise(
+                pc.if_else(no_destn, pc.fill_null(msg_system, ""), destn0),
+                pc.fill_null(msg_dest, ""), "/",
+            ),
+            pc.if_else(no_destn, pc.fill_null(msg_system, ""), destn0),
+        ),
+        pc.if_else(
+            pc.and_(http_details, pc.invert(_nonempty(peer_service))),
+            pc.fill_null(resource, ""),
+            pc.if_else(
+                no_destn,
+                # rpc fallback: getHostPort returns the host AS WRITTEN
+                # (span.go:1061-1080) — no default-port normalization
+                pc.if_else(
+                    pc.and_(ok_url, pc.invert(http_details)),
+                    pc.fill_null(host_as_written, ""),
+                    pc.fill_null(rpc_service, ""),
+                ),
+                destn0,
+            ),
+        ),
+        destn0,
+    )
+    span_destination_service_resource = pc.if_else(
+        pc.not_equal(pc.fill_null(destn, ""), ""), destn, null_s
+    )
+
+    out_port = pc.if_else(
+        pc.and_(http_details, pc.greater(dest_port, 0)), dest_port,
+        pa.nulls(n, pa.int64()),
+    )
+    return (
+        batch.append_column("service_target_type", service_target_type)
+        .append_column("service_target_name", service_target_name)
+        .append_column(
+            "destination_address", pc.if_else(http_details, hostname, null_s)
+        )
+        .append_column("destination_port", out_port)
+        .append_column(
+            "url_original", pc.if_else(http_details, url_original, null_s)
+        )
+        .append_column("span_destination_service_name", dest_name)
+        .append_column(
+            "span_destination_service_resource",
+            span_destination_service_resource,
+        )
+        .append_column("span_destination_service_type", dest_type)
+    )
+
+
+_OS_TYPE_MAP = {  # resource.go:250-270 (ECS os.type spec)
+    "windows": "windows", "linux": "linux", "darwin": "macos",
+    "aix": "unix", "hpux": "unix", "solaris": "unix",
+}
+_OS_NAME_MAP = {"Android": "android", "iOS": "ios"}
+
+
+def enrich_resource_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized resource.go:187-285 derivations.  Consumes nullable
+    string columns ``os_type, os_name, telemetry_sdk_name,
+    telemetry_sdk_language, telemetry_sdk_version, telemetry_distro_name,
+    telemetry_distro_version, container_id, host_name, k8s_node_name``
+    and appends ``host_os_type, agent_name_full, agent_version,
+    service_instance_id, host_name_final``."""
+    n = batch.num_rows
+    null_s = pa.nulls(n, pa.string())
+
+    def col(name):
+        if name in batch.column_names:
+            c = batch[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return null_s
+
+    os_type, os_name = col("os_type"), col("os_name")
+    sdk_name = col("telemetry_sdk_name")
+    sdk_lang = col("telemetry_sdk_language")
+    sdk_ver = col("telemetry_sdk_version")
+    distro_name = col("telemetry_distro_name")
+    distro_ver = col("telemetry_distro_version")
+    container_id = col("container_id")
+    host_name = col("host_name")
+    k8s_node = col("k8s_node_name")
+
+    # host.os.type: os.type map first, Android/iOS os.name overrides
+    ost = pa.array(
+        [""] * n, pa.string()
+    )
+    for k, v in _OS_TYPE_MAP.items():
+        ost = pc.if_else(pc.equal(pc.fill_null(os_type, ""), k),
+                         pa.scalar(v), ost)
+    for k, v in _OS_NAME_MAP.items():
+        ost = pc.if_else(pc.equal(pc.fill_null(os_name, ""), k),
+                         pa.scalar(v), ost)
+    host_os_type = pc.if_else(pc.not_equal(ost, ""), ost, null_s)
+
+    # agent name chain (resource.go:187-212)
+    base = pc.if_else(_nonempty(sdk_name), pc.fill_null(sdk_name, ""),
+                      pa.scalar("otlp"))
+    lang = pc.if_else(_nonempty(sdk_lang), pc.fill_null(sdk_lang, ""),
+                      pa.scalar("unknown"))
+    agent_name = pc.if_else(
+        _nonempty(distro_name),
+        pc.binary_join_element_wise(
+            base, lang, pc.fill_null(distro_name, ""), "/"
+        ),
+        pc.if_else(
+            _nonempty(sdk_lang),
+            pc.binary_join_element_wise(base, pc.fill_null(sdk_lang, ""),
+                                        "/"),
+            base,
+        ),
+    )
+    # agent version (resource.go:214-227): never fall back to the SDK
+    # version when a distro name is present
+    agent_version = pc.if_else(
+        _nonempty(distro_name),
+        pc.if_else(_nonempty(distro_ver), pc.fill_null(distro_ver, ""),
+                   pa.scalar("unknown")),
+        pc.if_else(_nonempty(sdk_ver), pc.fill_null(sdk_ver, ""),
+                   pa.scalar("unknown")),
+    )
+    # service.instance.id (resource.go:275-285): container.id > host.name
+    service_instance_id = pc.if_else(
+        _nonempty(container_id), container_id,
+        pc.if_else(_nonempty(host_name), host_name, null_s),
+    )
+    # k8s node name overrides host.name (resource.go:229-243)
+    host_name_final = pc.if_else(_nonempty(k8s_node), k8s_node, host_name)
+
+    return (
+        batch.append_column("host_os_type", host_os_type)
+        .append_column("agent_name_full", agent_name)
+        .append_column("agent_version", agent_version)
+        .append_column("service_instance_id", service_instance_id)
+        .append_column("host_name_final", host_name_final)
+    )
+
+
+# Positional group indexes for _URL_RE in DuckDB: 1=scheme, 2=host,
+# 3=(:port) wrapper, 4=port, 5=path (pc.extract_regex needs NAMED
+# groups; DuckDB reads the same pattern positionally).
+def span_dest_sql(inputs: str) -> str:
+    """DuckDB twin of :func:`enrich_span_dest_batch` over a subquery
+    ``inputs`` providing the kernel's input columns."""
+    re = _URL_RE.replace("?P<scheme>", "").replace("?P<host>", "")
+    re = re.replace("?P<port>", "").replace("?P<path>", "")
+    return f"""
+SELECT * EXCLUDE (ok_url, scheme, hostname, port_str, has_port,
+                  default_port, dest_port, host_as_written, is_default,
+                  resource, name_host, is_db, is_msg, is_rpc, is_http,
+                  peer, t_type, t_name, destn0, destn),
+       CASE WHEN t_type <> '' OR t_name <> '' THEN t_type END
+         AS service_target_type,
+       CASE WHEN t_type <> '' OR t_name <> '' THEN t_name END
+         AS service_target_name,
+       CASE WHEN is_http THEN hostname END AS destination_address,
+       CASE WHEN is_http AND dest_port > 0 THEN dest_port END
+         AS destination_port,
+       CASE WHEN is_http THEN url_full END AS url_original,
+       CASE WHEN is_http THEN
+         CASE WHEN COALESCE(peer, '') <> '' THEN peer
+              ELSE scheme || '://' || name_host END
+       END AS span_destination_service_name,
+       CASE WHEN destn <> '' THEN destn END
+         AS span_destination_service_resource,
+       CASE WHEN is_http THEN 'external' END
+         AS span_destination_service_type
+FROM (
+  SELECT *,
+         CASE WHEN is_db THEN
+                CASE WHEN COALESCE(db_name, '') <> '' THEN db_name
+                     ELSE peer END
+              WHEN is_msg THEN
+                CASE WHEN NOT COALESCE(messaging_temp, FALSE)
+                          AND COALESCE(messaging_destination, '') <> ''
+                     THEN messaging_destination ELSE peer END
+              WHEN is_rpc THEN
+                CASE WHEN COALESCE(rpc_service, '') <> '' THEN rpc_service
+                     ELSE peer END
+              WHEN is_http THEN resource
+              ELSE peer END AS t_name,
+         CASE WHEN is_db THEN
+                CASE WHEN COALESCE(destn0, '') = ''
+                          AND COALESCE(db_system, '') <> ''
+                     THEN db_system ELSE destn0 END
+              WHEN is_msg THEN
+                CASE WHEN COALESCE(CASE WHEN COALESCE(destn0, '') = ''
+                                        THEN messaging_system
+                                        ELSE destn0 END, '') <> ''
+                          AND COALESCE(messaging_destination, '') <> ''
+                     THEN (CASE WHEN COALESCE(destn0, '') = ''
+                                THEN messaging_system ELSE destn0 END)
+                          || '/' || messaging_destination
+                     ELSE (CASE WHEN COALESCE(destn0, '') = ''
+                                THEN COALESCE(messaging_system, '')
+                                ELSE destn0 END) END
+              WHEN is_http AND COALESCE(peer, '') = '' THEN resource
+              WHEN is_rpc OR is_http THEN
+                CASE WHEN COALESCE(destn0, '') = '' THEN
+                       CASE WHEN ok_url AND NOT is_http
+                            THEN host_as_written
+                            ELSE COALESCE(rpc_service, '') END
+                     ELSE destn0 END
+              ELSE COALESCE(destn0, '') END AS destn
+  FROM (
+    SELECT *,
+           CASE WHEN is_db THEN COALESCE(NULLIF(db_system, ''), 'db')
+                WHEN is_msg
+                  THEN COALESCE(NULLIF(messaging_system, ''), 'messaging')
+                WHEN is_rpc
+                  THEN COALESCE(NULLIF(rpc_system, ''), 'external')
+                WHEN is_http THEN 'http'
+                ELSE '' END AS t_type,
+           CASE WHEN COALESCE(peer, '') <> ''
+                     AND COALESCE(peer_address, '') <> ''
+                THEN peer_address ELSE COALESCE(peer, '') END AS destn0
+    FROM (
+      SELECT *,
+             COALESCE(db_system, '') <> '' AS is_db,
+             COALESCE(db_system, '') = ''
+               AND COALESCE(messaging_system, '') <> '' AS is_msg,
+             COALESCE(db_system, '') = ''
+               AND COALESCE(messaging_system, '') = ''
+               AND COALESCE(rpc_system, '') <> '' AS is_rpc,
+             COALESCE(db_system, '') = ''
+               AND COALESCE(messaging_system, '') = ''
+               AND COALESCE(rpc_system, '') = '' AND ok_url AS is_http,
+             COALESCE(peer_service, '') AS peer
+      FROM (
+        SELECT *,
+               CASE WHEN is_default AND NOT has_port
+                    THEN hostname || ':' || CAST(default_port AS VARCHAR)
+                    ELSE host_as_written END AS resource,
+               CASE WHEN is_default AND has_port THEN hostname
+                    ELSE host_as_written END AS name_host
+        FROM (
+          SELECT *,
+                 port_str <> '' AS has_port,
+                 CASE scheme WHEN 'http' THEN 80 WHEN 'https' THEN 443
+                      ELSE 0 END AS default_port,
+                 CASE WHEN port_str <> '' THEN CAST(port_str AS BIGINT)
+                      ELSE CASE scheme WHEN 'http' THEN 80
+                           WHEN 'https' THEN 443 ELSE 0 END
+                      END AS dest_port,
+                 CASE WHEN port_str <> '' THEN hostname || ':' || port_str
+                      ELSE hostname END AS host_as_written,
+                 (CASE scheme WHEN 'http' THEN 80 WHEN 'https' THEN 443
+                       ELSE 0 END) > 0
+                   AND (CASE WHEN port_str <> ''
+                             THEN CAST(port_str AS BIGINT)
+                             ELSE CASE scheme WHEN 'http' THEN 80
+                                  WHEN 'https' THEN 443 ELSE 0 END END)
+                       = (CASE scheme WHEN 'http' THEN 80
+                               WHEN 'https' THEN 443 ELSE 0 END)
+                   AS is_default
+          FROM (
+            SELECT i.*,
+                   url_full IS NOT NULL
+                     AND regexp_matches(url_full, '{re}') AS ok_url,
+                   CASE WHEN url_full IS NOT NULL
+                        THEN regexp_extract(url_full, '{re}', 1) END
+                     AS scheme,
+                   CASE WHEN url_full IS NOT NULL
+                        THEN regexp_extract(url_full, '{re}', 2) END
+                     AS hostname,
+                   CASE WHEN url_full IS NOT NULL
+                        THEN regexp_extract(url_full, '{re}', 3)
+                        ELSE '' END AS port_str
+            FROM ({inputs}) i
+          )
+        )
+      )
+    )
+  )
+)
+"""
+
+
+def resource_enrich_sql(inputs: str) -> str:
+    """DuckDB twin of :func:`enrich_resource_batch`."""
+    os_type_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _OS_TYPE_MAP.items()
+    )
+    os_name_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _OS_NAME_MAP.items()
+    )
+    return f"""
+SELECT i.*,
+       NULLIF(COALESCE(
+         CASE COALESCE(os_name, '') {os_name_case} ELSE NULL END,
+         CASE COALESCE(os_type, '') {os_type_case} ELSE NULL END,
+         ''), '') AS host_os_type,
+       CASE WHEN COALESCE(telemetry_distro_name, '') <> ''
+            THEN COALESCE(NULLIF(telemetry_sdk_name, ''), 'otlp')
+                 || '/' || COALESCE(NULLIF(telemetry_sdk_language, ''),
+                                    'unknown')
+                 || '/' || telemetry_distro_name
+            WHEN COALESCE(telemetry_sdk_language, '') <> ''
+            THEN COALESCE(NULLIF(telemetry_sdk_name, ''), 'otlp')
+                 || '/' || telemetry_sdk_language
+            ELSE COALESCE(NULLIF(telemetry_sdk_name, ''), 'otlp')
+            END AS agent_name_full,
+       CASE WHEN COALESCE(telemetry_distro_name, '') <> ''
+            THEN COALESCE(NULLIF(telemetry_distro_version, ''), 'unknown')
+            ELSE COALESCE(NULLIF(telemetry_sdk_version, ''), 'unknown')
+            END AS agent_version,
+       COALESCE(NULLIF(container_id, ''), NULLIF(host_name, ''))
+         AS service_instance_id,
+       COALESCE(NULLIF(k8s_node_name, ''), host_name) AS host_name_final
+FROM ({inputs}) i
+"""

@@ -195,3 +195,83 @@ def test_parse_user_agent_families():
         "120.0", "121.2", "106.5", "115.3", "17.1", "8.4", "2.31",
         "2.1", None,
     ]
+
+
+def test_span_dest_default_port_normalization():
+    """span.go:674-784 + schemeDefaultPort: implicit default port is
+    APPENDED to the resource; explicit default port is STRIPPED from
+    the service-name URL; non-default ports pass through."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_span_dest_batch,
+    )
+
+    urls = [
+        "https://h.example",        # implicit 443 -> resource h:443
+        "https://h.example:443",    # explicit 443 -> name strips port
+        "http://h.example:8080",    # non-default -> verbatim
+        "http://h.example",         # implicit 80
+        "https://h.example:80",     # explicit NON-default for https
+        None,                       # no url -> no branch
+    ]
+    t = pa.table({"url_full": pa.array(urls, pa.string())})
+    out = enrich_span_dest_batch(t).to_pandas()
+
+    assert list(out["span_destination_service_resource"][:5]) == [
+        "h.example:443", "h.example:443", "h.example:8080",
+        "h.example:80", "h.example:80",
+    ]
+    assert list(out["span_destination_service_name"][:5]) == [
+        "https://h.example", "https://h.example", "http://h.example:8080",
+        "http://h.example", "https://h.example:80",
+    ]
+    assert list(out["destination_port"][:5]) == [443, 443, 8080, 80, 80]
+    assert list(out["service_target_type"][:5]) == ["http"] * 5
+    assert out["service_target_name"][0] == "h.example:443"
+    # null url: nothing set
+    last = out.iloc[5]
+    assert last[["service_target_type", "service_target_name",
+                 "destination_address", "span_destination_service_type",
+                 "span_destination_service_resource"]].isna().all()
+
+
+def test_span_dest_branch_ladder_and_peer():
+    """db > messaging > rpc ladder with peer.service/address overrides
+    (span.go:623-728)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_span_dest_batch,
+    )
+
+    t = pa.table(
+        {
+            "db_system": pa.array(["mysql", None, None, None], pa.string()),
+            "db_name": pa.array(["orders", None, None, None], pa.string()),
+            "messaging_system": pa.array(
+                [None, "kafka", None, None], pa.string()),
+            "messaging_destination": pa.array(
+                [None, "q1", None, None], pa.string()),
+            "messaging_temp": pa.array(
+                [False, True, False, False], pa.bool_()),
+            "rpc_system": pa.array([None, None, "grpc", None], pa.string()),
+            "rpc_service": pa.array([None, None, "S", None], pa.string()),
+            "peer_service": pa.array(
+                ["p", "p", None, "p"], pa.string()),
+            "peer_address": pa.array(
+                [None, "1.2.3.4", None, None], pa.string()),
+            "url_full": pa.array(
+                [None, None, None, "http://x"], pa.string()),
+        }
+    )
+    out = enrich_span_dest_batch(t).to_pandas()
+    assert list(out["service_target_type"]) == [
+        "mysql", "kafka", "grpc", "http"]
+    # temp messaging destination withheld from target name -> peer
+    assert list(out["service_target_name"]) == ["orders", "p", "S", "x:80"]
+    # destination resource: peer, peerAddress override + '/q1', rpc svc,
+    # http details resource ignored when peer present
+    assert list(out["span_destination_service_resource"]) == [
+        "p", "1.2.3.4/q1", "S", "p"]
+    assert out["span_destination_service_name"][3] == "p"
