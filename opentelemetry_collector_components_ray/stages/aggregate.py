@@ -168,33 +168,109 @@ SERVICE_SUMMARY_MERGE: List[Tuple[str, str]] = [
 ]
 
 
+# decoded-input estimate above which the coalesced (single-worker)
+# finishes switch to their hash-partitioned twins automatically
+AUTO_DISTRIBUTED_BYTES = 256 << 20
+# decoded-input estimate above which merge_partials pays the shuffle;
+# higher than AUTO_DISTRIBUTED_BYTES because partials shrink the data
+# by orders of magnitude before the finish
+MERGE_AUTO_INPUT_BYTES = 4 << 30
+
+
+def estimate_input_bytes(ds: rd.Dataset) -> int | None:
+    """Decoded-size estimate from the dataset's source parquet files —
+    walks the LOGICAL plan to the Read ops (``input_files()`` is empty
+    once transforms are applied), sums file sizes, no execution.
+    None = unknown (in-memory source, remote paths)."""
+    import os as _os
+
+    paths: list = []
+    try:
+        stack = [ds._plan._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            stack.extend(op.input_dependencies)
+            src = getattr(op, "_datasource", None)
+            if src is not None:
+                pq = getattr(src, "_pq_paths", None)
+                if pq:
+                    paths.extend(pq)
+                else:
+                    return None  # non-parquet source: unknown
+    except Exception:
+        return None
+    if not paths:
+        return None
+    total = 0
+    for f in paths:
+        p = f[7:] if f.startswith("file://") else f
+        if _os.path.isdir(p):
+            for root, _d, names in _os.walk(p):
+                total += sum(
+                    _os.path.getsize(_os.path.join(root, n))
+                    for n in names
+                )
+        elif _os.path.isfile(p):
+            total += _os.path.getsize(p)
+        else:
+            return None
+    return total * 3  # decoded Arrow runs ~2-3x parquet bytes
+
+
+def resolve_distributed(
+    ds: rd.Dataset,
+    flag: bool | None,
+    threshold: int = AUTO_DISTRIBUTED_BYTES,
+) -> bool:
+    """``flag=None`` → estimator decides: the hash-partitioned scale
+    path unless the decoded input clearly fits one worker (the same
+    polarity rule as run_flagship's mode auto-select — explicit flags
+    always win; unknown sizes take the scale path)."""
+    if flag is not None:
+        return flag
+    est = estimate_input_bytes(ds)
+    return est is None or est > threshold
+
+
+def _timestamps_to_us(t: pa.Table) -> pa.Table:
+    """Cast any ns-timestamp column back to the engine-wide
+    timestamp[us] contract (Ray's sort shuffle pandas-round-trips)."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            t = t.set_column(
+                i, f.name, pc.cast(t[f.name], pa.timestamp("us"))
+            )
+    return t
+
+
 def merge_partials(
     ds: rd.Dataset,
     keys: Sequence[str],
     specs: Sequence[Tuple[str, str]],
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> rd.Dataset:
     """Merge commutative pre-aggregated partials on ``keys``.
 
-    Default is a TREE MERGE: combine within each block (vectorized
-    Arrow ``group_by``), coalesce, combine once more.  For the partial
-    tables this engine produces (one row per group per input block)
-    this is ~40× faster than ``Dataset.groupby().aggregate()``, whose
-    sort-based shuffle has seconds of fixed overhead.  Set
-    ``distributed=True`` when the merged group space itself exceeds
-    single-worker memory (e.g. ≫10^8 groups) — that path pays the
-    shuffle to keep every worker's slice bounded.
+    ``distributed=False``: TREE MERGE — combine within each block
+    (vectorized Arrow ``group_by``), coalesce, combine once more.  For
+    the partial tables this engine produces (one row per group per
+    input block) this is ~40× faster than
+    ``Dataset.groupby().aggregate()``, whose sort-based shuffle has
+    seconds of fixed overhead.  ``distributed=True``: pre-combine per
+    block, then a hash-partitioned groupby so no worker ever holds the
+    whole group space.  ``distributed=None`` (default, round-3 verdict
+    item 7): decide from the source-file size estimate — lazily,
+    nothing executes at build time (unknown sources take the scale
+    path).
     """
     keys = list(keys)
     aggs = [(c, f) for c, f in specs]
     names = [c for c, _ in specs]
 
-    if distributed:
-        ray_aggs = []
-        for c, f in specs:
-            cls = {"sum": Sum, "min": Min, "max": Max}[f]
-            ray_aggs.append(cls(c, alias_name=c))
-        return ds.groupby(keys).aggregate(*ray_aggs)
+    if distributed is None:
+        distributed = resolve_distributed(
+            ds, None, threshold=MERGE_AUTO_INPUT_BYTES
+        )
 
     def combine(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate(aggs)
@@ -202,11 +278,24 @@ def merge_partials(
         # in request order — restore the declared output names
         return g.rename_columns(keys + names)
 
-    ds = ds.map_batches(
+    combined = ds.map_batches(
         combine, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    return ds.repartition(1).map_batches(
+    if distributed:
+        ray_aggs = []
+        for c, f in specs:
+            cls = {"sum": Sum, "min": Min, "max": Max}[f]
+            ray_aggs.append(cls(c, alias_name=c))
+        # aggregating the combined partials (not the raw rows) keeps
+        # the shuffle payload at one row per (block, group); the sort
+        # shuffle round-trips timestamps through pandas (ns) — restore
+        # the engine-wide timestamp[us] contract on the way out
+        return combined.groupby(keys).aggregate(*ray_aggs).map_batches(
+            _timestamps_to_us, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+    return combined.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
@@ -216,7 +305,7 @@ def service_summary(
     ds: rd.Dataset,
     intervals: Sequence[str] = ("1h", "24h"),
     batch_size: int = 131072,
-    distributed_merge: bool = False,
+    distributed_merge: bool | None = None,
 ) -> rd.Dataset:
     """Multi-interval windowed aggregate over the enriched dataset.
 
@@ -308,7 +397,7 @@ def _take_latest(df: pd.DataFrame) -> pd.DataFrame:
 def latest_state(
     ds: rd.Dataset,
     batch_size: int = 131072,
-    distributed: bool = True,
+    distributed: bool | None = None,
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """Per-conversation latest turn (two-phase argmax by (ts, turn_idx)).
@@ -327,6 +416,7 @@ def latest_state(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _take_latest(df[_LATEST_COLS])
 
+    distributed = resolve_distributed(ds, distributed)
     partials = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
     )
@@ -404,7 +494,7 @@ def capped_tool_summary(
     ds: rd.Dataset,
     limit: int = 4,
     batch_size: int = 131072,
-    distributed: bool = True,
+    distributed: bool | None = None,
 ):
     """Per-role turn counts by tool with a cardinality cap.
 
@@ -415,7 +505,8 @@ def capped_tool_summary(
     ``_other`` row decorated with the count of dropped distinct tools
     (merger/value.go:311-362; ``_other`` naming config.go:193-226).
 
-    Default (``distributed=True``): the fold runs per ROLE in a
+    ``distributed=None`` (default) resolves by input-size estimate
+    (:func:`resolve_distributed`).  ``distributed=True``: the fold runs per ROLE in a
     ``groupby("role").map_groups`` over the pre-aggregated (role, tool)
     table, returning a Dataset — no single worker holds more than one
     role's distinct tools.  A role whose distinct-tool set itself
@@ -424,6 +515,7 @@ def capped_tool_summary(
     rule.  ``distributed=False`` folds on the driver and returns a
     pandas DataFrame (handy for tiny key spaces / interactive use).
     """
+    distributed = resolve_distributed(ds, distributed)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1031,7 +1123,7 @@ def summary_merge(
     interval: str = "24h",
     keys: Sequence[str] = ("role", "tool"),
     batch_size: int = 131072,
-    distributed: bool = True,
+    distributed: bool | None = None,
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """Merge summary datapoints per (window_start, keys): the datapoint
@@ -1040,6 +1132,7 @@ def summary_merge(
     key-hash-bucketed final reduce (``distributed=False`` coalesces
     instead).  Input shape = :func:`summary_datapoints` output."""
     validate_intervals([interval])
+    distributed = resolve_distributed(ds, distributed)
     us = INTERVALS_US[interval]
     keys = list(keys)
     group_cols = ["window_start"] + keys

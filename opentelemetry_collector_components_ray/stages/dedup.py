@@ -52,7 +52,7 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_size: int = 65536,
-    distributed: bool = True,
+    distributed: bool | None = None,
     num_buckets: int = 256,
 ) -> rd.Dataset:
     """Keep the min-id row per distinct text (deterministic survivor).
@@ -71,6 +71,10 @@ def exact_dedup(
     Reference analogue: identity-hash dedup when merging resources
     (internal/merger/value.go:364-462).
     """
+    from .aggregate import resolve_distributed
+
+    distributed = resolve_distributed(ds, distributed)
+
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(text_col, as_index=False)[id_col].min()
@@ -112,7 +116,7 @@ def dedup_stats(
     ds: rd.Dataset,
     text_col: str = "text",
     batch_size: int = 65536,
-    distributed: bool = True,
+    distributed: bool | None = None,
     num_buckets: int = 256,
 ) -> pd.DataFrame:
     """(n_docs, n_unique) single-row summary.
@@ -123,6 +127,10 @@ def dedup_stats(
     per-bucket 2-int rows reach the driver — no worker or driver holds
     the global unique-text set.  ``distributed=False`` coalesces the
     per-batch unique arrays to one worker (small corpora)."""
+    from .aggregate import resolve_distributed
+
+    distributed = resolve_distributed(ds, distributed)
+
 
     if not distributed:
         def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -208,7 +208,7 @@ def cardinality_route(
     ds: rd.Dataset,
     config: CardinalityRouterConfig = CardinalityRouterConfig(),
     batch_size: int = 131072,
-    distributed: bool = True,
+    distributed: bool | None = None,
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """Per-key routing decisions: (key, combo_card, sink).
@@ -229,6 +229,9 @@ def cardinality_route(
 
     from ..functions.sketches import hash64
 
+    from .aggregate import resolve_distributed
+
+    distributed = resolve_distributed(ds, distributed)
     cols = [config.key, *config.measure_by]
 
     def dedup_batch(df: "pd.DataFrame") -> "pd.DataFrame":
