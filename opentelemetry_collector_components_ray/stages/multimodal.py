@@ -6,16 +6,16 @@ large rows (small ``batch_size``; Ray splits blocks by byte size, so
 wide binary rows stream through the object store without ballooning a
 worker's heap).
 
-The container has no image/audio codecs, so the DECODE KERNEL is
-stubbed: ``FakeImageDecoder`` is a deterministic stand-in (parses our
-synthetic header, "decodes" to a small deterministic tensor).  The
-Ray-side plumbing — schema, actor signature, batch sizing, output
-layout — is real and tested; swapping in a real decoder is replacing
-one method (see ``DecodeImages.decode``), the actor/stage shape does
-not change.
-
-Synthetic payload format (produced by :func:`synth_image_table`):
-``b"IMG1" + width:uint16 + height:uint16 + seed:uint32 + payload``.
+Round 3: the image and audio decode kernels are REAL — pure-numpy
+codecs for 24-bit uncompressed BMP (BITMAPFILEHEADER +
+BITMAPINFOHEADER, bottom-up/top-down rows, 4-byte row padding,
+BGR order) and PCM16 mono RIFF/WAVE (proper chunk walk, word
+alignment).  The deterministic fixtures (:func:`synth_image_table`,
+:func:`synth_audio_table`) emit real ``image/bmp`` / ``audio/wav``
+bytes, so the actor-pool decode path is end-to-end real; no external
+libraries.  The legacy ``IMG1``/``AUD1`` synthetic-header formats stay
+decodable for old fixtures.  Video remains a clearly-labeled stub
+(container formats genuinely need external codecs).
 """
 
 from __future__ import annotations
@@ -29,7 +29,49 @@ import pyarrow as pa
 import ray.data as rd
 
 MAGIC = b"IMG1"
-HEADER = struct.Struct("<4sHHI")  # magic, width, height, seed
+HEADER = struct.Struct("<4sHHI")  # magic, width, height, seed (legacy)
+
+
+# ---------------------------------------------------------------------------
+# Real BMP codec (pure numpy/struct): 24-bit uncompressed BI_RGB.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → BMP bytes (24-bit, bottom-up, BGR,
+    4-byte-padded rows)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """BMP bytes → (H, W, 3) uint8 RGB.  Handles bottom-up and
+    top-down (negative height) images, arbitrary data offsets, and
+    4-byte row padding; rejects compressed / non-24-bit files."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    top_down, h = h_signed < 0, abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    arr = np.frombuffer(
+        b, np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    px = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return px if top_down else px[::-1]
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -43,14 +85,15 @@ IMAGE_SCHEMA = pa.schema(
 
 
 def synth_image_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic 'image' rows (no external data)."""
+    """Deterministic image rows — REAL 24-bit BMP payloads (encoded by
+    :func:`encode_bmp` from seeded pixel noise; no external data)."""
     rng = np.random.RandomState(seed)
     ids, payloads, w_, h_ = [], [], [], []
     for i in range(n):
         w = int(rng.randint(8, 64))
         h = int(rng.randint(8, 64))
-        body = rng.bytes(w * h)
-        payloads.append(HEADER.pack(MAGIC, w, h, i) + body)
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payloads.append(encode_bmp(img))
         ids.append(i)
         w_.append(w)
         h_.append(h)
@@ -58,7 +101,7 @@ def synth_image_table(n: int, seed: int = 42) -> pa.Table:
         {
             "image_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["image/x-synthetic"] * n, pa.string()),
+            "mime": pa.array(["image/bmp"] * n, pa.string()),
             "width": pa.array(w_, pa.int32()),
             "height": pa.array(h_, pa.int32()),
         }
@@ -66,8 +109,8 @@ def synth_image_table(n: int, seed: int = 42) -> pa.Table:
 
 
 class FakeImageDecoder:
-    """Deterministic stand-in for a real codec (PIL/libjpeg absent in
-    this environment).  decode(payload) -> (H, W) uint8 array."""
+    """Decoder for the LEGACY synthetic-header format (kept so old
+    fixtures keep decoding).  decode(payload) -> (H, W) uint8 array."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         magic, w, h, _seed = HEADER.unpack(payload[: HEADER.size])
@@ -79,6 +122,25 @@ class FakeImageDecoder:
         return body.reshape(h, w)
 
 
+class ImageDecoder:
+    """Real decode kernel: sniffs BMP (``BM``) vs the legacy synthetic
+    header; returns a grayscale (H, W) float array (RGB → ITU-R 601
+    luma for BMP)."""
+
+    def __init__(self):
+        self._legacy = FakeImageDecoder()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            rgb = decode_bmp(payload).astype(np.float64)
+            return (
+                0.299 * rgb[:, :, 0]
+                + 0.587 * rgb[:, :, 1]
+                + 0.114 * rgb[:, :, 2]
+            )
+        return self._legacy.decode(payload).astype(np.float64)
+
+
 class DecodeImages:
     """Actor-pool stage: decode → per-image features.
 
@@ -88,7 +150,7 @@ class DecodeImages:
     """
 
     def __init__(self, target: Tuple[int, int] = (8, 8)):
-        self.decoder = FakeImageDecoder()
+        self.decoder = ImageDecoder()
         self.target = target
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
@@ -139,7 +201,52 @@ def decode_stage(
 
 
 AUDIO_MAGIC = b"AUD1"
-AUDIO_HEADER = struct.Struct("<4sIHH")  # magic, n_samples, rate_hz/100, seed
+AUDIO_HEADER = struct.Struct("<4sIHH")  # legacy synthetic header
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (pure numpy/struct): PCM16 mono RIFF/WAVE.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> Tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → (int16 samples, sample_rate).  Proper chunk
+    walk with word alignment; rejects non-PCM16-mono."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={n_ch}, "
+                    f"bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, "<i2"), int(rate)
 
 AUDIO_SCHEMA = pa.schema(
     [
@@ -153,20 +260,17 @@ AUDIO_SCHEMA = pa.schema(
 
 
 def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic 'audio' rows (int16 PCM-ish payload)."""
+    """Deterministic audio rows — REAL PCM16 mono WAV payloads
+    (encoded by :func:`encode_wav` from seeded sine sweeps)."""
     rng = np.random.RandomState(seed)
     ids, payloads, rates, lens = [], [], [], []
     for i in range(n):
         n_samp = int(rng.randint(400, 4000))
         rate = int(rng.choice([8000, 16000]))
-        body = (
-            (np.sin(np.arange(n_samp) * (0.01 + (i % 7) * 0.005)) * 12000)
-            .astype(np.int16)
-            .tobytes()
-        )
-        payloads.append(
-            AUDIO_HEADER.pack(AUDIO_MAGIC, n_samp, rate // 100, i) + body
-        )
+        samples = (
+            np.sin(np.arange(n_samp) * (0.01 + (i % 7) * 0.005)) * 12000
+        ).astype(np.int16)
+        payloads.append(encode_wav(samples, rate))
         ids.append(i)
         rates.append(rate)
         lens.append(n_samp)
@@ -174,7 +278,7 @@ def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
         {
             "audio_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["audio/x-synthetic"] * n, pa.string()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
             "sample_rate": pa.array(rates, pa.int32()),
             "n_samples": pa.array(lens, pa.int32()),
         }
@@ -182,8 +286,7 @@ def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
 
 
 class FakeAudioDecoder:
-    """Stand-in for a real audio codec (none in this environment):
-    parses the synthetic header, 'decodes' to int16 samples."""
+    """Decoder for the LEGACY synthetic-header audio format."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         magic, n_samp, rate_c, _seed = AUDIO_HEADER.unpack(
@@ -196,21 +299,37 @@ class FakeAudioDecoder:
         )
 
 
+class AudioDecoder:
+    """Real decode kernel: sniffs RIFF/WAVE vs the legacy header;
+    returns (int16 samples, rate_or_None)."""
+
+    def __init__(self):
+        self._legacy = FakeAudioDecoder()
+
+    def decode(self, payload: bytes):
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)
+        return self._legacy.decode(payload), None
+
+
 class DecodeAudio:
     """Actor-pool stage: decode → per-clip features (duration, RMS
     energy, zero-crossing rate, fixed-length energy envelope) — the
-    audio analogue of DecodeImages; swapping in a real codec replaces
-    ``FakeAudioDecoder.decode`` only."""
+    audio analogue of DecodeImages.  The decoded WAV sample rate is
+    authoritative; the metadata column is the fallback for legacy
+    payloads."""
 
     def __init__(self, envelope_bins: int = 16):
-        self.decoder = FakeAudioDecoder()
+        self.decoder = AudioDecoder()
         self.bins = envelope_bins
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         dur, rms, zcr, env = [], [], [], []
         rates = batch["sample_rate"].to_numpy(zero_copy_only=False)
-        for payload, rate in zip(batch["payload"], rates):
-            x = self.decoder.decode(payload.as_py()).astype(np.float64)
+        for payload, meta_rate in zip(batch["payload"], rates):
+            x, wav_rate = self.decoder.decode(payload.as_py())
+            rate = wav_rate if wav_rate is not None else meta_rate
+            x = x.astype(np.float64)
             dur.append(round(len(x) / float(rate), 6))
             rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
             zc = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))

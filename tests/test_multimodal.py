@@ -21,11 +21,21 @@ def test_synth_schema_and_determinism():
 
 
 def test_decoder_roundtrip():
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        ImageDecoder,
+        decode_bmp,
+    )
+
     t = synth_image_table(4)
-    dec = FakeImageDecoder()
-    img = dec.decode(t["payload"][0].as_py())
-    assert img.shape == (t["height"][0].as_py(), t["width"][0].as_py())
-    assert img.dtype == np.uint8
+    payload = t["payload"][0].as_py()
+    assert payload[:2] == b"BM"  # real BMP bytes
+    rgb = decode_bmp(payload)
+    assert rgb.shape == (
+        t["height"][0].as_py(), t["width"][0].as_py(), 3
+    )
+    assert rgb.dtype == np.uint8
+    gray = ImageDecoder().decode(payload)
+    assert gray.shape == rgb.shape[:2]
 
 
 def test_decoder_rejects_bad_magic():
@@ -68,8 +78,15 @@ def test_audio_synth_and_decode(ray_session):
     assert t.schema.equals(AUDIO_SCHEMA)
     assert t.equals(synth_audio_table(40))  # deterministic
 
-    x = FakeAudioDecoder().decode(t["payload"][0].as_py())
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        AudioDecoder,
+    )
+
+    payload = t["payload"][0].as_py()
+    assert payload[:4] == b"RIFF"  # real WAV bytes
+    x, rate = AudioDecoder().decode(payload)
     assert len(x) == t["n_samples"][0].as_py()
+    assert rate == t["sample_rate"][0].as_py()
 
     out = audio_decode_stage(rd.from_arrow(t), envelope_bins=8).to_pandas()
     assert len(out) == 40
@@ -119,3 +136,43 @@ def test_video_frame_sampling(ray_session):
     a = out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
     b = out2.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bmp_codec_roundtrip_and_padding():
+    import struct
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)  # padded rows
+    b = encode_bmp(img)
+    assert np.array_equal(decode_bmp(b), img)
+    # top-down variant (negative height) decodes flipped
+    b2 = bytearray(b)
+    struct.pack_into("<i", b2, 22, -13)
+    assert np.array_equal(decode_bmp(bytes(b2)), img[::-1])
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b[2:])
+
+
+def test_wav_codec_chunk_walk():
+    import struct
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = (np.sin(np.arange(1001) * 0.02) * 9000).astype(np.int16)
+    w = encode_wav(s, 8000)
+    x, rate = decode_wav(w)
+    assert rate == 8000 and np.array_equal(x, s)
+    # junk LIST chunk (odd size, word-aligned) before data still decodes
+    w2 = w[:12] + b"LIST" + struct.pack("<I", 5) + b"abcde\x00" + w[12:]
+    x2, _ = decode_wav(w2)
+    assert np.array_equal(x2, s)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
