@@ -261,20 +261,6 @@ def _q_route(sf_dir: str):
     return routed_transcripts(sf_dir)
 
 
-def _q_route_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    from opentelemetry_collector_components_ray.pipelines.flagship import (
-        routed_transcripts,
-    )
-
-    return (
-        routed_transcripts(sf_dir)
-        .groupby("sink")
-        .aggregate(Count(alias_name="n"))
-    )
-
-
 def _q_service_summary(sf_dir: str):
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
@@ -636,20 +622,6 @@ def _q_split(sf_dir: str):
     return sampling.assign_split(read_transcripts(sf_dir), "conv_id")
 
 
-def _q_audio_features(sf_dir: str):
-    """Audio analogue of m_image_features (stub codec, real actor-pool
-    plumbing); rows-only."""
-    import ray.data as rd
-
-    from opentelemetry_collector_components_ray.stages.multimodal import (
-        audio_decode_stage,
-        synth_audio_table,
-    )
-
-    n = max(64, _docs(sf_dir).count() // 10)
-    return audio_decode_stage(rd.from_arrow(synth_audio_table(n)))
-
-
 def _q_pricing_summary(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import relational
 
@@ -662,35 +634,56 @@ def _q_revenue_by_year(sf_dir: str):
     return relational.revenue_by_year(sf_dir)
 
 
-def _q_image_features(sf_dir: str):
-    """Multimodal plumbing demo: deterministic synthetic binary images
-    (no external data; count scales with the sf's documents table) →
-    actor-pool decode → features.  Decode kernel is a stub (no codecs
-    in this env) — plumbing is real; rows-only check."""
+def _q_multimodal_features(sf_dir: str):
+    """All three multimodal pipelines (image BMP decode, audio WAV
+    decode, video frame sampling) melted to one long-format table
+    (modality, obj_id, feature, value) — real pure-numpy BMP/WAV decode
+    kernels on actor pools, stub video codec (container formats need
+    external libs); rows-only check, codecs golden-tested in
+    tests/test_multimodal.py."""
+    import pandas as pd
     import ray.data as rd
 
     from opentelemetry_collector_components_ray.stages.multimodal import (
+        audio_decode_stage,
         decode_stage,
+        synth_audio_table,
         synth_image_table,
-    )
-
-    n = max(64, _docs(sf_dir).count() // 10)
-    return decode_stage(rd.from_arrow(synth_image_table(n)))
-
-
-def _q_video_frames(sf_dir: str):
-    """Video analogue of m_image_features: multi-frame binary payloads,
-    in-payload every-k frame sampling on an actor pool (stub codec,
-    real payload-exploding plumbing); rows-only."""
-    import ray.data as rd
-
-    from opentelemetry_collector_components_ray.stages.multimodal import (
         synth_video_table,
         video_frame_stage,
     )
 
-    n = max(32, _docs(sf_dir).count() // 20)
-    return video_frame_stage(rd.from_arrow(synth_video_table(n)), every_k=4)
+    n = max(64, _docs(sf_dir).count() // 10)
+
+    def melt(modality, id_col, feats):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[[id_col] + feats].melt(
+                id_vars=[id_col], var_name="feature", value_name="value"
+            )
+            out.insert(0, "modality", modality)
+            out["value"] = out["value"].astype("float64")
+            return out.rename(columns={id_col: "obj_id"})
+
+        return fn
+
+    img = decode_stage(rd.from_arrow(synth_image_table(n))).map_batches(
+        melt("image", "image_id", ["pixel_mean", "pixel_std"]),
+        batch_format="pandas",
+    )
+    aud = audio_decode_stage(
+        rd.from_arrow(synth_audio_table(n))
+    ).map_batches(
+        melt("audio", "audio_id",
+             ["duration_s", "rms", "zero_crossing_rate"]),
+        batch_format="pandas",
+    )
+    vid = video_frame_stage(
+        rd.from_arrow(synth_video_table(max(32, n // 2))), every_k=4
+    ).map_batches(
+        melt("video", "video_id", ["frame_mean", "frame_std"]),
+        batch_format="pandas",
+    )
+    return img.union(aud).union(vid)
 
 
 def _q_conv_stats(sf_dir: str):
@@ -705,13 +698,6 @@ def _q_conv_head(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import conversation
 
     return conversation.conv_head(read_transcripts(sf_dir), k=3)
-
-
-def _q_approx_convs(sf_dir: str):
-    from opentelemetry_collector_components_ray.sources import read_transcripts
-    from opentelemetry_collector_components_ray.stages import conversation
-
-    return conversation.approx_distinct_convs(read_transcripts(sf_dir))
 
 
 def _q_ecs_remap(sf_dir: str):
@@ -929,7 +915,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_parse": _q_parse,
         "t_enrich": _q_enrich,
         "t_route": _q_route,
-        "t_route_counts": _q_route_counts,
         "t_service_summary": _q_service_summary,
         "t_latest_state": _q_latest_state,
         "t_capped_tools": _q_capped_tools,
@@ -946,7 +931,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_split": _q_split,
         "t_conv_stats": _q_conv_stats,
         "t_conv_head": _q_conv_head,
-        "t_approx_convs": _q_approx_convs,  # rows-only (HLL estimate)
         "t_ecs_remap": _q_ecs_remap,
         "t_cardinality_route": _q_cardinality_route,
         "t_cardinality_route_hll": _q_cardinality_route_hll,  # rows-only (sketch)
@@ -973,9 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_neardup": _q_cosine_neardup,
         "e_ivf_topk": _q_ivf_topk,
         "e_embedding_clusters": _q_embedding_clusters,
-        "m_image_features": _q_image_features,  # rows-only (stub codec)
-        "m_audio_features": _q_audio_features,  # rows-only (stub codec)
-        "m_video_frames": _q_video_frames,  # rows-only (stub codec)
+        # real BMP/WAV decode kernels; video codec stubbed — rows-only
+        "m_multimodal_features": _q_multimodal_features,
         # relational demos over the TPC-H-ish tables
         "r_pricing_summary": _q_pricing_summary,
         "r_revenue_by_year": _q_revenue_by_year,
@@ -988,10 +971,6 @@ def oracle_sql() -> dict[str, str]:
         "t_parse": f"{_CTE} SELECT * FROM parsed",
         "t_enrich": f"{_CTE} SELECT * FROM enriched",
         "t_route": f"{_CTE} SELECT * FROM ({ROUTED_SQL})",
-        "t_route_counts": (
-            f"{_CTE} SELECT sink, COUNT(*) AS n FROM ({ROUTED_SQL}) "
-            "GROUP BY sink"
-        ),
         "t_service_summary": (
             f"{_CTE} {_agg.service_summary_sql(('1h', '24h'))}"
         ),
