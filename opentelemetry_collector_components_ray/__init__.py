@@ -35,6 +35,10 @@ def _tune_allocator() -> None:
     every process that imports the package (driver, bench, Ray workers
     unpickling stage callables).  No-op off glibc.
     """
+    import os
+
+    if os.environ.get("OCCR_NO_MALLOC_TUNING"):
+        return
     try:
         import ctypes
 

@@ -178,13 +178,16 @@ MERGE_AUTO_INPUT_BYTES = 4 << 30
 
 
 def estimate_input_bytes(ds: rd.Dataset) -> int | None:
-    """Decoded-size estimate from the dataset's source parquet files —
-    walks the LOGICAL plan to the Read ops (``input_files()`` is empty
-    once transforms are applied), sums file sizes, no execution.
-    None = unknown (in-memory source, remote paths)."""
+    """Decoded-size estimate from the dataset's sources — walks the
+    LOGICAL plan (``input_files()`` is empty once transforms are
+    applied) to parquet Read ops (file sizes × 3) and materialized
+    InputData ops (exact block bytes from ref-bundle metadata), sums
+    them, no execution.  None = unknown (remote paths, exotic
+    sources)."""
     import os as _os
 
     paths: list = []
+    mat_bytes = 0
     try:
         stack = [ds._plan._logical_plan.dag]
         while stack:
@@ -197,10 +200,14 @@ def estimate_input_bytes(ds: rd.Dataset) -> int | None:
                     paths.extend(pq)
                 else:
                     return None  # non-parquet source: unknown
+            elif type(op).__name__ == "InputData":
+                # materialized blocks: size known without execution
+                bundles = getattr(op, "input_data", None) or []
+                mat_bytes += sum(b.size_bytes() for b in bundles)
     except Exception:
         return None
     if not paths:
-        return None
+        return mat_bytes if mat_bytes else None
     total = 0
     for f in paths:
         p = f[7:] if f.startswith("file://") else f
@@ -214,7 +221,9 @@ def estimate_input_bytes(ds: rd.Dataset) -> int | None:
             total += _os.path.getsize(p)
         else:
             return None
-    return total * 3  # decoded Arrow runs ~2-3x parquet bytes
+    # decoded Arrow runs ~2-3x parquet bytes; materialized bytes are
+    # already decoded
+    return total * 3 + mat_bytes
 
 
 def resolve_distributed(
