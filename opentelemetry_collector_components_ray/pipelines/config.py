@@ -16,10 +16,12 @@ The reference's user-extension surface, re-expressed:
   datapoints (lsmintervalprocessor config/config.go:70-78, executed
   processor.go:556-605; statements like
   ``set(attributes["metricset.interval"], "1m")`` built at
-  elasticapmconnector config.go:171-183).  We support the same two
-  shapes the reference builds: ``set(col, "literal")`` and
-  ``concat(col, [a, b], "sep")`` — parsed once, applied as a
-  vectorized ``map_batches``.
+  elasticapmconnector config.go:171-183).  Round 3 widened the round-2
+  set/concat-only support to an OTTL subset — editors set / concat /
+  delete_key / keep_keys / truncate_all / replace_pattern, value
+  converters Concat / Substring / Int / Double, and per-row ``where``
+  conditions — each statement compiled once to vectorized Arrow
+  kernels and applied in one ``map_batches`` (grammar below).
 """
 
 from __future__ import annotations
@@ -39,44 +41,309 @@ from ..stages.route import RouterConfig
 # Statements
 # ---------------------------------------------------------------------------
 
-_SET_RE = re.compile(r'^set\((\w+),\s*"([^"]*)"\)$')
-_CONCAT_RE = re.compile(
-    r'^concat\((\w+),\s*\[([\w\s,]+)\],\s*"([^"]*)"\)$'
+# ---------------------------------------------------------------------------
+# OTTL-subset grammar (round-3 expansion of the round-2 set/concat-only
+# support).  The reference accepts an open OTTL grammar on aggregated
+# datapoints (lsmintervalprocessor config/config.go:70-78); this engine
+# implements the columnar subset that maps to vectorized Arrow kernels:
+#
+#   statement := editor [ "where" condition ]
+#   editor    := set(col, value) | concat(col, [col, ...], "sep")
+#              | delete_key(col) | keep_keys([col, ...])
+#              | truncate_all(n) | replace_pattern(col, "re", "repl")
+#   value     := "string" | 123 | 1.5 | col
+#              | Concat([value, ...], "sep") | Substring(value, i, n)
+#              | Int(value) | Double(value)
+#   condition := cmp { ("and" | "or") cmp }
+#   cmp       := col ("==" | "!=" | ">" | ">=" | "<" | "<=")
+#                ("string" | number | col)
+#
+# ``where`` masks the statement per row (pc.if_else against the
+# original column).  Everything else in real OTTL (map/slice values,
+# context paths, the full converter library) is a documented
+# non-goal — config validation rejects it loudly at build time.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r'\s*(?:(?P<str>"[^"]*")|(?P<num>-?\d+\.\d+|-?\d+)'
+    r'|(?P<name>[A-Za-z_]\w*)|(?P<op>==|!=|>=|<=|[(),\[\]><]))'
 )
 
 
+def _tokenize(s: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"unparseable statement near {s[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: List[Tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self, expect_kind=None, expect_val=None):
+        k, v = self.peek()
+        if k is None:
+            raise ValueError("unexpected end of statement")
+        if expect_kind and k != expect_kind:
+            raise ValueError(f"expected {expect_kind}, got {v!r}")
+        if expect_val and v != expect_val:
+            raise ValueError(f"expected {expect_val!r}, got {v!r}")
+        self.i += 1
+        return k, v
+
+    # value := literal | col | converter(...)
+    def value(self):
+        k, v = self.next()
+        if k == "str":
+            lit = v[1:-1]
+            return lambda t: pa.array([lit] * t.num_rows, pa.string())
+        if k == "num":
+            if "." in v:
+                num = float(v)
+                return lambda t: pa.array([num] * t.num_rows, pa.float64())
+            inum = int(v)
+            return lambda t: pa.array([inum] * t.num_rows, pa.int64())
+        if k != "name":
+            raise ValueError(f"expected value, got {v!r}")
+        nk, nv = self.peek()
+        if nv == "(":  # converter
+            return self.converter(v)
+        col = v
+        return lambda t: t[col]
+
+    def value_list(self):
+        self.next(expect_val="[")
+        vals = [self.value()]
+        while self.peek()[1] == ",":
+            self.next()
+            vals.append(self.value())
+        self.next(expect_val="]")
+        return vals
+
+    def converter(self, name: str):
+        self.next(expect_val="(")
+        if name == "Concat":
+            vals = self.value_list()
+            self.next(expect_val=",")
+            _, sep = self.next(expect_kind="str")
+            sep = sep[1:-1]
+            self.next(expect_val=")")
+            return lambda t: pc.binary_join_element_wise(
+                *[pc.cast(v(t), pa.string()) for v in vals], sep
+            )
+        if name == "Substring":
+            v = self.value()
+            self.next(expect_val=",")
+            _, start = self.next(expect_kind="num")
+            self.next(expect_val=",")
+            _, length = self.next(expect_kind="num")
+            self.next(expect_val=")")
+            start_i, len_i = int(start), int(length)
+            return lambda t: pc.utf8_slice_codeunits(
+                pc.cast(v(t), pa.string()), start_i, start_i + len_i
+            )
+        if name in ("Int", "Double"):
+            v = self.value()
+            self.next(expect_val=")")
+            typ = pa.int64() if name == "Int" else pa.float64()
+            return lambda t: pc.cast(v(t), typ)
+        raise ValueError(f"unknown converter {name!r}")
+
+    # condition := cmp {and/or cmp}
+    def condition(self):
+        left = self.cmp()
+        while self.peek()[1] in ("and", "or"):
+            _, op = self.next()
+            right = self.cmp()
+            l = left
+            left = (
+                (lambda a, b: lambda t: pc.and_kleene(a(t), b(t)))(l, right)
+                if op == "and"
+                else (lambda a, b: lambda t: pc.or_kleene(a(t), b(t)))(
+                    l, right
+                )
+            )
+        return left
+
+    def cmp(self):
+        _, col = self.next(expect_kind="name")
+        _, op = self.next()
+        if op not in ("==", "!=", ">", ">=", "<", "<="):
+            raise ValueError(f"bad comparison operator {op!r}")
+        k, rv = self.next()
+        if k == "str":
+            rhs = rv[1:-1]
+        elif k == "num":
+            rhs = float(rv) if "." in rv else int(rv)
+        elif k == "name":
+            rhs = ("__col__", rv)
+        else:
+            raise ValueError(f"bad comparison operand {rv!r}")
+        fn = {
+            "==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+            ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal,
+        }[op]
+
+        def ev(t: pa.Table):
+            r = t[rhs[1]] if isinstance(rhs, tuple) else rhs
+            return fn(t[col], r)
+
+        return ev
+
+
+def _set_col(t: pa.Table, col: str, arr) -> pa.Table:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if col in t.column_names:
+        return t.set_column(t.schema.get_field_index(col), col, arr)
+    return t.append_column(col, arr)
+
+
 def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
-    """Compile one statement string to a batch transform.
+    """Compile one OTTL-subset statement string to a vectorized batch
+    transform (grammar in the module-section comment above).  Raises
+    ``ValueError`` on anything outside the subset — config validation
+    runs this at build time, so bad statements fail loudly before any
+    data moves."""
+    stmt = stmt.strip()
+    p = _Parser(_tokenize(stmt))
+    _, editor = p.next(expect_kind="name")
 
-    ``set(col, "value")``      → constant column (add or replace)
-    ``concat(col, [a, b], ".")`` → col = a || "." || b (existing string
-    columns a, b)
-    """
-    m = _SET_RE.match(stmt.strip())
-    if m:
-        col, value = m.groups()
+    cond = None
 
-        def apply_set(t: pa.Table) -> pa.Table:
-            arr = pa.array([value] * t.num_rows, pa.string())
-            if col in t.column_names:
-                t = t.drop_columns([col])
-            return t.append_column(col, arr)
+    def tail_condition():
+        nonlocal cond
+        if p.peek()[1] == "where":
+            p.next()
+            cond = p.condition()
+        if p.peek() != (None, None):
+            raise ValueError(f"trailing tokens in statement: {stmt!r}")
 
-        return apply_set
-    m = _CONCAT_RE.match(stmt.strip())
-    if m:
-        col, parts_s, sep = m.groups()
-        parts = [p.strip() for p in parts_s.split(",")]
+    def masked(t: pa.Table, col: str, new_arr) -> pa.Table:
+        if cond is None:
+            return _set_col(t, col, new_arr)
+        mask = pc.fill_null(cond(t), False)
+        if isinstance(new_arr, pa.ChunkedArray):
+            new_arr = new_arr.combine_chunks()
+        if col in t.column_names:
+            old = t[col]
+            if old.type != new_arr.type:
+                old = pc.cast(old, new_arr.type)
+            merged = pc.if_else(mask, new_arr, old)
+        else:
+            merged = pc.if_else(
+                mask, new_arr, pa.nulls(t.num_rows, new_arr.type)
+            )
+        return _set_col(t, col, merged)
+
+    if editor == "set":
+        p.next(expect_val="(")
+        _, col = p.next(expect_kind="name")
+        p.next(expect_val=",")
+        val = p.value()
+        p.next(expect_val=")")
+        tail_condition()
+        return lambda t: masked(t, col, val(t))
+
+    if editor == "concat":
+        p.next(expect_val="(")
+        _, col = p.next(expect_kind="name")
+        p.next(expect_val=",")
+        parts = p.value_list()
+        p.next(expect_val=",")
+        _, sep = p.next(expect_kind="str")
+        sep = sep[1:-1]
+        p.next(expect_val=")")
+        tail_condition()
 
         def apply_concat(t: pa.Table) -> pa.Table:
-            cols = [pc.cast(t[p], pa.string()) for p in parts]
-            arr = pc.binary_join_element_wise(*cols, sep)
-            if col in t.column_names:
-                t = t.drop_columns([col])
-            return t.append_column(col, arr)
+            arr = pc.binary_join_element_wise(
+                *[pc.cast(v(t), pa.string()) for v in parts], sep
+            )
+            return masked(t, col, arr)
 
         return apply_concat
-    raise ValueError(f"unparseable statement: {stmt!r}")
+
+    if editor == "delete_key":
+        p.next(expect_val="(")
+        _, col = p.next(expect_kind="name")
+        p.next(expect_val=")")
+        tail_condition()
+        if cond is not None:
+            raise ValueError("delete_key does not support where clauses")
+        return lambda t: (
+            t.drop_columns([col]) if col in t.column_names else t
+        )
+
+    if editor == "keep_keys":
+        p.next(expect_val="(")
+        p.next(expect_val="[")
+        keep = []
+        _, first = p.next(expect_kind="name")
+        keep.append(first)
+        while p.peek()[1] == ",":
+            p.next()
+            _, nxt = p.next(expect_kind="name")
+            keep.append(nxt)
+        p.next(expect_val="]")
+        p.next(expect_val=")")
+        tail_condition()
+        if cond is not None:
+            raise ValueError("keep_keys does not support where clauses")
+        return lambda t: t.select(
+            [c for c in t.column_names if c in keep]
+        )
+
+    if editor == "truncate_all":
+        p.next(expect_val="(")
+        _, n = p.next(expect_kind="num")
+        p.next(expect_val=")")
+        tail_condition()
+        if cond is not None:
+            raise ValueError("truncate_all does not support where clauses")
+        limit = int(n)
+
+        def apply_trunc(t: pa.Table) -> pa.Table:
+            for i, f in enumerate(t.schema):
+                if pa.types.is_string(f.type):
+                    t = t.set_column(
+                        i, f.name,
+                        pc.utf8_slice_codeunits(t[f.name], 0, limit),
+                    )
+            return t
+
+        return apply_trunc
+
+    if editor == "replace_pattern":
+        p.next(expect_val="(")
+        _, col = p.next(expect_kind="name")
+        p.next(expect_val=",")
+        _, pat = p.next(expect_kind="str")
+        p.next(expect_val=",")
+        _, repl = p.next(expect_kind="str")
+        p.next(expect_val=")")
+        tail_condition()
+        pat_s, repl_s = pat[1:-1], repl[1:-1]
+
+        def apply_repl(t: pa.Table) -> pa.Table:
+            arr = pc.replace_substring_regex(t[col], pat_s, repl_s)
+            return masked(t, col, arr)
+
+        return apply_repl
+
+    raise ValueError(f"unknown editor {editor!r} in statement: {stmt!r}")
 
 
 def apply_statements(

@@ -171,10 +171,6 @@ SERVICE_SUMMARY_MERGE: List[Tuple[str, str]] = [
 # decoded-input estimate above which the coalesced (single-worker)
 # finishes switch to their hash-partitioned twins automatically
 AUTO_DISTRIBUTED_BYTES = 256 << 20
-# decoded-input estimate above which merge_partials pays the shuffle;
-# higher than AUTO_DISTRIBUTED_BYTES because partials shrink the data
-# by orders of magnitude before the finish
-MERGE_AUTO_INPUT_BYTES = 4 << 30
 
 
 def estimate_input_bytes(ds: rd.Dataset) -> int | None:
@@ -267,19 +263,25 @@ def merge_partials(
     ``Dataset.groupby().aggregate()``, whose sort-based shuffle has
     seconds of fixed overhead.  ``distributed=True``: pre-combine per
     block, then a hash-partitioned groupby so no worker ever holds the
-    whole group space.  ``distributed=None`` (default, round-3 verdict
-    item 7): decide from the source-file size estimate — lazily,
-    nothing executes at build time (unknown sources take the scale
-    path).
+    whole group space.
+
+    ``distributed=None`` (default) = tree merge.  Input size is the
+    WRONG auto signal here (round-3 measurement): the partials this
+    function merges are already one row per (block, group), so their
+    final size is bounded by the GROUP SPACE, not the input — the
+    windowed aggregates' key spaces (interval × window × role × tool)
+    stay worker-sized at any input scale, and flipping to the sort
+    shuffle by input size slowed the 48M-turn disk-backed flagship
+    2.1× at both 8 and 32 cores.  Callers whose key space genuinely
+    scales with the data (≫10^8 groups) must pass
+    ``distributed=True``.
     """
     keys = list(keys)
     aggs = [(c, f) for c, f in specs]
     names = [c for c, _ in specs]
 
     if distributed is None:
-        distributed = resolve_distributed(
-            ds, None, threshold=MERGE_AUTO_INPUT_BYTES
-        )
+        distributed = False
 
     def combine(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate(aggs)
@@ -503,7 +505,7 @@ def capped_tool_summary(
     ds: rd.Dataset,
     limit: int = 4,
     batch_size: int = 131072,
-    distributed: bool | None = None,
+    distributed: bool = True,
 ):
     """Per-role turn counts by tool with a cardinality cap.
 
@@ -515,16 +517,17 @@ def capped_tool_summary(
     (merger/value.go:311-362; ``_other`` naming config.go:193-226).
 
     ``distributed=None`` (default) resolves by input-size estimate
-    (:func:`resolve_distributed`).  ``distributed=True``: the fold runs per ROLE in a
+    ``distributed=True`` (default): the fold runs per ROLE in a
     ``groupby("role").map_groups`` over the pre-aggregated (role, tool)
     table, returning a Dataset — no single worker holds more than one
     role's distinct tools.  A role whose distinct-tool set itself
     exceeds worker memory would switch the dropped-unique count to the
     mergeable HLL (functions/sketches.py) — the reference's own scale
     rule.  ``distributed=False`` folds on the driver and returns a
-    pandas DataFrame (handy for tiny key spaces / interactive use).
+    pandas DataFrame (handy for tiny key spaces / interactive use) —
+    because the flag changes the RETURN TYPE it stays an explicit
+    caller choice, exempt from the estimator auto-select.
     """
-    distributed = resolve_distributed(ds, distributed)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(

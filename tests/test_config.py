@@ -129,3 +129,101 @@ def test_registered_one_arg_stage_builds(ray_session):
 
     out = spec.build(read_transcripts("/root/testdata/sf0.001"))
     assert out.count() > 0
+
+
+def _t():
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "role": ["user", "tool", "assistant"],
+            "tool": ["", "search", ""],
+            "n": [1, 5, 9],
+            "note": ["alpha beta", "gamma!!", "x" * 50],
+        }
+    )
+
+
+def test_ottl_set_literals_and_paths():
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        parse_statement,
+    )
+
+    out = parse_statement('set(kind, "metric")')(_t())
+    assert out["kind"].to_pylist() == ["metric"] * 3
+    out = parse_statement("set(m, n)")(_t())
+    assert out["m"].to_pylist() == [1, 5, 9]
+    out = parse_statement("set(x, 2.5)")(_t())
+    assert out["x"].to_pylist() == [2.5] * 3
+
+
+def test_ottl_where_masks_rows():
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        parse_statement,
+    )
+
+    out = parse_statement('set(role, "bot") where n >= 5')(_t())
+    assert out["role"].to_pylist() == ["user", "bot", "bot"]
+    out = parse_statement(
+        'set(flag, "hot") where role == "tool" and n > 1'
+    )(_t())
+    assert out["flag"].to_pylist() == [None, "hot", None]
+    out = parse_statement('set(flag, "e") where n > 8 or role == "user"')(
+        _t()
+    )
+    assert out["flag"].to_pylist() == ["e", None, "e"]
+
+
+def test_ottl_editors():
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        parse_statement,
+    )
+
+    assert "tool" not in parse_statement("delete_key(tool)")(
+        _t()
+    ).column_names
+    out = parse_statement("keep_keys([role, n])")(_t())
+    assert out.column_names == ["role", "n"]
+    out = parse_statement("truncate_all(6)")(_t())
+    assert out["note"].to_pylist() == ["alpha ", "gamma!", "xxxxxx"]
+    out = parse_statement('replace_pattern(note, "[!]+", ".")')(_t())
+    assert out["note"].to_pylist()[1] == "gamma."
+    with _pytest.raises(ValueError):
+        parse_statement('delete_key(tool) where n > 1')
+
+
+def test_ottl_converters():
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        parse_statement,
+    )
+
+    out = parse_statement(
+        'set(svc, Concat([role, tool], ":"))'
+    )(_t())
+    assert out["svc"].to_pylist() == ["user:", "tool:search", "assistant:"]
+    out = parse_statement('set(h, Substring(note, 0, 5))')(_t())
+    assert out["h"].to_pylist()[0] == "alpha"
+    out = parse_statement("set(d, Double(n))")(_t())
+    assert out["d"].to_pylist() == [1.0, 5.0, 9.0]
+    out = parse_statement('set(i, Int(2.0))')(_t())
+    assert out["i"].to_pylist() == [2] * 3
+
+
+def test_ottl_rejects_out_of_subset():
+    import pytest as _pytest
+
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        parse_statement,
+    )
+
+    for bad in (
+        'limit(attributes, 10, [])',
+        'set(x, Unknown(y))',
+        'set(x, "a") where',
+        'set(x "a")',
+        'set(x, "a") extra',
+    ):
+        with _pytest.raises(ValueError):
+            parse_statement(bad)
