@@ -242,6 +242,51 @@ def main() -> None:
         ).count()
     )
 
+    # IVF persistent index: build once, then probe-pruned search — the
+    # evidence that probing prunes at the READ (bytes touched =
+    # probed-partition bytes, not the corpus)
+    import glob as _glob
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix="occr_bench_ivf_")
+    n_cent = ann_mod.auto_n_centroids(embs)
+    nprobe = max(1, n_cent // 8)
+    queries["emb_ivf_build"], _ = _timed(
+        lambda: ann_mod.ivf_build_index(embs, idx_dir, n_centroids=n_cent)
+    )
+    # few queries = the point-lookup shape where probing prunes;
+    # a 50-query batch's probe union covers most partitions
+    qset = embs.filter(expr="vec_id < 3")
+    queries["emb_ivf_search_pruned"], _ = _timed(
+        lambda: ann_mod.ivf_search_index(
+            idx_dir, qset, k=10, nprobe=nprobe
+        ).count()
+    )
+    # pruned-read fraction: bytes under the probed partitions vs all
+    import numpy as _np
+
+    cent = _np.load(f"{idx_dir}/centroids.npy")
+    qdf = qset.to_pandas().sort_values("vec_id", kind="mergesort")
+    qm = _np.stack(qdf["embedding"].to_numpy()).astype(_np.float64)
+    qm = qm / _np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = _np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    needed = {int(c) for row in probes for c in row}
+
+    def _dir_bytes(paths):
+        return sum(os.path.getsize(p) for p in paths)
+
+    all_parts = _glob.glob(f"{idx_dir}/vectors/centroid_id=*/*.parquet")
+    probed = [
+        p for p in all_parts
+        if int(p.split("centroid_id=")[1].split("/")[0]) in needed
+    ]
+    ivf_read_fraction = round(
+        _dir_bytes(probed) / max(_dir_bytes(all_parts), 1), 4
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(idx_dir, ignore_errors=True)
+
     val = queries["flagship_e2e"]
     print(
         json.dumps(
@@ -254,6 +299,9 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "n_turns": n_turns,
                 "turns_per_sec": round(n_turns / val, 1),
+                "ivf_n_centroids": n_cent,
+                "ivf_nprobe": nprobe,
+                "ivf_pruned_read_fraction": ivf_read_fraction,
             }
         )
     )

@@ -240,6 +240,103 @@ def train_centroids(
     return cent
 
 
+def train_centroids_distributed(
+    ds: rd.Dataset,
+    n_centroids: int | None = None,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Sharded Lloyd k-means over the FULL corpus — the scale path the
+    √N rule eventually needs (the driver-sample variant caps at
+    40×n_centroids rows; past ~10^6 centroids the sample itself stops
+    fitting one process).
+
+    Per iteration: broadcast the centroid matrix (``ray.put`` once),
+    one ``map_batches`` pass emits per-batch partial (centroid → vector
+    sum, count) rows, and a driver-side fold of those tiny partials
+    (n_centroids × d floats — the only state the driver ever holds)
+    produces the next centroids.  Assignment uses the same
+    deterministic fixed-order matmul as the IVF assigner, so a batch's
+    assignments are machine-state independent; centroid sums are
+    float64 adds whose cross-block order may differ in the last ulp —
+    argmax assignment ties at that magnitude are measure-zero for real
+    embeddings (asserted against the driver-sample trainer in tests).
+    """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(ds)
+    # deterministic init: same seeded choice over the sorted id sample
+    # the driver trainer uses
+    init = train_centroids(
+        ds, n_centroids, vec_col, sample_limit=max(2048, 2 * n_centroids),
+        iters=0, seed=seed, id_col=id_col,
+    )
+    cent = init
+    k = len(cent)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _normalize(_matrix(batch[vec_col]))
+            assign = _det_matmul(m, c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            keep = counts > 0
+            return pa.table(
+                {
+                    "cid": pa.array(np.flatnonzero(keep), pa.int64()),
+                    "vsum": pa.array(
+                        list(sums[keep].astype(np.float64)),
+                        pa.list_(pa.float64()),
+                    ),
+                    "cnt": pa.array(counts[keep].astype(np.int64)),
+                }
+            )
+
+        def combine(t: pa.Table) -> pa.Table:
+            cid = t["cid"].to_numpy(zero_copy_only=False)
+            vs = np.stack(t["vsum"].to_numpy(zero_copy_only=False))
+            cnt = t["cnt"].to_numpy(zero_copy_only=False)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, cid, vs)
+            counts = np.zeros(k, dtype=np.int64)
+            np.add.at(counts, cid, cnt)
+            keep = counts > 0
+            return pa.table(
+                {
+                    "cid": pa.array(np.flatnonzero(keep), pa.int64()),
+                    "vsum": pa.array(
+                        list(sums[keep]), pa.list_(pa.float64())
+                    ),
+                    "cnt": pa.array(counts[keep]),
+                }
+            )
+
+        # tree merge: per-block partials → per-worker combine →
+        # one coalesced combine; the driver only ever reads ≤ k rows
+        parts = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        cids = parts["cid"].to_numpy()
+        np.add.at(counts, cids, parts["cnt"].to_numpy())
+        vs = np.stack(parts["vsum"].to_numpy())
+        np.add.at(sums, cids, vs)
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new)
+    return cent
+
+
 class IvfAssigner:
     def __init__(self, cent_ref, vec_col: str):
         self.cent = ray.get(cent_ref)
@@ -662,13 +759,32 @@ def ivf_build_index(
     n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed_training: bool | None = None,
 ) -> np.ndarray:
     """Train centroids, assign every vector, write the corpus as
     parquet hive-partitioned by ``centroid_id`` plus the centroid
-    matrix (``centroids.npy``).  Returns the centroids."""
+    matrix (``centroids.npy``).  Returns the centroids.
+
+    ``distributed_training=None`` auto-selects the sharded trainer
+    (:func:`train_centroids_distributed`) when the corpus exceeds the
+    driver-sample capacity (40 × n_centroids rows) — the 100 TB shape
+    the √N centroid rule eventually demands."""
     import os
 
-    cent = train_centroids(ds, n_centroids, vec_col, id_col=id_col)
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(ds)
+    if distributed_training is None:
+        try:
+            distributed_training = (
+                int(ds.count()) > max(20000, 40 * n_centroids)
+            )
+        except Exception:
+            distributed_training = False
+    trainer = (
+        train_centroids_distributed if distributed_training
+        else train_centroids
+    )
+    cent = trainer(ds, n_centroids, vec_col, id_col=id_col)
     cent_ref = ray.put(cent)
     akey = ("ivf_assign", cent_ref.hex(), vec_col)
 

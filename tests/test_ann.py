@@ -210,3 +210,21 @@ def test_embedding_clusters_verified_twins(ray_session):
         else:
             assert lab == vid
     assert n_twin > 0
+
+
+def test_distributed_kmeans_matches_driver_trainer(ray_session):
+    """Same seeded init + same math over the same full corpus: the
+    sharded trainer converges to the driver-sample trainer's centroids
+    (cross-block float sum order differs only in the last ulp)."""
+    import numpy as np
+
+    from opentelemetry_collector_components_ray.sources import (
+        read_parquet_clean,
+    )
+    from opentelemetry_collector_components_ray.stages import ann
+
+    embs = read_parquet_clean("/root/testdata/sf0.001/embeddings.parquet")
+    driver = ann.train_centroids(embs, 8, iters=6)
+    dist = ann.train_centroids_distributed(embs, 8, iters=6)
+    assert dist.shape == driver.shape
+    assert np.allclose(dist, driver, atol=1e-8)
