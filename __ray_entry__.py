@@ -97,7 +97,14 @@ _ENRICH_FULL_INPUTS_SQL = """SELECT conv_id, turn_idx, role, tool,
   'h-' || CAST(turn_idx % 7 AS VARCHAR) AS host_name,
   CASE WHEN turn_idx % 11 = 0
        THEN 'node-' || CAST(turn_idx % 13 AS VARCHAR)
-  END AS k8s_node_name
+  END AS k8s_node_name,
+  CASE WHEN turn_idx % 17 = 0 THEN 'custom' END AS type_value,
+  CASE WHEN turn_idx % 9 <> 0
+       THEN 'span' || CAST(turn_idx % 997 AS VARCHAR)
+  END AS parent_span_id,
+  CASE WHEN turn_idx % 8 = 0 THEN 'prod' END AS deployment_environment,
+  CASE WHEN turn_idx % 6 = 0 THEN 'staging'
+  END AS deployment_environment_name
 FROM transcripts"""
 
 _CTE = (
@@ -223,6 +230,15 @@ def _q_enrich_full(sf_dir: str):
         out["host_name"] = "h-" + (t % 7).astype(str)
         out["k8s_node_name"] = ("node-" + (t % 13).astype(str)).where(
             t % 11 == 0, None)
+        out["type_value"] = pd.Series("custom", index=df.index).where(
+            t % 17 == 0, None)
+        out["parent_span_id"] = (
+            "span" + (t % 997).astype(str)
+        ).where(t % 9 != 0, None)
+        out["deployment_environment"] = pd.Series(
+            "prod", index=df.index).where(t % 8 == 0, None)
+        out["deployment_environment_name"] = pd.Series(
+            "staging", index=df.index).where(t % 6 == 0, None)
         return to_clean_arrow(out)
 
     ds = read_transcripts(sf_dir).map_batches(

@@ -607,8 +607,25 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
         pc.and_(http_details, pc.greater(dest_port, 0)), dest_port,
         pa.nulls(n, pa.int64()),
     )
+    # transaction.type ladder (span.go:476-487): explicit type value >
+    # messaging > request (rpc/http) > unknown
+    type_value = col("type_value")
+    txn_type = pc.case_when(
+        pc.make_struct(
+            _nonempty(type_value), is_msg, pc.or_(is_rpc, is_http)
+        ),
+        pc.fill_null(type_value, ""),
+        pa.array(["messaging"] * n, pa.string()),
+        pa.array(["request"] * n, pa.string()),
+        pa.array(["unknown"] * n, pa.string()),
+    )
+    # trace-root flag (span.go:1039-1041): empty parent span id
+    parent_span = col("parent_span_id")
+    trace_root = pc.invert(_nonempty(parent_span))
     return (
-        batch.append_column("service_target_type", service_target_type)
+        batch.append_column("txn_type", txn_type)
+        .append_column("trace_root", trace_root)
+        .append_column("service_target_type", service_target_type)
         .append_column("service_target_name", service_target_name)
         .append_column(
             "destination_address", pc.if_else(http_details, hostname, null_s)
@@ -705,8 +722,23 @@ def enrich_resource_batch(batch: pa.Table) -> pa.Table:
     # k8s node name overrides host.name (resource.go:229-243)
     host_name_final = pc.if_else(_nonempty(k8s_node), k8s_node, host_name)
 
+    # deployment.environment (resource.go:140-167): keep the legacy
+    # attr, else alias the semconv name, else default "unset"
+    dep_env = col("deployment_environment")
+    dep_env_name = col("deployment_environment_name")
+    deployment_environment_final = pc.if_else(
+        _nonempty(dep_env), pc.fill_null(dep_env, ""),
+        pc.if_else(
+            _nonempty(dep_env_name), pc.fill_null(dep_env_name, ""),
+            pa.scalar("unset"),
+        ),
+    )
+
     return (
-        batch.append_column("host_os_type", host_os_type)
+        batch.append_column(
+            "deployment_environment_final", deployment_environment_final
+        )
+        .append_column("host_os_type", host_os_type)
         .append_column("agent_name_full", agent_name)
         .append_column("agent_version", agent_version)
         .append_column("service_instance_id", service_instance_id)
@@ -742,7 +774,12 @@ SELECT * EXCLUDE (ok_url, scheme, hostname, port_str, has_port,
        CASE WHEN destn <> '' THEN destn END
          AS span_destination_service_resource,
        CASE WHEN is_http THEN 'external' END
-         AS span_destination_service_type
+         AS span_destination_service_type,
+       CASE WHEN COALESCE(type_value, '') <> '' THEN type_value
+            WHEN is_msg THEN 'messaging'
+            WHEN is_rpc OR is_http THEN 'request'
+            ELSE 'unknown' END AS txn_type,
+       COALESCE(parent_span_id, '') = '' AS trace_root
 FROM (
   SELECT *,
          CASE WHEN is_db THEN
@@ -884,6 +921,9 @@ SELECT i.*,
             END AS agent_version,
        COALESCE(NULLIF(container_id, ''), NULLIF(host_name, ''))
          AS service_instance_id,
-       COALESCE(NULLIF(k8s_node_name, ''), host_name) AS host_name_final
+       COALESCE(NULLIF(k8s_node_name, ''), host_name) AS host_name_final,
+       COALESCE(NULLIF(deployment_environment, ''),
+                NULLIF(deployment_environment_name, ''),
+                'unset') AS deployment_environment_final
 FROM ({inputs}) i
 """
