@@ -220,3 +220,38 @@ def test_label_propagation_is_connected_components(edges):
     comp_min = {root: min(members) for root, members in want.items()}
     for _, row in got.iterrows():
         assert row.cluster_id == comp_min[find(int(row.id))]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(max_size=40), min_size=1, max_size=30))
+def test_hash64_matches_python_reference(blobs):
+    """The buffer-level word-at-a-time hash equals a direct per-value
+    python implementation of the same scheme (length-seeded word chain,
+    power-of-two padding, splitmix64 finalizer)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_components_ray.functions.sketches import (
+        hash64,
+    )
+
+    M = (1 << 64) - 1
+
+    def sm(x):
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+        return x ^ (x >> 31)
+
+    def ref(b: bytes) -> int:
+        acc = sm(len(b) ^ 0x243F6A8885A308D3)
+        if b:
+            nw = (len(b) + 7) // 8
+            W = 1 << max((nw - 1).bit_length(), 0)
+            padded = b + b"\x00" * (W * 8 - len(b))
+            for j in range(W):
+                w = int.from_bytes(padded[8 * j : 8 * j + 8], "little")
+                acc = (acc * 1099511628211 + w) & M
+        return sm(acc)
+
+    out = hash64(pa.array(blobs, pa.binary()))
+    for i, b in enumerate(blobs):
+        assert int(out[i]) == ref(b)
