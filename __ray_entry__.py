@@ -104,7 +104,15 @@ _ENRICH_FULL_INPUTS_SQL = """SELECT conv_id, turn_idx, role, tool,
   END AS parent_span_id,
   CASE WHEN turn_idx % 8 = 0 THEN 'prod' END AS deployment_environment,
   CASE WHEN turn_idx % 6 = 0 THEN 'staging'
-  END AS deployment_environment_name
+  END AS deployment_environment_name,
+  CASE WHEN turn_idx % 4 = 3 AND turn_idx % 28 = 3
+            AND turn_idx % 3 <> 1
+       THEN CASE WHEN turn_idx % 3 = 0 THEN 'openai'
+                 ELSE 'anthropic' END
+  END AS genai_system,
+  CASE WHEN turn_idx % 4 = 3 AND turn_idx % 28 = 3
+            AND turn_idx % 3 = 1 THEN 'internal'
+  END AS span_kind
 FROM transcripts"""
 
 _CTE = (
@@ -239,6 +247,13 @@ def _q_enrich_full(sf_dir: str):
             "prod", index=df.index).where(t % 8 == 0, None)
         out["deployment_environment_name"] = pd.Series(
             "staging", index=df.index).where(t % 6 == 0, None)
+        # no-branch rows (branch 3, no url) exercise genai / internal
+        nob = (branch == 3) & (t % 28 == 3)
+        out["genai_system"] = pd.Series(
+            np.where(t % 3 == 0, "openai", "anthropic"), index=df.index
+        ).where(nob & (t % 3 != 1), None)
+        out["span_kind"] = pd.Series(
+            "internal", index=df.index).where(nob & (t % 3 == 1), None)
         return to_clean_arrow(out)
 
     ds = read_transcripts(sf_dir).map_batches(

@@ -622,9 +622,52 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
     # trace-root flag (span.go:1039-1041): empty parent span id
     parent_span = col("parent_span_id")
     trace_root = pc.invert(_nonempty(parent_span))
+    # span.type / span.subtype ladder (span.go:588-621): db > messaging
+    # > rpc > http > genai > internal-kind app > unknown
+    genai_system = col("genai_system")
+    span_kind = col("span_kind")
+    is_genai = pc.and_(
+        pc.invert(
+            pc.or_(pc.or_(is_db, is_msg), pc.or_(is_rpc, is_http))
+        ),
+        _nonempty(genai_system),
+    )
+    is_internal = pc.and_(
+        pc.invert(
+            pc.or_(
+                pc.or_(pc.or_(is_db, is_msg), pc.or_(is_rpc, is_http)),
+                is_genai,
+            )
+        ),
+        pc.equal(pc.fill_null(span_kind, ""), "internal"),
+    )
+    span_type = pc.case_when(
+        pc.make_struct(is_db, is_msg, pc.or_(is_rpc, is_http), is_genai,
+                       is_internal),
+        pa.array(["db"] * n, pa.string()),
+        pa.array(["messaging"] * n, pa.string()),
+        pa.array(["external"] * n, pa.string()),
+        pa.array(["genai"] * n, pa.string()),
+        pa.array(["app"] * n, pa.string()),
+        pa.array(["unknown"] * n, pa.string()),
+    )
+    sub = pc.case_when(
+        pc.make_struct(is_db, is_msg, is_rpc, is_http, is_genai,
+                       is_internal),
+        pc.fill_null(db_system, ""),
+        pc.fill_null(msg_system, ""),
+        pc.fill_null(rpc_system, ""),
+        pa.array(["http"] * n, pa.string()),
+        pc.fill_null(genai_system, ""),
+        pa.array(["internal"] * n, pa.string()),
+        pa.array([""] * n, pa.string()),
+    )
+    span_subtype = pc.if_else(pc.not_equal(sub, ""), sub, null_s)
     return (
         batch.append_column("txn_type", txn_type)
         .append_column("trace_root", trace_root)
+        .append_column("span_type", span_type)
+        .append_column("span_subtype", span_subtype)
         .append_column("service_target_type", service_target_type)
         .append_column("service_target_name", service_target_name)
         .append_column(
@@ -779,7 +822,21 @@ SELECT * EXCLUDE (ok_url, scheme, hostname, port_str, has_port,
             WHEN is_msg THEN 'messaging'
             WHEN is_rpc OR is_http THEN 'request'
             ELSE 'unknown' END AS txn_type,
-       COALESCE(parent_span_id, '') = '' AS trace_root
+       COALESCE(parent_span_id, '') = '' AS trace_root,
+       CASE WHEN is_db THEN 'db' WHEN is_msg THEN 'messaging'
+            WHEN is_rpc OR is_http THEN 'external'
+            WHEN COALESCE(genai_system, '') <> '' THEN 'genai'
+            WHEN COALESCE(span_kind, '') = 'internal' THEN 'app'
+            ELSE 'unknown' END AS span_type,
+       NULLIF(CASE WHEN is_db THEN COALESCE(db_system, '')
+                   WHEN is_msg THEN COALESCE(messaging_system, '')
+                   WHEN is_rpc THEN COALESCE(rpc_system, '')
+                   WHEN is_http THEN 'http'
+                   WHEN COALESCE(genai_system, '') <> ''
+                     THEN genai_system
+                   WHEN COALESCE(span_kind, '') = 'internal'
+                     THEN 'internal'
+                   ELSE '' END, '') AS span_subtype
 FROM (
   SELECT *,
          CASE WHEN is_db THEN
