@@ -112,7 +112,17 @@ _ENRICH_FULL_INPUTS_SQL = """SELECT conv_id, turn_idx, role, tool,
   END AS genai_system,
   CASE WHEN turn_idx % 4 = 3 AND turn_idx % 28 = 3
             AND turn_idx % 3 = 1 THEN 'internal'
-  END AS span_kind
+  END AS span_kind,
+  CASE WHEN turn_idx % 4 = 3 THEN
+    NULLIF(CASE turn_idx % 7 WHEN 0 THEN 200 WHEN 1 THEN 301
+                WHEN 2 THEN 404 WHEN 3 THEN 503 WHEN 4 THEN 101
+                WHEN 5 THEN 99 ELSE 0 END, 0)
+  END AS http_status,
+  CASE WHEN turn_idx % 4 = 2 THEN
+    CASE turn_idx % 3 WHEN 0 THEN 'OK' WHEN 1 THEN 'Internal' END
+  END AS grpc_status,
+  CASE turn_idx % 5 WHEN 0 THEN 'error' WHEN 1 THEN 'ok'
+  END AS span_status
 FROM transcripts"""
 
 _CTE = (
@@ -254,6 +264,21 @@ def _q_enrich_full(sf_dir: str):
         ).where(nob & (t % 3 != 1), None)
         out["span_kind"] = pd.Series(
             "internal", index=df.index).where(nob & (t % 3 == 1), None)
+        http_codes = pd.Series(
+            np.select(
+                [t % 7 == 0, t % 7 == 1, t % 7 == 2, t % 7 == 3,
+                 t % 7 == 4, t % 7 == 5],
+                [200, 301, 404, 503, 101, 99], 0,
+            ), index=df.index)
+        out["http_status"] = http_codes.where(
+            (branch == 3) & (http_codes > 0), None
+        ).astype("Int64")
+        out["grpc_status"] = pd.Series(
+            np.select([t % 3 == 0, t % 3 == 1], ["OK", "Internal"], None),
+            index=df.index).where(branch == 2, None)
+        out["span_status"] = pd.Series(
+            np.select([t % 5 == 0, t % 5 == 1], ["error", "ok"], None),
+            index=df.index)
         return to_clean_arrow(out)
 
     ds = read_transcripts(sf_dir).map_batches(

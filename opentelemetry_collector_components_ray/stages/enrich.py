@@ -663,8 +663,70 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
         pa.array([""] * n, pa.string()),
     )
     span_subtype = pc.if_else(pc.not_equal(sub, ""), sub, null_s)
+    # transaction.result + success_count (span.go:489-547): HTTP class
+    # string ("HTTP nxx", raw code outside 1-5xx), grpc status for rpc,
+    # span-status Error/Success fallback; success_count = the
+    # representative (sampling-weight) count, zeroed on failure
+    http_status = col("http_status", pa.nulls(n, pa.int64()))
+    grpc_status = col("grpc_status")
+    span_status = col("span_status")
+    weight = col("weight", pa.array([1.0] * n, pa.float64()))
+    has_http_status = pc.and_(
+        is_http, pc.fill_null(pc.greater(http_status, 0), False)
+    )
+    klass = pc.cast(
+        pc.if_else(
+            pc.is_valid(http_status), http_status, pa.scalar(0)
+        ),
+        pa.int64(),
+    )
+    klass = pc.divide(klass, 100)
+    in_range = pc.and_(
+        pc.greater_equal(klass, 1), pc.less_equal(klass, 5)
+    )
+    http_result = pc.if_else(
+        in_range,
+        pc.binary_join_element_wise(
+            pa.array(["HTTP"] * n, pa.string()),
+            pc.binary_join_element_wise(
+                pc.cast(klass, pa.string()),
+                pa.array(["xx"] * n, pa.string()), "",
+            ),
+            " ",
+        ),
+        pc.binary_join_element_wise(
+            pa.array(["HTTP"] * n, pa.string()),
+            pc.cast(pc.fill_null(http_status, 0), pa.string()),
+            " ",
+        ),
+    )
+    result0 = pc.case_when(
+        pc.make_struct(is_rpc, has_http_status),
+        pc.fill_null(grpc_status, ""),
+        http_result,
+        pa.array([""] * n, pa.string()),
+    )
+    fallback = pc.if_else(
+        pc.equal(pc.fill_null(span_status, ""), "error"),
+        pa.scalar("Error"), pa.scalar("Success"),
+    )
+    txn_result = pc.if_else(
+        pc.not_equal(result0, ""), result0, fallback
+    )
+    sc_zero = pc.or_(
+        pc.equal(pc.fill_null(span_status, ""), "error"),
+        pc.and_(
+            pc.invert(pc.equal(pc.fill_null(span_status, ""), "ok")),
+            pc.fill_null(pc.greater_equal(http_status, 500), False),
+        ),
+    )
+    success_count = pc.if_else(
+        sc_zero, pa.scalar(0.0), pc.cast(weight, pa.float64())
+    )
     return (
-        batch.append_column("txn_type", txn_type)
+        batch.append_column("txn_result", txn_result)
+        .append_column("success_count", success_count)
+        .append_column("txn_type", txn_type)
         .append_column("trace_root", trace_root)
         .append_column("span_type", span_type)
         .append_column("span_subtype", span_subtype)
@@ -836,7 +898,27 @@ SELECT * EXCLUDE (ok_url, scheme, hostname, port_str, has_port,
                      THEN genai_system
                    WHEN COALESCE(span_kind, '') = 'internal'
                      THEN 'internal'
-                   ELSE '' END, '') AS span_subtype
+                   ELSE '' END, '') AS span_subtype,
+       CASE WHEN COALESCE(
+              CASE WHEN is_rpc THEN COALESCE(grpc_status, '')
+                   WHEN is_http AND COALESCE(http_status, 0) > 0 THEN
+                     CASE WHEN http_status // 100 BETWEEN 1 AND 5
+                          THEN 'HTTP ' || CAST(http_status // 100
+                                               AS VARCHAR) || 'xx'
+                          ELSE 'HTTP ' || CAST(http_status AS VARCHAR)
+                     END
+                   ELSE '' END, '') <> ''
+            THEN CASE WHEN is_rpc THEN COALESCE(grpc_status, '')
+                      WHEN http_status // 100 BETWEEN 1 AND 5
+                        THEN 'HTTP ' || CAST(http_status // 100
+                                             AS VARCHAR) || 'xx'
+                      ELSE 'HTTP ' || CAST(http_status AS VARCHAR) END
+            WHEN COALESCE(span_status, '') = 'error' THEN 'Error'
+            ELSE 'Success' END AS txn_result,
+       CASE WHEN COALESCE(span_status, '') = 'error' THEN 0.0
+            WHEN COALESCE(span_status, '') <> 'ok'
+                 AND COALESCE(http_status, 0) >= 500 THEN 0.0
+            ELSE 1.0 END AS success_count
 FROM (
   SELECT *,
          CASE WHEN is_db THEN
