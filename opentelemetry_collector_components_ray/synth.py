@@ -281,8 +281,12 @@ def materialize_intake_ndjson(sf_dir: str, force: bool = False) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = os.path.join(cache_dir(), f"intake_ndjson_{tag}")
     done = os.path.join(out_dir, "_DONE")
+    # version-stamped marker: a format change invalidates old caches
+    stamp = f"v1-{INTAKE_LINES_PER_STREAM}"
     if os.path.exists(done) and not force:
-        return out_dir
+        with open(done) as f:
+            if f.read().strip() == stamp:
+                return out_dir
     t = pq.read_table(
         sf_dir + "/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -314,7 +318,7 @@ def materialize_intake_ndjson(sf_dir: str, force: bool = False) -> str:
             f.write("\n".join(lines) + "\n")
         os.replace(tmp, os.path.join(out_dir, f"stream-{chunk:05d}.ndjson"))
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out_dir
 
 
