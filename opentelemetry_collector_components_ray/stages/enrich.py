@@ -454,7 +454,13 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
     def col(name, default=None):
         if name in batch.column_names:
             c = batch[name]
-            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if pa.types.is_null(c.type):
+                # all-null blocks arrive as Arrow null type; cast to the
+                # expected type so fill_null/equal kernels don't choke
+                c = c.cast(default.type if default is not None
+                           else pa.string())
+            return c
         return default if default is not None else null_s
 
     url = col("url_full")
@@ -768,7 +774,10 @@ def enrich_resource_batch(batch: pa.Table) -> pa.Table:
     def col(name):
         if name in batch.column_names:
             c = batch[name]
-            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if pa.types.is_null(c.type):
+                c = c.cast(pa.string())
+            return c
         return null_s
 
     os_type, os_name = col("os_type"), col("os_name")

@@ -275,3 +275,31 @@ def test_span_dest_branch_ladder_and_peer():
     assert list(out["span_destination_service_resource"]) == [
         "p", "1.2.3.4/q1", "S", "p"]
     assert out["span_destination_service_name"][3] == "p"
+
+
+def test_enrich_kernels_accept_null_typed_columns():
+    """All-null pandas object columns arrive as Arrow null-typed arrays
+    (seen on small blocks where a rare field never fires); the kernels
+    must cast them instead of crashing in fill_null."""
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_resource_batch,
+        enrich_span_dest_batch,
+    )
+
+    n = 3
+    t = pa.table(
+        {
+            "url_full": pa.array(["http://x", None, None], pa.string()),
+            "span_kind": pa.nulls(n),
+            "genai_system": pa.nulls(n),
+            "parent_span_id": pa.nulls(n),
+            "os_type": pa.nulls(n),
+            "telemetry_sdk_name": pa.nulls(n),
+        }
+    )
+    out = enrich_span_dest_batch(t)
+    assert out.num_rows == n
+    assert out["span_type"][0].as_py() == "external"
+    out2 = enrich_resource_batch(t)
+    assert out2.num_rows == n
+    assert out2["agent_name_full"][0].as_py() == "otlp"
