@@ -74,8 +74,11 @@ _ENRICH_FULL_INPUTS_SQL = """SELECT conv_id, turn_idx, role, tool,
              WHEN 3 THEN ':80' WHEN 4 THEN ':9200' ELSE '' END)
     || '/api/' || role END AS url_full,
   CASE WHEN turn_idx % 5 = 0 THEN 'peer-' || role END AS peer_service,
-  CASE WHEN turn_idx % 10 = 0
-       THEN '10.0.0.' || CAST(turn_idx % 9 AS VARCHAR)
+  CASE WHEN turn_idx % 10 = 0 THEN
+    CASE WHEN turn_idx % 30 = 10 THEN 'cache:6379'
+         WHEN turn_idx % 30 = 20
+           THEN '2001:db8::' || CAST(turn_idx % 9 AS VARCHAR)
+         ELSE '10.0.0.' || CAST(turn_idx % 9 AS VARCHAR) END
   END AS peer_address,
   CASE turn_idx % 6 WHEN 0 THEN 'linux' WHEN 1 THEN 'windows'
        WHEN 2 THEN 'darwin' WHEN 3 THEN 'aix' WHEN 4 THEN 'freebsd'
@@ -122,7 +125,50 @@ _ENRICH_FULL_INPUTS_SQL = """SELECT conv_id, turn_idx, role, tool,
     CASE turn_idx % 3 WHEN 0 THEN 'OK' WHEN 1 THEN 'Internal' END
   END AS grpc_status,
   CASE turn_idx % 5 WHEN 0 THEN 'error' WHEN 1 THEN 'ok'
-  END AS span_status
+  END AS span_status,
+  CASE WHEN turn_idx % 13 = 7 THEN NULL ELSE ts END AS ts,
+  ts + INTERVAL 1 SECOND AS observed_ts,
+  CASE WHEN turn_idx % 4 = 1 THEN
+    CASE WHEN turn_idx % 11 = 1 THEN 'process'
+         WHEN turn_idx % 11 = 5 THEN 'send' END
+       WHEN turn_idx % 4 = 2 AND turn_idx % 13 = 2 THEN 'receive'
+  END AS messaging_operation,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 16 = 10
+       THEN '/rpc/call?x=1' END AS http_target,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 16 = 6 THEN '/m'
+  END AS url_path,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 32 = 6 THEN 'x=1'
+  END AS url_query,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 32 = 6 THEN 'https'
+  END AS url_scheme,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 16 = 10
+       THEN 'edge:8443' END AS http_host,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 16 = 6
+       THEN 'rpc.backend' END AS url_domain,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 32 = 6 THEN 9090
+  END AS url_port,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 16 = 14
+       THEN 'grpc.server.local' END AS server_address,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 32 = 14 THEN 50051
+  END AS server_port,
+  CASE WHEN turn_idx % 4 = 2 AND turn_idx % 20 = 18
+       THEN '192.168.1.' || CAST(turn_idx % 9 AS VARCHAR)
+  END AS net_peer_ip,
+  CASE WHEN turn_idx % 7 = 3 THEN
+    CASE WHEN turn_idx % 14 = 3 THEN 'ValueError' ELSE 'Timeout' END
+  END AS exception_type,
+  CASE WHEN turn_idx % 7 = 3 AND turn_idx % 21 <> 3
+       THEN 'failed: ' || role
+       WHEN turn_idx % 7 = 5 AND turn_idx % 35 = 5
+       THEN 'orphan message' END AS exception_message,
+  CASE WHEN turn_idx % 14 = 3
+       THEN 'at ' || tool || ':' || CAST(turn_idx AS VARCHAR)
+  END AS exception_stacktrace,
+  (turn_idx % 7 = 3 AND turn_idx % 21 = 10) AS exception_escaped,
+  CASE turn_idx % 8 WHEN 1 THEN 'express' WHEN 5 THEN 'spring'
+  END AS scope_name,
+  CASE WHEN turn_idx % 16 = 1 THEN '4.' || CAST(turn_idx % 3 AS VARCHAR)
+       WHEN turn_idx % 16 = 4 THEN '9.9' END AS scope_version
 FROM transcripts"""
 
 _CTE = (
@@ -180,8 +226,10 @@ def _q_enrich_full(sf_dir: str):
     )
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_log_error_batch,
         enrich_resource_batch,
         enrich_span_dest_batch,
+        normalize_span_attrs_batch,
     )
 
     def synth_inputs(df: pd.DataFrame):
@@ -223,8 +271,12 @@ def _q_enrich_full(sf_dir: str):
             (branch == 2) & (t % 8 == 2))
         out["url_full"] = url.where(has_url, None)
         out["peer_service"] = ("peer-" + role).where(t % 5 == 0, None)
-        out["peer_address"] = ("10.0.0." + (t % 9).astype(str)).where(
-            t % 10 == 0, None)
+        out["peer_address"] = pd.Series(
+            np.select(
+                [t % 30 == 10, t % 30 == 20],
+                ["cache:6379", "2001:db8::" + (t % 9).astype(str)],
+                "10.0.0." + (t % 9).astype(str),
+            ), index=df.index).where(t % 10 == 0, None)
         out["os_type"] = pd.Series(
             np.select([t % 6 == 0, t % 6 == 1, t % 6 == 2, t % 6 == 3,
                        t % 6 == 4],
@@ -279,13 +331,68 @@ def _q_enrich_full(sf_dir: str):
         out["span_status"] = pd.Series(
             np.select([t % 5 == 0, t % 5 == 1], ["error", "ok"], None),
             index=df.index)
+        ts = pd.to_datetime(df["ts"])
+        out["ts"] = ts.where(t % 13 != 7, pd.NaT)
+        out["observed_ts"] = (
+            ts + pd.Timedelta(seconds=1)
+        ).astype("datetime64[us]")
+        out["messaging_operation"] = pd.Series(
+            np.select([t % 11 == 1, t % 11 == 5], ["process", "send"],
+                      None), index=df.index
+        ).where(branch == 1, None).where(
+            ~((branch == 2) & (t % 13 == 2)), "receive")
+        out["http_target"] = pd.Series(
+            "/rpc/call?x=1", index=df.index).where(
+            (branch == 2) & (t % 16 == 10), None)
+        out["url_path"] = pd.Series("/m", index=df.index).where(
+            (branch == 2) & (t % 16 == 6), None)
+        out["url_query"] = pd.Series("x=1", index=df.index).where(
+            (branch == 2) & (t % 32 == 6), None)
+        out["url_scheme"] = pd.Series("https", index=df.index).where(
+            (branch == 2) & (t % 32 == 6), None)
+        out["http_host"] = pd.Series("edge:8443", index=df.index).where(
+            (branch == 2) & (t % 16 == 10), None)
+        out["url_domain"] = pd.Series(
+            "rpc.backend", index=df.index).where(
+            (branch == 2) & (t % 16 == 6), None)
+        out["url_port"] = pd.Series(9090, index=df.index).where(
+            (branch == 2) & (t % 32 == 6), pd.NA).astype("Int64")
+        out["server_address"] = pd.Series(
+            "grpc.server.local", index=df.index).where(
+            (branch == 2) & (t % 16 == 14), None)
+        out["server_port"] = pd.Series(50051, index=df.index).where(
+            (branch == 2) & (t % 32 == 14), pd.NA).astype("Int64")
+        out["net_peer_ip"] = ("192.168.1." + (t % 9).astype(str)).where(
+            (branch == 2) & (t % 20 == 18), None)
+        out["exception_type"] = pd.Series(
+            np.where(t % 14 == 3, "ValueError", "Timeout"),
+            index=df.index).where(t % 7 == 3, None)
+        out["exception_message"] = pd.Series(
+            np.select(
+                [(t % 7 == 3) & (t % 21 != 3),
+                 (t % 7 == 5) & (t % 35 == 5)],
+                ["failed: " + role, "orphan message"], None,
+            ), index=df.index)
+        out["exception_stacktrace"] = (
+            "at " + tool + ":" + t.astype(str)
+        ).where(t % 14 == 3, None)
+        out["exception_escaped"] = (t % 7 == 3) & (t % 21 == 10)
+        out["scope_name"] = pd.Series(
+            np.select([t % 8 == 1, t % 8 == 5], ["express", "spring"],
+                      None), index=df.index)
+        out["scope_version"] = pd.Series(
+            np.select([t % 16 == 1, t % 16 == 4],
+                      ["4." + (t % 3).astype(str), "9.9"], None),
+            index=df.index)
         return to_clean_arrow(out)
 
     ds = read_transcripts(sf_dir).map_batches(
         synth_inputs, batch_format="pandas"
     )
+    ds = ds.map_batches(normalize_span_attrs_batch, batch_format="pyarrow")
     ds = ds.map_batches(enrich_span_dest_batch, batch_format="pyarrow")
-    return ds.map_batches(enrich_resource_batch, batch_format="pyarrow")
+    ds = ds.map_batches(enrich_resource_batch, batch_format="pyarrow")
+    return ds.map_batches(enrich_log_error_batch, batch_format="pyarrow")
 
 
 def _q_transcripts(sf_dir: str):
@@ -1099,8 +1206,14 @@ def oracle_sql() -> dict[str, str]:
         "t_ndjson_multi": _synth.INTAKE_MULTI_SQL,
         "t_enrich_full": (
             f"{_CTE} "
-            + _enrich_mod.resource_enrich_sql(
-                _enrich_mod.span_dest_sql(_ENRICH_FULL_INPUTS_SQL)
+            + _enrich_mod.log_error_sql(
+                _enrich_mod.resource_enrich_sql(
+                    _enrich_mod.span_dest_sql(
+                        _enrich_mod.normalize_span_attrs_sql(
+                            _ENRICH_FULL_INPUTS_SQL
+                        )
+                    )
+                )
             )
         ),
         "d_exact_dedup": _dedup.EXACT_DEDUP_SQL,

@@ -438,6 +438,216 @@ def _coalesce_str(*cols):
     return out
 
 
+# ipv6-ish literal: only hex digits and at least two colons.  Stands in
+# for Go's net.ParseIP on the colon branch of normalizeAttributes
+# (span.go:458-462): a colon-free peer.address is accepted as-is, a
+# colon-bearing one must be an IP literal (connection strings like
+# "host:6379" are rejected).
+_IPV6ISH_RE = r"^[0-9A-Fa-f]*:[0-9A-Fa-f]*:[0-9A-Fa-f:]*$"
+_ABS_URL_RE = r"^[a-z][a-z0-9+.\-]*://"
+
+
+def _host_port(host, port):
+    """host or host:port when port > 0 (Go net.JoinHostPort analogue,
+    span.go:819-823; hosts here are never bracketed v6 literals)."""
+    port = pc.fill_null(port, 0)
+    return pc.if_else(
+        pc.greater(port, 0),
+        pc.binary_join_element_wise(
+            pc.fill_null(host, ""), pc.cast(port, pa.string()), ":"
+        ),
+        pc.fill_null(host, ""),
+    )
+
+
+def normalize_span_attrs_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized normalizeAttributes (span.go:447-469) +
+    buildURLFromComponents (span.go:786-828).
+
+    Consumes nullable columns ``url_full, http_target, url_scheme,
+    url_path, url_query, http_host, url_domain, url_port (int),
+    server_address, server_port (int), peer_address, net_peer_ip,
+    rpc_system, grpc_status`` and REPLACES ``rpc_system,
+    server_address, url_full`` with the normalized values:
+
+    - ``rpc_system`` defaults to ``grpc`` when a gRPC status code was
+      captured without an explicit rpc.system (span.go:448-450);
+    - ``server_address`` falls back to a hostname-like peer.address
+      (colon-free, or an IP literal) else net peer IP (span.go:451-463);
+    - ``url.full`` is built from components when absent: target from
+      http.target else url.path[?url.query], scheme from url.scheme
+      (default http), host from http.host else url.domain[:url.port]
+      else server.address[:server.port] (span.go:464-466,786-828).
+      Divergence from Go, documented: a component URL with no host
+      source is not built at all (Go builds a host-less URL whose
+      Hostname() is empty, so every downstream consumer treats it as
+      absent anyway).
+    """
+    n = batch.num_rows
+    null_s = pa.nulls(n, pa.string())
+
+    def col(name, typ=pa.string()):
+        if name in batch.column_names:
+            c = batch[name]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if pa.types.is_null(c.type):
+                c = c.cast(typ)
+            return c
+        return pa.nulls(n, typ)
+
+    rpc_system = col("rpc_system")
+    grpc_status = col("grpc_status")
+    rpc_system = pc.if_else(
+        pc.and_(pc.invert(_nonempty(rpc_system)), _nonempty(grpc_status)),
+        pa.scalar("grpc"),
+        rpc_system,
+    )
+
+    server_address = col("server_address")
+    peer_address = col("peer_address")
+    net_peer_ip = col("net_peer_ip")
+    peer_filled = pc.fill_null(peer_address, "")
+    peer_hostname_like = pc.and_(
+        _nonempty(peer_address),
+        pc.or_(
+            pc.invert(pc.match_substring(peer_filled, ":")),
+            pc.match_substring_regex(peer_filled, _IPV6ISH_RE),
+        ),
+    )
+    server_address = pc.if_else(
+        _nonempty(server_address),
+        server_address,
+        pc.if_else(
+            peer_hostname_like,
+            peer_address,
+            pc.if_else(_nonempty(net_peer_ip), net_peer_ip, null_s),
+        ),
+    )
+
+    url_full = col("url_full")
+    http_target = col("http_target")
+    url_path = col("url_path")
+    url_query = col("url_query")
+    target = pc.if_else(
+        _nonempty(http_target),
+        http_target,
+        pc.if_else(
+            _nonempty(url_path),
+            pc.if_else(
+                _nonempty(url_query),
+                pc.binary_join_element_wise(
+                    pc.fill_null(url_path, ""),
+                    pc.fill_null(url_query, ""),
+                    "?",
+                ),
+                url_path,
+            ),
+            null_s,
+        ),
+    )
+    target_abs = pc.match_substring_regex(
+        pc.fill_null(target, ""), _ABS_URL_RE
+    )
+    host = _coalesce_str(
+        col("http_host"),
+        pc.if_else(
+            _nonempty(col("url_domain")),
+            _host_port(col("url_domain"), col("url_port", pa.int64())),
+            null_s,
+        ),
+        pc.if_else(
+            _nonempty(server_address),
+            _host_port(server_address, col("server_port", pa.int64())),
+            null_s,
+        ),
+        null_s,
+    )
+    scheme = pc.if_else(
+        _nonempty(col("url_scheme")), col("url_scheme"), pa.scalar("http")
+    )
+    built = pc.if_else(
+        target_abs,
+        target,
+        pc.if_else(
+            pc.and_(_nonempty(host), _nonempty(target)),
+            pc.binary_join_element_wise(
+                scheme,
+                pc.binary_join_element_wise(
+                    pc.fill_null(host, ""), pc.fill_null(target, ""), ""
+                ),
+                "://",
+            ),
+            null_s,
+        ),
+    )
+    url_full = pc.if_else(_nonempty(url_full), url_full, built)
+
+    out = batch
+    for name, arr in (
+        ("rpc_system", rpc_system),
+        ("server_address", server_address),
+        ("url_full", url_full),
+    ):
+        if name in out.column_names:
+            out = out.set_column(
+                out.column_names.index(name), name, arr
+            )
+        else:
+            out = out.append_column(name, arr)
+    return out
+
+
+def normalize_span_attrs_sql(inputs: str) -> str:
+    """DuckDB twin of :func:`normalize_span_attrs_batch`."""
+    return f"""
+SELECT * EXCLUDE (rpc_system, server_address, url_full, _target, _host),
+       rpc_system, server_address,
+       CASE WHEN COALESCE(url_full, '') <> '' THEN url_full
+            WHEN regexp_matches(COALESCE(_target, ''),
+                                '{_ABS_URL_RE}') THEN _target
+            WHEN COALESCE(_host, '') <> '' AND COALESCE(_target, '') <> ''
+            THEN COALESCE(NULLIF(url_scheme, ''), 'http')
+                 || '://' || _host || _target
+       END AS url_full
+FROM (
+  SELECT *,
+         CASE WHEN COALESCE(http_host, '') <> '' THEN http_host
+              WHEN COALESCE(url_domain, '') <> '' THEN
+                CASE WHEN COALESCE(url_port, 0) > 0
+                     THEN url_domain || ':' || CAST(CAST(url_port AS BIGINT) AS VARCHAR)
+                     ELSE url_domain END
+              WHEN COALESCE(server_address, '') <> '' THEN
+                CASE WHEN COALESCE(server_port, 0) > 0
+                     THEN server_address || ':'
+                          || CAST(CAST(server_port AS BIGINT) AS VARCHAR)
+                     ELSE server_address END
+         END AS _host
+  FROM (
+    SELECT * EXCLUDE (rpc_system, server_address),
+           CASE WHEN COALESCE(rpc_system, '') = ''
+                     AND COALESCE(grpc_status, '') <> ''
+                THEN 'grpc' ELSE rpc_system END AS rpc_system,
+           CASE WHEN COALESCE(server_address, '') <> ''
+                THEN server_address
+                WHEN COALESCE(peer_address, '') <> ''
+                     AND (peer_address NOT LIKE '%:%'
+                          OR regexp_matches(peer_address,
+                                            '{_IPV6ISH_RE}'))
+                THEN peer_address
+                WHEN COALESCE(net_peer_ip, '') <> '' THEN net_peer_ip
+           END AS server_address,
+           CASE WHEN COALESCE(http_target, '') <> '' THEN http_target
+                WHEN COALESCE(url_path, '') <> '' THEN
+                  CASE WHEN COALESCE(url_query, '') <> ''
+                       THEN url_path || '?' || url_query
+                       ELSE url_path END
+           END AS _target
+    FROM ({inputs}) i
+  )
+)
+"""
+
+
 def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
     """Vectorized span.go:623-784 ladder.  Consumes nullable string
     columns ``url_full, db_system, db_name, messaging_system,
@@ -471,6 +681,7 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
     msg_dest = col("messaging_destination")
     msg_temp = col("messaging_temp", pa.array([False] * n, pa.bool_()))
     rpc_system, rpc_service = col("rpc_system"), col("rpc_service")
+    msg_operation = col("messaging_operation")
 
     # ---- url parse + default-port normalization (span.go:736-784)
     parts = pc.extract_regex(pc.fill_null(url, ""), _URL_RE)
@@ -515,9 +726,17 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
     http_name = pc.binary_join_element_wise(scheme, name_host, "://")
     url_original = pc.if_else(ok_url, url, null_s)
 
-    # ---- branch flags (ladder order db > messaging > rpc > http)
+    # ---- branch flags (ladder order db > messaging > rpc > http);
+    # any messaging attr marks the span as messaging (capture,
+    # span.go:192-207): system, destination or operation
     is_db = _nonempty(db_system)
-    is_msg = pc.and_(pc.invert(is_db), _nonempty(msg_system))
+    is_msg = pc.and_(
+        pc.invert(is_db),
+        pc.or_(
+            pc.or_(_nonempty(msg_system), _nonempty(msg_dest)),
+            _nonempty(msg_operation),
+        ),
+    )
     is_rpc = pc.and_(
         pc.invert(pc.or_(is_db, is_msg)), _nonempty(rpc_system)
     )
@@ -594,11 +813,29 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
             pc.if_else(
                 no_destn,
                 # rpc fallback: getHostPort returns the host AS WRITTEN
-                # (span.go:1061-1080) — no default-port normalization
+                # (span.go:1061-1080) — no default-port normalization;
+                # component fallbacks url.domain[:url.port] then
+                # server.address[:server.port] before rpc.service
                 pc.if_else(
                     pc.and_(ok_url, pc.invert(http_details)),
                     pc.fill_null(host_as_written, ""),
-                    pc.fill_null(rpc_service, ""),
+                    pc.if_else(
+                        _nonempty(col("url_domain")),
+                        _host_port(
+                            col("url_domain"), col(
+                                "url_port", pa.nulls(n, pa.int64())
+                            )
+                        ),
+                        pc.if_else(
+                            _nonempty(col("server_address")),
+                            _host_port(
+                                col("server_address"),
+                                col("server_port",
+                                    pa.nulls(n, pa.int64())),
+                            ),
+                            pc.fill_null(rpc_service, ""),
+                        ),
+                    ),
                 ),
                 destn0,
             ),
@@ -729,8 +966,64 @@ def enrich_span_dest_batch(batch: pa.Table) -> pa.Table:
     success_count = pc.if_else(
         sc_zero, pa.scalar(0.0), pc.cast(weight, pa.float64())
     )
+    # ---- transaction/span dispatch (isElasticTransaction,
+    # span.go:1043-1059: trace root, or server/consumer kind; the
+    # span-flags remote-parent branches need pdata flags the columnar
+    # model does not carry — documented simplification) and the
+    # per-shape attrs: processor.event (span.go:351-352,419-420),
+    # span.action from the messaging operation (span.go:549-553),
+    # message queue name keyed by shape (span.go:555-572), and the
+    # exit-root transaction.type refinement (span.go:434-445)
+    kind_filled = pc.fill_null(span_kind, "")
+    is_txn = pc.or_(
+        trace_root,
+        pc.is_in(
+            kind_filled,
+            value_set=pa.array(["server", "consumer"], pa.string()),
+        ),
+    )
+    is_exit_root = pc.and_(
+        is_txn,
+        pc.is_in(
+            kind_filled,
+            value_set=pa.array(["client", "producer"], pa.string()),
+        ),
+    )
+    is_span_shape = pc.or_(pc.invert(is_txn), is_exit_root)
+    processor_event = pc.if_else(
+        is_txn, pa.scalar("transaction"), pa.scalar("span")
+    )
+    span_action = pc.if_else(
+        pc.and_(is_span_shape, _nonempty(msg_operation)),
+        msg_operation, null_s,
+    )
+    txn_message_queue_name = pc.if_else(
+        pc.and_(is_txn, _nonempty(msg_dest)), msg_dest, null_s
+    )
+    span_message_queue_name = pc.if_else(
+        pc.and_(pc.invert(is_txn), _nonempty(msg_dest)), msg_dest, null_s
+    )
+    txn_type = pc.if_else(
+        pc.and_(is_exit_root, pc.invert(_nonempty(type_value))),
+        pc.if_else(
+            _nonempty(span_subtype),
+            pc.binary_join_element_wise(
+                span_type, pc.fill_null(span_subtype, ""), "."
+            ),
+            span_type,
+        ),
+        txn_type,
+    )
+    # timestamp_us (span.go:322-324,389-391): start timestamp in epoch µs
+    ts = col("ts", pa.nulls(n, pa.timestamp("us")))
+    timestamp_us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
     return (
-        batch.append_column("txn_result", txn_result)
+        batch.append_column("processor_event", processor_event)
+        .append_column("span_action", span_action)
+        .append_column("txn_message_queue_name", txn_message_queue_name)
+        .append_column("span_message_queue_name", span_message_queue_name)
+        .append_column("timestamp_us", timestamp_us)
+        .append_column("txn_result", txn_result)
         .append_column("success_count", success_count)
         .append_column("txn_type", txn_type)
         .append_column("trace_root", trace_root)
@@ -869,6 +1162,30 @@ def span_dest_sql(inputs: str) -> str:
     re = _URL_RE.replace("?P<scheme>", "").replace("?P<host>", "")
     re = re.replace("?P<port>", "").replace("?P<path>", "")
     return f"""
+SELECT * EXCLUDE (txn_type, _is_txn, _is_exit_root),
+       CASE WHEN _is_exit_root AND COALESCE(type_value, '') = ''
+            THEN span_type || COALESCE('.' || span_subtype, '')
+            ELSE txn_type END AS txn_type,
+       CASE WHEN _is_txn THEN 'transaction' ELSE 'span'
+            END AS processor_event,
+       CASE WHEN (NOT _is_txn OR _is_exit_root)
+                 AND COALESCE(messaging_operation, '') <> ''
+            THEN messaging_operation END AS span_action,
+       CASE WHEN _is_txn AND COALESCE(messaging_destination, '') <> ''
+            THEN messaging_destination END AS txn_message_queue_name,
+       CASE WHEN NOT _is_txn
+                 AND COALESCE(messaging_destination, '') <> ''
+            THEN messaging_destination END AS span_message_queue_name,
+       epoch_us(ts) AS timestamp_us
+FROM (
+SELECT *,
+       (trace_root OR COALESCE(span_kind, '') IN ('server', 'consumer'))
+         AS _is_txn,
+       ((trace_root
+         OR COALESCE(span_kind, '') IN ('server', 'consumer'))
+        AND COALESCE(span_kind, '') IN ('client', 'producer'))
+         AS _is_exit_root
+FROM (
 SELECT * EXCLUDE (ok_url, scheme, hostname, port_str, has_port,
                   default_port, dest_port, host_as_written, is_default,
                   resource, name_host, is_db, is_msg, is_rpc, is_http,
@@ -962,6 +1279,18 @@ FROM (
                 CASE WHEN COALESCE(destn0, '') = '' THEN
                        CASE WHEN ok_url AND NOT is_http
                             THEN host_as_written
+                            WHEN COALESCE(url_domain, '') <> ''
+                            THEN CASE WHEN COALESCE(url_port, 0) > 0
+                                 THEN url_domain || ':' ||
+                                      CAST(CAST(url_port AS BIGINT)
+                                           AS VARCHAR)
+                                 ELSE url_domain END
+                            WHEN COALESCE(server_address, '') <> ''
+                            THEN CASE WHEN COALESCE(server_port, 0) > 0
+                                 THEN server_address || ':' ||
+                                      CAST(CAST(server_port AS BIGINT)
+                                           AS VARCHAR)
+                                 ELSE server_address END
                             ELSE COALESCE(rpc_service, '') END
                      ELSE destn0 END
               ELSE COALESCE(destn0, '') END AS destn
@@ -981,12 +1310,18 @@ FROM (
       SELECT *,
              COALESCE(db_system, '') <> '' AS is_db,
              COALESCE(db_system, '') = ''
-               AND COALESCE(messaging_system, '') <> '' AS is_msg,
+               AND (COALESCE(messaging_system, '') <> ''
+                    OR COALESCE(messaging_destination, '') <> ''
+                    OR COALESCE(messaging_operation, '') <> '') AS is_msg,
              COALESCE(db_system, '') = ''
                AND COALESCE(messaging_system, '') = ''
+               AND COALESCE(messaging_destination, '') = ''
+               AND COALESCE(messaging_operation, '') = ''
                AND COALESCE(rpc_system, '') <> '' AS is_rpc,
              COALESCE(db_system, '') = ''
                AND COALESCE(messaging_system, '') = ''
+               AND COALESCE(messaging_destination, '') = ''
+               AND COALESCE(messaging_operation, '') = ''
                AND COALESCE(rpc_system, '') = '' AND ok_url AS is_http,
              COALESCE(peer_service, '') AS peer
       FROM (
@@ -1036,6 +1371,8 @@ FROM (
     )
   )
 )
+)
+)
 """
 
 
@@ -1074,4 +1411,150 @@ SELECT i.*,
                 NULLIF(deployment_environment_name, ''),
                 'unset') AS deployment_environment_final
 FROM ({inputs}) i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Log-record error + scope enrichment (elasticapmprocessor log path).
+#
+# References:
+# - exception context capture: internal/enrichments/error.go:33-49;
+# - error attrs (handled flag, [EMPTY] message default, md5 grouping
+#   key over type+message+stacktrace, µs timestamp with observed-ts
+#   fallback, event.kind/event.type): log.go:61-129;
+# - scope-derived service.framework.*: scope.go:28-36.
+#
+# error.id in the reference is a random uuid per event
+# (attribute/error_id.go); the engine's deterministic analogue lives in
+# enrich_scalar_batch (md5 of identity) — not duplicated here.
+# ---------------------------------------------------------------------------
+
+EMPTY_EXCEPTION_MSG = "[EMPTY]"  # log.go:35-36
+
+
+def enrich_log_error_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized log.go:61-129 + scope.go:28-36.  Consumes nullable
+    columns ``exception_type, exception_message, exception_stacktrace,
+    exception_escaped (bool), ts, observed_ts, scope_name,
+    scope_version`` and appends ``error_exception_handled,
+    error_exception_message, error_exception_type, error_grouping_key,
+    error_timestamp_us, event_kind, event_type,
+    service_framework_name, service_framework_version``."""
+    from ..functions.md5vec import md5_hex
+
+    n = batch.num_rows
+    null_s = pa.nulls(n, pa.string())
+
+    def col(name, typ=pa.string()):
+        if name in batch.column_names:
+            c = batch[name]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if pa.types.is_null(c.type):
+                c = c.cast(typ)
+            return c
+        return pa.nulls(n, typ)
+
+    exc_type = col("exception_type")
+    exc_msg = col("exception_message")
+    exc_stack = col("exception_stacktrace")
+    exc_escaped = col("exception_escaped", pa.bool_())
+    has_exc = pc.or_(_nonempty(exc_type), _nonempty(exc_msg))
+
+    msg_filled = pc.if_else(
+        _nonempty(exc_msg), exc_msg, pa.scalar(EMPTY_EXCEPTION_MSG)
+    )
+    # int64 0/1 rather than nullable bool: a null-able BOOLEAN column
+    # round-trips as object None on the Arrow side but NaN from DuckDB,
+    # so the driver's stringified compare would false-negative
+    handled = pc.if_else(
+        has_exc,
+        pc.cast(pc.invert(pc.fill_null(exc_escaped, False)), pa.int64()),
+        pa.nulls(n, pa.int64()),
+    )
+    out_msg = pc.if_else(has_exc, msg_filled, null_s)
+    out_type = pc.if_else(
+        pc.and_(has_exc, _nonempty(exc_type)), exc_type, null_s
+    )
+    out_stack = pc.if_else(
+        pc.and_(has_exc, _nonempty(exc_stack)), exc_stack, null_s
+    )
+    # grouping key: md5 over the non-empty parts, message after the
+    # [EMPTY] default was applied (log.go:117-129)
+    key = pc.binary_join_element_wise(
+        pc.fill_null(exc_type, ""),
+        pc.binary_join_element_wise(
+            msg_filled, pc.fill_null(exc_stack, ""), ""
+        ),
+        "",
+    )
+    grouping_key = pc.if_else(has_exc, md5_hex(key), null_s)
+
+    ts = col("ts", pa.timestamp("us"))
+    observed = col("observed_ts", pa.timestamp("us"))
+    eff_ts = pc.if_else(pc.is_valid(ts), ts, observed)
+    ts_us = pc.cast(pc.cast(eff_ts, pa.timestamp("us")), pa.int64())
+    error_ts_us = pc.if_else(has_exc, ts_us, pa.nulls(n, pa.int64()))
+
+    event_kind = pc.if_else(has_exc, pa.scalar("event"), null_s)
+    event_type = pc.if_else(has_exc, pa.scalar("error"), null_s)
+
+    scope_name = col("scope_name")
+    scope_version = col("scope_version")
+    has_scope = _nonempty(scope_name)
+    framework_name = pc.if_else(has_scope, scope_name, null_s)
+    # PutStr writes the version unconditionally once the name is set,
+    # empty string included (scope.go:31-35)
+    framework_version = pc.if_else(
+        has_scope, pc.fill_null(scope_version, ""), null_s
+    )
+
+    return (
+        batch.append_column("error_exception_handled", handled)
+        .append_column("error_exception_message", out_msg)
+        .append_column("error_exception_type", out_type)
+        .append_column("error_stack_trace", out_stack)
+        .append_column("error_grouping_key", grouping_key)
+        .append_column("error_timestamp_us", error_ts_us)
+        .append_column("event_kind", event_kind)
+        .append_column("event_type", event_type)
+        .append_column("service_framework_name", framework_name)
+        .append_column("service_framework_version", framework_version)
+    )
+
+
+def log_error_sql(inputs: str) -> str:
+    """DuckDB twin of :func:`enrich_log_error_batch`."""
+    return f"""
+SELECT * EXCLUDE (_has_exc, _msg_filled),
+       CASE WHEN _has_exc
+            THEN CAST(NOT COALESCE(exception_escaped, FALSE) AS BIGINT)
+            END AS error_exception_handled,
+       CASE WHEN _has_exc THEN _msg_filled END AS error_exception_message,
+       CASE WHEN _has_exc AND COALESCE(exception_type, '') <> ''
+            THEN exception_type END AS error_exception_type,
+       CASE WHEN _has_exc AND COALESCE(exception_stacktrace, '') <> ''
+            THEN exception_stacktrace END AS error_stack_trace,
+       CASE WHEN _has_exc
+            THEN md5(COALESCE(exception_type, '') || _msg_filled
+                     || COALESCE(exception_stacktrace, ''))
+            END AS error_grouping_key,
+       CASE WHEN _has_exc
+            THEN epoch_us(COALESCE(ts, observed_ts))
+            END AS error_timestamp_us,
+       CASE WHEN _has_exc THEN 'event' END AS event_kind,
+       CASE WHEN _has_exc THEN 'error' END AS event_type,
+       CASE WHEN COALESCE(scope_name, '') <> '' THEN scope_name
+            END AS service_framework_name,
+       CASE WHEN COALESCE(scope_name, '') <> ''
+            THEN COALESCE(scope_version, '')
+            END AS service_framework_version
+FROM (
+  SELECT *,
+         COALESCE(exception_type, '') <> ''
+           OR COALESCE(exception_message, '') <> '' AS _has_exc,
+         CASE WHEN COALESCE(exception_message, '') <> ''
+              THEN exception_message
+              ELSE '{EMPTY_EXCEPTION_MSG}' END AS _msg_filled
+  FROM ({inputs}) i
+)
 """

@@ -303,3 +303,123 @@ def test_enrich_kernels_accept_null_typed_columns():
     out2 = enrich_resource_batch(t)
     assert out2.num_rows == n
     assert out2["agent_name_full"][0].as_py() == "otlp"
+
+
+def test_normalize_span_attrs_component_url_and_fallbacks():
+    """normalizeAttributes + buildURLFromComponents (span.go:447-469,
+    786-828): url built from target/host components; colon-bearing
+    peer.address rejected unless an IP literal; grpc status implies
+    rpc.system."""
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        normalize_span_attrs_batch,
+    )
+
+    t = pa.table(
+        {
+            "url_full": pa.array([None, None, None, None], pa.string()),
+            "http_target": pa.array(
+                ["/a?b=1", None, None, None], pa.string()),
+            "url_path": pa.array([None, "/p", "/q", None], pa.string()),
+            "url_query": pa.array([None, "z=2", None, None], pa.string()),
+            "url_scheme": pa.array(
+                [None, "https", None, None], pa.string()),
+            "http_host": pa.array(["hh", None, None, None], pa.string()),
+            "url_domain": pa.array([None, "dom", None, None], pa.string()),
+            "url_port": pa.array([None, 8443, None, None], pa.int64()),
+            "server_address": pa.array([None] * 4, pa.string()),
+            "server_port": pa.array([None, None, 9, None], pa.int64()),
+            "peer_address": pa.array(
+                [None, None, "db.internal", "redis:6379"], pa.string()),
+            "net_peer_ip": pa.array(
+                [None, None, None, "10.1.1.1"], pa.string()),
+            "rpc_system": pa.array([None] * 4, pa.string()),
+            "grpc_status": pa.array(
+                [None, None, None, "Unavailable"], pa.string()),
+        }
+    )
+    out = normalize_span_attrs_batch(t).to_pandas()
+    assert list(out["url_full"]) == [
+        "http://hh/a?b=1",
+        "https://dom:8443/p?z=2",
+        "http://db.internal:9/q",
+        None,  # no target at all -> no URL built
+    ]
+    # peer.address accepted when colon-free; connection string rejected
+    assert list(out["server_address"]) == [
+        None, None, "db.internal", "10.1.1.1"]
+    assert list(out["rpc_system"]) == [None, None, None, "grpc"]
+
+
+def test_span_dispatch_and_message_queue_split():
+    """isElasticTransaction (span.go:1043-1059) keys processor.event,
+    the message queue attr (span.go:555-572) and span.action
+    (span.go:549-553); exit-root client spans refine transaction.type
+    (span.go:434-445)."""
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_span_dest_batch,
+    )
+
+    t = pa.table(
+        {
+            # row0: root server txn w/ messaging; row1: child client
+            # span w/ messaging; row2: root client exit span (db);
+            # row3: child internal span
+            "parent_span_id": pa.array(
+                [None, "p1", None, "p3"], pa.string()),
+            "span_kind": pa.array(
+                ["server", "client", "client", "internal"], pa.string()),
+            "messaging_system": pa.array(
+                ["kafka", "kafka", None, None], pa.string()),
+            "messaging_destination": pa.array(
+                ["q0", "q1", None, None], pa.string()),
+            "messaging_operation": pa.array(
+                ["process", "send", None, None], pa.string()),
+            "db_system": pa.array([None, None, "mysql", None], pa.string()),
+        }
+    )
+    out = enrich_span_dest_batch(t).to_pandas()
+    assert list(out["processor_event"]) == [
+        "transaction", "span", "transaction", "span"]
+    assert list(out["txn_message_queue_name"]) == ["q0", None, None, None]
+    assert list(out["span_message_queue_name"]) == [None, "q1", None, None]
+    # span.action only on the span shape (incl. exit root spans)
+    assert list(out["span_action"]) == [None, "send", None, None]
+    # exit-root client span refines transaction.type from span type
+    assert out["txn_type"][2] == "db.mysql"
+    assert out["txn_type"][0] == "messaging"
+
+
+def test_log_error_enrichment_matches_reference_ladder():
+    """log.go:61-129: [EMPTY] message default, handled = NOT escaped,
+    md5 grouping key over type+message+stacktrace, event kind/type;
+    scope.go:28-36 service.framework."""
+    import hashlib
+
+    from opentelemetry_collector_components_ray.stages.enrich import (
+        enrich_log_error_batch,
+    )
+
+    t = pa.table(
+        {
+            "exception_type": pa.array(
+                ["Boom", None, None], pa.string()),
+            "exception_message": pa.array([None, "m", None], pa.string()),
+            "exception_stacktrace": pa.array(
+                ["st", None, "ignored"], pa.string()),
+            "exception_escaped": pa.array(
+                [True, False, False], pa.bool_()),
+            "scope_name": pa.array(["express", None, ""], pa.string()),
+            "scope_version": pa.array([None, "1", "2"], pa.string()),
+        }
+    )
+    out = enrich_log_error_batch(t).to_pandas()
+    assert list(out["error_exception_message"]) == ["[EMPTY]", "m", None]
+    assert list(out["error_exception_handled"].fillna(-1)) == [0, 1, -1]
+    assert out["error_grouping_key"][0] == hashlib.md5(
+        b"Boom[EMPTY]st").hexdigest()
+    assert out["error_grouping_key"][1] == hashlib.md5(b"m").hexdigest()
+    assert list(out["event_kind"]) == ["event", "event", None]
+    assert list(out["event_type"]) == ["error", "error", None]
+    # version written (empty-string default) only when a name exists
+    assert list(out["service_framework_name"]) == ["express", None, None]
+    assert list(out["service_framework_version"]) == ["", None, None]
