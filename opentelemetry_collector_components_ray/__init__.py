@@ -23,21 +23,27 @@ __version__ = "0.1.0"
 
 
 def _tune_allocator() -> None:
-    """glibc tuning: serve large buffers from the reusable heap instead of
-    fresh mmap/munmap pairs.
+    """glibc tuning (OPT-IN via OCCR_MALLOC_TUNING=1): serve large
+    buffers from the reusable heap instead of fresh mmap/munmap pairs.
 
-    numpy temporaries in hot kernels are otherwise allocation-bound on
-    virtualized/sandboxed hosts where a fresh mmap page fault costs tens
-    of µs (measured here: a 400 MB fresh-alloc multiply ran 0.08 GB/s
-    cold vs 5.7 GB/s from reused heap pages — a ~70× gap).  Disabling
-    malloc's mmap path and raising the trim threshold keeps freed big
-    buffers on the heap so pages stay warm across batches.  Runs in
-    every process that imports the package (driver, bench, Ray workers
-    unpickling stage callables).  No-op off glibc.
+    numpy temporaries in hot kernels can be allocation-bound on
+    virtualized hosts where a fresh mmap page fault costs tens of µs
+    (measured on one sandbox: a 400 MB fresh-alloc multiply ran
+    0.08 GB/s cold vs 5.7 GB/s from reused heap pages — a ~70× gap).
+    Disabling malloc's mmap path keeps freed big buffers on the heap so
+    pages stay warm across batches.
+
+    Default OFF: on other hosts the same setting is actively harmful —
+    M_MMAP_MAX=0 grows every long-lived Ray worker's sbrk heap without
+    release, and the resulting fragmentation + transparent-huge-page
+    compaction storms (kcompactd/khugepaged) measured 2-6× slowdowns on
+    the tail of a multi-phase bench (latest_state 17 s → 5.5 s,
+    sharded 59 s → 9.2 s with tuning off).  Workload- and
+    host-dependent; enable only after measuring both ways.
     """
     import os
 
-    if os.environ.get("OCCR_NO_MALLOC_TUNING"):
+    if os.environ.get("OCCR_MALLOC_TUNING") != "1":
         return
     try:
         import ctypes
