@@ -942,9 +942,17 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, value-gated (round 3): the driver
+    configuration uses ``word_hash="duckdb"`` so the oracle recomputes
+    the signature bit-for-bit in SQL; the block bucketing is
+    pigeonhole-exact, so the engine result IS the brute-force
+    hamming-≤3 set the oracle joins for.  The native word hash remains
+    the default scale path (same pipeline, different hash constant)."""
     from opentelemetry_collector_components_ray.stages import dedup
 
-    return dedup.simhash_near_dups(_docs(sf_dir), hamming_k=3)
+    return dedup.simhash_near_dups(
+        _docs(sf_dir), hamming_k=3, word_hash="duckdb"
+    )
 
 
 def _q_minhash_dedup_keep(sf_dir: str):
@@ -1107,7 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_exact_dedup": _q_exact_dedup,
         "d_dedup_stats": _q_dedup_stats,
         "d_minhash_pairs": _q_minhash_pairs,
-        "d_simhash_pairs": _q_simhash_pairs,  # rows-only (LSH)
+        "d_simhash_pairs": _q_simhash_pairs,
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,
         "d_token_counts": _q_token_counts,
         "d_quality": _q_quality,
@@ -1176,9 +1184,17 @@ def oracle_sql() -> dict[str, str]:
         # oracle → rows-only; accuracy asserted in tests/test_conversation.py
         "t_ecs_remap": f"{_CTE} {_remap.RemapSpec().sql_select('enriched')}",
         "t_cardinality_route": f"{_CTE} {_route_mod.cardinality_route_sql()}",
-        # t_cardinality_route_hll: sketch estimates are ±1 even in the
-        # linear-counting range (register collisions) → rows-only;
-        # accuracy asserted in tests/test_cardinality_route.py
+        # t_cardinality_route_hll (value-gated, round 3): the sketch
+        # estimate is a deterministic, order-insensitive function of the
+        # distinct-combo hash set (register = max over hashes), and at
+        # driver cardinalities (~15 combos vs 2^14 registers) it equals
+        # the exact count for every key on the seeded corpus (verified;
+        # register-index collisions, the only ±1 source, do not occur) —
+        # so the sketch path shares the exact-count oracle.  Accuracy at
+        # large cardinalities asserted in tests/test_cardinality_route.py.
+        "t_cardinality_route_hll": (
+            f"{_CTE} {_route_mod.cardinality_route_sql()}"
+        ),
         "d_jaccard_pairs": _dedup.word_jaccard_pairs_sql(0.5, 400),
         "t_latency_histogram": (
             f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"
@@ -1240,9 +1256,13 @@ def oracle_sql() -> dict[str, str]:
         "e_embedding_clusters": _ann.embedding_clusters_sql(
             every=10, eps=0.1, threshold=0.99
         ),
-        # d_simhash_pairs: LSH candidate generation over simhash bit
-        # planes is not SQL-expressible → rows-only check; recall is
-        # tested against brute force in tests/test_dedup.py.
+        # d_simhash_pairs (value-gated, round 3): the driver config
+        # hashes words with DuckDB's own hash() kernel, so the oracle
+        # recomputes the 64-bit signature bit-for-bit (per-bit
+        # term-frequency majority) and brute-forces hamming ≤ 3; the
+        # engine's block bucketing is pigeonhole-exact, so its pair set
+        # IS that brute-force set.
+        "d_simhash_pairs": _dedup.simhash_pairs_oracle_sql(3),
         "d_token_counts": _text.TOKEN_COUNTS_SQL,
         "d_quality": _text.QUALITY_SCORES_SQL,
         "d_lang_id": _text.lang_id_sql(),

@@ -138,6 +138,35 @@ def hash64(values) -> np.ndarray:
     return _splitmix64(x)
 
 
+def duckdb_hash64(arr) -> np.ndarray:
+    """64-bit string hash computed by DuckDB's vectorized ``hash()``
+    kernel (in-process, one call per batch — no per-row Python).
+
+    Exists so an operator's per-word hash can be made IDENTICAL to
+    what a DuckDB oracle query computes, turning sketch-style outputs
+    (e.g. simhash signatures) into value-level-checkable results.  The
+    native :func:`hash64` stays the default scale path; this variant is
+    for oracle-gated query configurations and tests.  Row order is
+    preserved (DuckDB's default ``preserve_insertion_order=true``).
+    """
+    import duckdb
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), pa.string())
+    _t = pa.table({"w": arr})
+    con = duckdb.connect()
+    try:
+        out = con.execute("SELECT hash(w) AS h FROM _t").arrow()
+    finally:
+        con.close()
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+        np.uint64
+    )
+
+
 def _ertl_sigma(x: float) -> float:
     """σ(x) = x + Σ 2^(k-1)·x^(2^k); handles the all-zero-register mass."""
     if x == 1.0:

@@ -1331,11 +1331,24 @@ class SimHasher:
 
     Vectorized batch path: one Arrow lowercase+split, one amortized
     word hash, per-bit majority via ``np.add.reduceat`` over the flat
-    word array — no per-document Python loop."""
+    word array — no per-document Python loop.
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    ``word_hash="duckdb"`` swaps the native buffer-level word hash for
+    DuckDB's vectorized ``hash()`` kernel (still one call per batch).
+    With that hash the whole signature — and therefore the near-dup
+    pair set — is reproducible in SQL (:func:`simhash_pairs_oracle_sql`),
+    which value-gates the pipeline (split, majority, block bucketing,
+    pair distinct, hamming filter).  Native remains the default."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        word_hash: str = "native",
+    ):
         self.text_col = text_col
         self.id_col = id_col
+        self.word_hash = word_hash
 
     def simhash(self, text: str) -> np.uint64:
         """Single-doc reference implementation (tests/tools)."""
@@ -1354,8 +1367,15 @@ class SimHasher:
         )
         doc_ids = np.repeat(np.arange(n_docs), counts)
         keep = _pc.not_equal(flat_arr, "").to_numpy(zero_copy_only=False)
-        # buffer-level vectorized word hash (no Python round-trip)
-        h_all = hash64(flat_arr)
+        # vectorized word hash (no Python round-trip): buffer-level
+        # native chain hash, or DuckDB's hash() kernel for the
+        # SQL-reproducible oracle configuration
+        if self.word_hash == "duckdb":
+            from ..functions.sketches import duckdb_hash64
+
+            h_all = duckdb_hash64(flat_arr)
+        else:
+            h_all = hash64(flat_arr)
         h, doc_ids = h_all[keep], doc_ids[keep]
         counts = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
         out = np.zeros(n_docs, dtype=np.uint64)
@@ -1398,19 +1418,27 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     distributed: bool = True,
     coarse_buckets: int = 1024,
+    word_hash: str = "native",
 ) -> rd.Dataset:
-    """Pairs with simhash hamming distance ≤ hamming_k (exact — LSH
-    blocks generate candidates, the true distance filters).  Default is
-    the hash-shuffle scale path (coarse-bucket co-location + pair-hash
-    distinct); ``distributed=False`` coalesces once (faster fixed cost
-    on small corpora)."""
+    """Pairs with simhash hamming distance ≤ hamming_k (EXACT, not
+    probabilistic — splitting the 64-bit signature into hamming_k + 1
+    blocks guarantees by pigeonhole that every qualifying pair shares
+    at least one block, so the candidate set has no false negatives and
+    the true hamming distance filters).  Default is the hash-shuffle
+    scale path (coarse-bucket co-location + pair-hash distinct);
+    ``distributed=False`` coalesces once (faster fixed cost on small
+    corpora).  ``word_hash="duckdb"`` makes the result a deterministic
+    function a SQL oracle can recompute exactly — see
+    :func:`simhash_pairs_oracle_sql`."""
     blocks = hamming_k + 1
     width = 64 // blocks
 
-    shkey = ("simhash", text_col, id_col)
+    shkey = ("simhash", text_col, id_col, word_hash)
 
     def simhash_fn(batch: pa.Table) -> pa.Table:
-        sh = process_cached(shkey, lambda: SimHasher(text_col, id_col))
+        sh = process_cached(
+            shkey, lambda: SimHasher(text_col, id_col, word_hash=word_hash)
+        )
         return sh(batch)
 
     sigs = docs.map_batches(
@@ -1494,6 +1522,54 @@ def simhash_near_dups(
     )
     uniq = distinct_pairs(cand, ("id_a", "id_b"))
     return uniq.filter(expr=f"hamming <= {hamming_k}")
+
+
+def simhash_pairs_oracle_sql(hamming_k: int = 3) -> str:
+    """Recompute the 64-bit simhash signature IN SQL and brute-force
+    the hamming-≤k pair set — a value-level oracle for
+    ``simhash_near_dups(word_hash="duckdb")``.
+
+    Sound because (a) the engine's block bucketing is pigeonhole-exact
+    (no false negatives), so its result IS the brute-force hamming set,
+    and (b) with the DuckDB word hash both sides hash identically, so
+    the signature is bit-for-bit reproducible: per word-occurrence bit
+    b of hash(word), per doc the term-frequency-weighted bit majority
+    (strictly-more-ones rule, ties → 0), reassembled as a signed
+    BIGINT (bit 63 = sign).  Wordless docs get signature 0 on both
+    sides.  O(n²) join: oracle-scale corpora only."""
+    sums = ",\n         ".join(
+        f"sum(((hash(word) >> {b}) & 1::UBIGINT)::BIGINT) AS s{b}"
+        for b in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2*s{b} > cnt THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(63)
+    )
+    sig_terms += (
+        " + (CASE WHEN 2*s63 > cnt THEN (-9223372036854775807 - 1) "
+        "ELSE 0 END)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, count(*) AS cnt,
+         {sums}
+  FROM w GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id,
+         COALESCE({sig_terms}, 0) AS sig
+  FROM documents d LEFT JOIN bits USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_k}
+"""
 
 
 def minhash_pairs_oracle_sql(threshold: float = 0.8, k: int = 3) -> str:

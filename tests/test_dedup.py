@@ -300,6 +300,66 @@ def test_simhash_distributed_equals_coalesced(ray_session):
     pd.testing.assert_frame_equal(dist, coal)
 
 
+def test_simhash_duckdb_hash_matches_sql_signature():
+    """The word_hash="duckdb" signature must be bit-for-bit
+    reproducible by the SQL oracle's 64-bit-majority reconstruction —
+    the soundness premise of the d_simhash_pairs value gate."""
+    import duckdb
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words entirely here now",
+        "",  # wordless doc → signature 0 on both sides
+        "punctuation, splitting; and CASE Folding!",
+    ]
+    sh = dedup.SimHasher(word_hash="duckdb").simhash_batch(texts)
+    t = pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    sums = ",".join(
+        f"sum(((hash(word) >> {b}) & 1::UBIGINT)::BIGINT) AS s{b}"
+        for b in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2*s{b} > cnt THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(63)
+    ) + (
+        " + (CASE WHEN 2*s63 > cnt THEN (-9223372036854775807 - 1)"
+        " ELSE 0 END)"
+    )
+    got = con.execute(
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all("
+        "lower(text), '\\w+')) AS word FROM documents), "
+        f"bits AS (SELECT doc_id, count(*) AS cnt, {sums} FROM w "
+        "GROUP BY doc_id) "
+        f"SELECT COALESCE({sig}, 0) AS sig FROM documents d "
+        "LEFT JOIN bits USING (doc_id) ORDER BY d.doc_id"
+    ).fetchnumpy()["sig"]
+    assert np.array_equal(sh.astype(np.int64), got)
+    assert sh[3] == 0
+
+
+def test_simhash_duckdb_pairs_match_native_pipeline(ray_session):
+    """Same pipeline, different hash constant: the duckdb-hash variant
+    must still find the planted near-dups."""
+    import ray.data as rd
+
+    df = _corpus_with_near_dups()
+    ds = rd.from_pandas(df).repartition(4)
+    got = (
+        dedup.simhash_near_dups(ds, hamming_k=6, word_hash="duckdb")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) >= 1
+    assert (got["hamming"] <= 6).all()
+
+
 def test_dedup_stats_distributed_equals_coalesced(docs_ds):
     dist = dedup.dedup_stats(docs_ds, distributed=True, num_buckets=7)
     coal = dedup.dedup_stats(docs_ds, distributed=False)
