@@ -33,6 +33,9 @@ from opentelemetry_collector_components_ray.stages import remap as _remap
 from opentelemetry_collector_components_ray.stages import (
     sampling as _sampling,
 )
+from opentelemetry_collector_components_ray.stages import (
+    multimodal as _mm,
+)
 from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages import enrich as _enrich_mod
 from opentelemetry_collector_components_ray.stages.enrich import (
@@ -802,17 +805,23 @@ def _q_multimodal_features(sf_dir: str):
     decode, video frame sampling) melted to one long-format table
     (modality, obj_id, feature, value) — real pure-numpy BMP/WAV decode
     kernels on actor pools, stub video codec (container formats need
-    external libs); rows-only check, codecs golden-tested in
-    tests/test_multimodal.py."""
+    external libs).
+
+    Value-gated (round 3): fixtures hold CLOSED-FORM payload contents
+    (integer formulas in pixel/sample/frame coordinates), so the
+    DuckDB oracle recomputes every decoded feature from the formulas
+    without touching a byte — a padding/channel-order/chunk-walk bug
+    in the codecs becomes a value mismatch.  Codec edge cases stay
+    golden-tested in tests/test_multimodal.py."""
     import pandas as pd
     import ray.data as rd
 
     from opentelemetry_collector_components_ray.stages.multimodal import (
         audio_decode_stage,
         decode_stage,
-        synth_audio_table,
-        synth_image_table,
-        synth_video_table,
+        synth_audio_table_formula,
+        synth_image_table_formula,
+        synth_video_table_formula,
         video_frame_stage,
     )
 
@@ -829,19 +838,22 @@ def _q_multimodal_features(sf_dir: str):
 
         return fn
 
-    img = decode_stage(rd.from_arrow(synth_image_table(n))).map_batches(
+    img = decode_stage(
+        rd.from_arrow(synth_image_table_formula(n))
+    ).map_batches(
         melt("image", "image_id", ["pixel_mean", "pixel_std"]),
         batch_format="pandas",
     )
     aud = audio_decode_stage(
-        rd.from_arrow(synth_audio_table(n))
+        rd.from_arrow(synth_audio_table_formula(n))
     ).map_batches(
         melt("audio", "audio_id",
              ["duration_s", "rms", "zero_crossing_rate"]),
         batch_format="pandas",
     )
     vid = video_frame_stage(
-        rd.from_arrow(synth_video_table(max(32, n // 2))), every_k=4
+        rd.from_arrow(synth_video_table_formula(max(32, n // 2))),
+        every_k=4,
     ).map_batches(
         melt("video", "video_id", ["frame_mean", "frame_std"]),
         batch_format="pandas",
@@ -1104,7 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_conv_head": _q_conv_head,
         "t_ecs_remap": _q_ecs_remap,
         "t_cardinality_route": _q_cardinality_route,
-        "t_cardinality_route_hll": _q_cardinality_route_hll,  # rows-only (sketch)
+        "t_cardinality_route_hll": _q_cardinality_route_hll,
         "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
         "t_summary_merge": _q_summary_merge,
@@ -1128,7 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_neardup": _q_cosine_neardup,
         "e_ivf_topk": _q_ivf_topk,
         "e_embedding_clusters": _q_embedding_clusters,
-        # real BMP/WAV decode kernels; video codec stubbed — rows-only
+        # real BMP/WAV decode kernels (video codec stubbed); value-gated
+        # via closed-form payload formulas the oracle recomputes
         "m_multimodal_features": _q_multimodal_features,
         # relational demos over the TPC-H-ish tables
         "r_pricing_summary": _q_pricing_summary,
@@ -1278,4 +1291,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "r_pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "r_revenue_by_year": _rel.REVENUE_BY_YEAR_SQL,
+        # m_multimodal_features (value-gated, round 3): the formula
+        # fixtures make every decoded feature a closed-form function of
+        # (i, r, c, ch) / (i, k) / (i, f, p) that the oracle recomputes
+        # without decoding a byte — codec bugs become value mismatches.
+        "m_multimodal_features": _mm.multimodal_features_sql(4),
     }

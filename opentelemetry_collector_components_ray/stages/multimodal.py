@@ -28,6 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from .ann import round_half_away
+
 MAGIC = b"IMG1"
 HEADER = struct.Struct("<4sHHI")  # magic, width, height, seed (legacy)
 
@@ -82,6 +84,37 @@ IMAGE_SCHEMA = pa.schema(
         ("height", pa.int32()),
     ]
 )
+
+
+def synth_image_table_formula(n: int) -> pa.Table:
+    """Image rows whose REAL BMP payloads hold closed-form pixel
+    values — pixel(i, r, c, ch) = (7i + 31r + 13c + 97·ch) mod 256,
+    w = 8 + 37i mod 56, h = 8 + 53i mod 56.  Pure integer arithmetic,
+    so a SQL oracle can recompute every decoded feature exactly
+    (:func:`multimodal_features_sql`) — the encode → decode → feature
+    path (row padding, BGR flip, bottom-up order) is value-gated
+    end-to-end."""
+    ids, payloads, w_, h_ = [], [], [], []
+    for i in range(n):
+        w = 8 + (i * 37) % 56
+        h = 8 + (i * 53) % 56
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((7 * i + 31 * r + 13 * c + 97 * ch) % 256).astype(np.uint8)
+        payloads.append(encode_bmp(img))
+        ids.append(i)
+        w_.append(w)
+        h_.append(h)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * n, pa.string()),
+            "width": pa.array(w_, pa.int32()),
+            "height": pa.array(h_, pa.int32()),
+        }
+    )
 
 
 def synth_image_table(n: int, seed: int = 42) -> pa.Table:
@@ -175,8 +208,9 @@ class DecodeImages:
                 "image_id": batch["image_id"],
                 "width": batch["width"],
                 "height": batch["height"],
-                "pixel_mean": pa.array(np.round(means, 6)),
-                "pixel_std": pa.array(np.round(stds, 6)),
+                # ties away from zero = DuckDB round(): oracle-comparable
+                "pixel_mean": pa.array(round_half_away(np.array(means))),
+                "pixel_std": pa.array(round_half_away(np.array(stds))),
                 "thumb": pa.array(thumbs, pa.list_(pa.float32())),
             }
         )
@@ -259,6 +293,36 @@ AUDIO_SCHEMA = pa.schema(
 )
 
 
+def synth_audio_table_formula(n: int) -> pa.Table:
+    """Audio rows whose REAL WAV payloads hold a closed-form integer
+    waveform — x(i, k) = ((k·(i+3)·1000003 + 12345) mod 24001) − 12000,
+    n_samp = 400 + 991i mod 3600, rate = 8000 + 8000·(i mod 2).  SQL
+    recomputes duration/RMS/zero-crossing exactly
+    (:func:`multimodal_features_sql`), value-gating the RIFF chunk
+    walk + PCM16 decode."""
+    ids, payloads, rates, lens = [], [], [], []
+    for i in range(n):
+        n_samp = 400 + (i * 991) % 3600
+        rate = 8000 + 8000 * (i % 2)
+        k = np.arange(n_samp, dtype=np.int64)
+        samples = (
+            (k * (i + 3) * 1000003 + 12345) % 24001 - 12000
+        ).astype(np.int16)
+        payloads.append(encode_wav(samples, rate))
+        ids.append(i)
+        rates.append(rate)
+        lens.append(n_samp)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(lens, pa.int32()),
+        }
+    )
+
+
 def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic audio rows — REAL PCM16 mono WAV payloads
     (encoded by :func:`encode_wav` from seeded sine sweeps)."""
@@ -330,10 +394,10 @@ class DecodeAudio:
             x, wav_rate = self.decoder.decode(payload.as_py())
             rate = wav_rate if wav_rate is not None else meta_rate
             x = x.astype(np.float64)
-            dur.append(round(len(x) / float(rate), 6))
-            rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+            dur.append(len(x) / float(rate))
+            rms.append(float(np.sqrt(np.mean(x * x))))
             zc = np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))
-            zcr.append(round(float(zc), 6))
+            zcr.append(float(zc))
             # fixed-length envelope via reduceat over equal chunks
             edges = (np.arange(self.bins) * len(x) // self.bins).astype(
                 np.int64
@@ -345,9 +409,14 @@ class DecodeAudio:
         return pa.table(
             {
                 "audio_id": batch["audio_id"],
-                "duration_s": pa.array(dur, pa.float64()),
-                "rms": pa.array(rms, pa.float64()),
-                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+                # ties away from zero = DuckDB round(): oracle-comparable
+                "duration_s": pa.array(
+                    round_half_away(np.array(dur)), pa.float64()
+                ),
+                "rms": pa.array(round_half_away(np.array(rms)), pa.float64()),
+                "zero_crossing_rate": pa.array(
+                    round_half_away(np.array(zcr)), pa.float64()
+                ),
                 "envelope": pa.array(env, pa.list_(pa.float32())),
             }
         )
@@ -405,6 +474,39 @@ def frame_sample(
 
 VIDEO_MAGIC = b"VID1"
 VIDEO_HEADER = struct.Struct("<4sHHHI")  # magic, n_frames, w, h, seed
+
+
+def synth_video_table_formula(n: int) -> pa.Table:
+    """Video rows with closed-form frame bytes —
+    byte(i, f, p) = (131i + 17f + 7p) mod 256 at pixel index p,
+    nf = 4 + 7i mod 13, w = 8 + 11i mod 24, h = 8 + 17i mod 24 —
+    so the sampled-frame features are SQL-recomputable
+    (:func:`multimodal_features_sql`)."""
+    ids, payloads, nf_, w_, h_ = [], [], [], [], []
+    for i in range(n):
+        nf = 4 + (i * 7) % 13
+        w = 8 + (i * 11) % 24
+        h = 8 + (i * 17) % 24
+        f = np.arange(nf, dtype=np.int64)[:, None]
+        p = np.arange(w * h, dtype=np.int64)[None, :]
+        body = ((131 * i + 17 * f + 7 * p) % 256).astype(np.uint8)
+        payloads.append(
+            VIDEO_HEADER.pack(VIDEO_MAGIC, nf, w, h, i) + body.tobytes()
+        )
+        ids.append(i)
+        nf_.append(nf)
+        w_.append(w)
+        h_.append(h)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-synthetic"] * n, pa.string()),
+            "n_frames": pa.array(nf_, pa.int32()),
+            "width": pa.array(w_, pa.int32()),
+            "height": pa.array(h_, pa.int32()),
+        }
+    )
 
 
 def synth_video_table(n: int, seed: int = 42) -> pa.Table:
@@ -470,16 +572,125 @@ class SampleVideoFrames:
                 vids.append(int(vid))
                 fidx.append(fi)
                 f = frame.astype(np.float64)
-                means.append(round(float(f.mean()), 6))
-                stds.append(round(float(f.std()), 6))
+                means.append(float(f.mean()))
+                stds.append(float(f.std()))
         return pa.table(
             {
                 "video_id": pa.array(vids, pa.int64()),
                 "frame_idx": pa.array(fidx, pa.int32()),
-                "frame_mean": pa.array(means, pa.float64()),
-                "frame_std": pa.array(stds, pa.float64()),
+                # ties away from zero = DuckDB round(): oracle-comparable
+                "frame_mean": pa.array(
+                    round_half_away(np.array(means)), pa.float64()
+                ),
+                "frame_std": pa.array(
+                    round_half_away(np.array(stds)), pa.float64()
+                ),
             }
         )
+
+
+def multimodal_features_sql(every_k: int = 4) -> str:
+    """DuckDB twin of the melted multimodal-features query over the
+    FORMULA fixtures (``synth_*_table_formula``): recomputes every
+    decoded feature from the closed-form payload contents — without
+    decoding any bytes — so a BMP row-padding / BGR-order / WAV
+    chunk-walk / frame-offset bug in the real codecs shows up as a
+    value mismatch, not just a row-count change.
+
+    Float parity: per-pixel/sample arithmetic is forced DOUBLE to
+    mirror the engine's float64 kernels; integer-valued sums (RMS,
+    means of ints) are exact in float64 so both sides compute
+    identical doubles; final round(…, 6) matches the engine's
+    ties-away-from-zero rounding.  Sizes derive from the documents
+    view exactly like the query (n_img = max(64, count/10),
+    n_vid = max(32, n_img/2))."""
+    return f"""
+WITH nn AS (
+  SELECT GREATEST(64, (count(*) // 10))::BIGINT AS n_img,
+         GREATEST(32, GREATEST(64, (count(*) // 10)) // 2)::BIGINT AS n_vid
+  FROM documents
+),
+iid AS (SELECT unnest(range(0, (SELECT n_img FROM nn))) AS i),
+idim AS (
+  SELECT i, 8 + (i*37) % 56 AS w, 8 + (i*53) % 56 AS h FROM iid
+),
+rr AS (SELECT unnest(range(0, 64)) AS r),
+cc AS (SELECT unnest(range(0, 64)) AS c),
+px AS (
+  SELECT i,
+         0.299::DOUBLE * ((7*i + 31*r + 13*c) % 256)
+         + 0.587::DOUBLE * ((7*i + 31*r + 13*c + 97) % 256)
+         + 0.114::DOUBLE * ((7*i + 31*r + 13*c + 194) % 256) AS luma
+  FROM idim, rr, cc
+  WHERE r < h AND c < w
+),
+imean AS (SELECT i, avg(luma) AS m FROM px GROUP BY i),
+istat AS (
+  SELECT px.i,
+         any_value(imean.m) AS mean_raw,
+         sqrt(avg((luma - imean.m) * (luma - imean.m))) AS std_raw
+  FROM px JOIN imean ON px.i = imean.i
+  GROUP BY px.i
+),
+aid AS (SELECT unnest(range(0, (SELECT n_img FROM nn))) AS i),
+adim AS (
+  SELECT i, 400 + (i*991) % 3600 AS n_samp,
+         8000 + 8000*(i % 2) AS rate
+  FROM aid
+),
+kk AS (SELECT unnest(range(0, 4000)) AS k),
+samp AS (
+  SELECT i, k, ((k*(i+3)*1000003 + 12345) % 24001) - 12000 AS x
+  FROM adim, kk WHERE k < n_samp
+),
+zc AS (
+  SELECT i, k,
+         CASE WHEN (x < 0) !=
+                   lag(x < 0) OVER (PARTITION BY i ORDER BY k)
+              THEN 1 ELSE 0 END AS chg
+  FROM samp
+),
+arms AS (
+  SELECT i, sqrt(avg((x*x)::DOUBLE)) AS rms_raw FROM samp GROUP BY i
+),
+azcr AS (
+  SELECT i, avg(chg::DOUBLE) AS zcr_raw FROM zc WHERE k >= 1 GROUP BY i
+),
+astat AS (
+  SELECT a.i, a.n_samp / a.rate::DOUBLE AS dur_raw, r.rms_raw, z.zcr_raw
+  FROM adim a JOIN arms r ON a.i = r.i JOIN azcr z ON a.i = z.i
+),
+vid0 AS (SELECT unnest(range(0, (SELECT n_vid FROM nn))) AS i),
+vdim AS (
+  SELECT i, 4 + (i*7) % 13 AS nf, 8 + (i*11) % 24 AS w,
+         8 + (i*17) % 24 AS h
+  FROM vid0
+),
+ff AS (SELECT unnest(range(0, 16)) AS f),
+pp AS (SELECT unnest(range(0, 961)) AS p),
+vpx AS (
+  SELECT i, f, ((131*i + 17*f + 7*p) % 256)::DOUBLE AS v
+  FROM vdim, ff, pp
+  WHERE f < nf AND f % {every_k} = 0 AND p < w*h
+),
+vmean AS (SELECT i, f, avg(v) AS m FROM vpx GROUP BY i, f),
+vstat AS (
+  SELECT vpx.i, vpx.f,
+         any_value(vmean.m) AS mean_raw,
+         sqrt(avg((v - vmean.m) * (v - vmean.m))) AS std_raw
+  FROM vpx JOIN vmean ON vpx.i = vmean.i AND vpx.f = vmean.f
+  GROUP BY vpx.i, vpx.f
+)
+SELECT 'image' AS modality, i AS obj_id, 'pixel_mean' AS feature,
+       round(mean_raw, 6) AS value FROM istat
+UNION ALL SELECT 'image', i, 'pixel_std', round(std_raw, 6) FROM istat
+UNION ALL SELECT 'audio', i, 'duration_s', round(dur_raw, 6) FROM astat
+UNION ALL SELECT 'audio', i, 'rms', round(rms_raw, 6) FROM astat
+UNION ALL SELECT 'audio', i, 'zero_crossing_rate', round(zcr_raw, 6)
+  FROM astat
+UNION ALL SELECT 'video', i, 'frame_mean', round(mean_raw, 6) FROM vstat
+UNION ALL SELECT 'video', i, 'frame_std', round(std_raw, 6) FROM vstat
+"""
 
 
 def video_frame_stage(

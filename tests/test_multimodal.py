@@ -176,3 +176,49 @@ def test_wav_codec_chunk_walk():
     assert np.array_equal(x2, s)
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_formula_fixtures_decode_to_formula_values():
+    """The closed-form fixtures must decode back to their generating
+    formulas — the engine-side premise of the m_multimodal_features
+    value gate (the SQL oracle recomputes the same formulas)."""
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        FakeVideoDecoder,
+        decode_bmp,
+        decode_wav,
+        synth_audio_table_formula,
+        synth_image_table_formula,
+        synth_video_table_formula,
+    )
+
+    imgs = synth_image_table_formula(5)
+    for i in range(5):
+        rgb = decode_bmp(imgs["payload"][i].as_py())
+        h, w = rgb.shape[:2]
+        assert (w, h) == (8 + (i * 37) % 56, 8 + (i * 53) % 56)
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        want = (7 * i + 31 * r + 13 * c + 97 * ch) % 256
+        assert np.array_equal(rgb, want)
+
+    auds = synth_audio_table_formula(5)
+    for i in range(5):
+        x, rate = decode_wav(auds["payload"][i].as_py())
+        n = 400 + (i * 991) % 3600
+        assert rate == 8000 + 8000 * (i % 2) and len(x) == n
+        k = np.arange(n, dtype=np.int64)
+        want = (k * (i + 3) * 1000003 + 12345) % 24001 - 12000
+        assert np.array_equal(x.astype(np.int64), want)
+
+    vids = synth_video_table_formula(5)
+    codec = FakeVideoDecoder()
+    for i in range(5):
+        nf = 4 + (i * 7) % 13
+        w, h = 8 + (i * 11) % 24, 8 + (i * 17) % 24
+        frames = dict(codec.frames(vids["payload"][i].as_py(), 4))
+        assert sorted(frames) == list(range(0, nf, 4))
+        for f, frame in frames.items():
+            p = np.arange(w * h, dtype=np.int64)
+            want = ((131 * i + 17 * f + 7 * p) % 256).reshape(h, w)
+            assert np.array_equal(frame.astype(np.int64), want)
