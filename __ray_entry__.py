@@ -37,6 +37,9 @@ from opentelemetry_collector_components_ray.stages import (
     multimodal as _mm,
 )
 from opentelemetry_collector_components_ray.stages import text as _text
+from opentelemetry_collector_components_ray.stages import (
+    profiling as _profiling,
+)
 from opentelemetry_collector_components_ray.stages import enrich as _enrich_mod
 from opentelemetry_collector_components_ray.stages.enrich import (
     ENRICHED_SQL,
@@ -978,34 +981,25 @@ def _q_minhash_dedup_keep(sf_dir: str):
     return dedup.minhash_dedup_keep_verified(_docs(sf_dir), threshold=0.8)
 
 
-def _q_token_counts(sf_dir: str):
+def _q_text_profile(sf_dir: str):
+    """All five text-analysis ops (token counts, quality, lang ID,
+    fingerprint, normalize) folded into one fused per-doc pass; the
+    SQL twin is assembled from the per-op twins (stages/text.py)."""
     from opentelemetry_collector_components_ray.stages import text
 
-    return text.token_counts(_docs(sf_dir))
+    return text.text_profile(_docs(sf_dir))
 
 
-def _q_quality(sf_dir: str):
-    from opentelemetry_collector_components_ray.stages import text
+def _q_frame_metrics(sf_dir: str):
+    """profilingmetricsconnector port: frame/classification/custom
+    metrics over deterministic template stacks (stages/profiling.py;
+    reference connector/profilingmetricsconnector/frame.go:175-495,
+    connector.go:126-342)."""
+    from opentelemetry_collector_components_ray.stages import profiling
 
-    return text.quality_scores(_docs(sf_dir))
-
-
-def _q_lang_id(sf_dir: str):
-    from opentelemetry_collector_components_ray.stages import text
-
-    return text.lang_id(_docs(sf_dir))
-
-
-def _q_fingerprints(sf_dir: str):
-    from opentelemetry_collector_components_ray.stages import text
-
-    return text.fingerprints(_docs(sf_dir))
-
-
-def _q_normalize_text(sf_dir: str):
-    from opentelemetry_collector_components_ray.stages import text
-
-    return text.normalize_text(_docs(sf_dir))
+    return profiling.frame_metrics(
+        profiling.read_profiles(sf_dir), window="1h"
+    )
 
 
 def _q_cosine_topk(sf_dir: str):
@@ -1129,11 +1123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_pairs": _q_minhash_pairs,
         "d_simhash_pairs": _q_simhash_pairs,
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,
-        "d_token_counts": _q_token_counts,
-        "d_quality": _q_quality,
-        "d_lang_id": _q_lang_id,
-        "d_fingerprints": _q_fingerprints,
-        "d_normalize_text": _q_normalize_text,
+        "d_text_profile": _q_text_profile,
+        "p_frame_metrics": _q_frame_metrics,
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "t_stratified_sample": _q_stratified_sample,
@@ -1276,11 +1267,11 @@ def oracle_sql() -> dict[str, str]:
         # engine's block bucketing is pigeonhole-exact, so its pair set
         # IS that brute-force set.
         "d_simhash_pairs": _dedup.simhash_pairs_oracle_sql(3),
-        "d_token_counts": _text.TOKEN_COUNTS_SQL,
-        "d_quality": _text.QUALITY_SCORES_SQL,
-        "d_lang_id": _text.lang_id_sql(),
-        "d_fingerprints": _text.FINGERPRINTS_SQL,
-        "d_normalize_text": _text.NORMALIZE_TEXT_SQL,
+        "d_text_profile": _text.text_profile_sql(),
+        # p_frame_metrics (value-gated): expected VALUES rows generated
+        # by the naive frame.go transcription over the same scenario
+        # templates the engine's stacks are synthesized from
+        "p_frame_metrics": _profiling.profiling_metrics_sql(window="1h"),
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         # e_ivf_topk (value-gated, round 3): exhaustive probes make the
         # IVF index search exact, so the brute-force oracle applies.

@@ -242,3 +242,47 @@ NORMALIZE_TEXT_SQL = (
     "SELECT documents.*, trim(regexp_replace(lower(nfc_normalize(text)),"
     " '\\s+', ' ', 'g')) AS text_norm FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# Folded per-document profile: all five text-analysis ops in one pass.
+# Each op appends columns, so the chain is a single fused map_batches
+# pipeline (no extra shuffles/materialization); the SQL twin is
+# assembled from the five ops' own twins so engine and oracle can never
+# drift apart per-op.
+# ---------------------------------------------------------------------------
+
+
+def text_profile(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """token counts + quality scores + language ID + fingerprint +
+    normalization, appended to the input rows in one fused pass."""
+    ds = token_counts(ds, text_col)
+    ds = quality_scores(ds, text_col)
+    ds = lang_id(ds, text_col)
+    ds = fingerprints(ds, text_col)
+    return normalize_text(ds, text_col)
+
+
+def _derived_exprs(sql: str) -> str:
+    """'SELECT documents.*, <exprs> FROM documents' → '<exprs>'."""
+    body = sql.strip()
+    assert body[:6].upper() == "SELECT"
+    head, _, tail = body[6:].rpartition("FROM")
+    assert tail.strip().startswith("documents")
+    head = head.strip()
+    assert head.startswith("documents.*,")
+    return head[len("documents.*,"):].strip()
+
+
+def text_profile_sql() -> str:
+    parts = [
+        _derived_exprs(TOKEN_COUNTS_SQL),
+        _derived_exprs(QUALITY_SCORES_SQL),
+        _derived_exprs(lang_id_sql()),
+        _derived_exprs(FINGERPRINTS_SQL),
+        _derived_exprs(NORMALIZE_TEXT_SQL),
+    ]
+    return (
+        "SELECT documents.*,\n  " + ",\n  ".join(parts)
+        + "\nFROM documents"
+    )
