@@ -40,6 +40,9 @@ from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages import (
     profiling as _profiling,
 )
+from opentelemetry_collector_components_ray.sources import (
+    promrw as _promrw,
+)
 from opentelemetry_collector_components_ray.stages import enrich as _enrich_mod
 from opentelemetry_collector_components_ray.stages.enrich import (
     ENRICHED_SQL,
@@ -990,6 +993,17 @@ def _q_text_profile(sf_dir: str):
     return text.text_profile(_docs(sf_dir))
 
 
+def _q_promrw(sf_dir: str):
+    """prometheusremotewritev1receiver translate port: timeseries →
+    gauge datapoints, labels → attrs, missing __name__ dropped
+    (sources/promrw.py; reference receiver.go:174-226)."""
+    from opentelemetry_collector_components_ray.sources import promrw
+
+    return promrw.translate_write_requests(
+        promrw.read_write_requests(sf_dir)
+    )
+
+
 def _q_frame_metrics(sf_dir: str):
     """profilingmetricsconnector port: frame/classification/custom
     metrics over deterministic template stacks (stages/profiling.py;
@@ -1125,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,
         "d_text_profile": _q_text_profile,
         "p_frame_metrics": _q_frame_metrics,
+        "t_promrw": _q_promrw,
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "t_stratified_sample": _q_stratified_sample,
@@ -1272,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         # by the naive frame.go transcription over the same scenario
         # templates the engine's stacks are synthesized from
         "p_frame_metrics": _profiling.profiling_metrics_sql(window="1h"),
+        "t_promrw": _promrw.PROMRW_SQL,
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         # e_ivf_topk (value-gated, round 3): exhaustive probes make the
         # IVF index search exact, so the brute-force oracle applies.
