@@ -43,6 +43,9 @@ from opentelemetry_collector_components_ray.stages import (
 from opentelemetry_collector_components_ray.sources import (
     promrw as _promrw,
 )
+from opentelemetry_collector_components_ray.sources import (
+    entity as _entity,
+)
 from opentelemetry_collector_components_ray.stages import enrich as _enrich_mod
 from opentelemetry_collector_components_ray.stages.enrich import (
     ENRICHED_SQL,
@@ -1004,6 +1007,15 @@ def _q_promrw(sf_dir: str):
     )
 
 
+def _q_entity_docs(sf_dir: str):
+    """entityanalyticsreceiver publisher port: identity documents →
+    bodymap log rows (sources/entity.py; reference
+    publisher.go:44-91)."""
+    from opentelemetry_collector_components_ray.sources import entity
+
+    return entity.entity_docs(sf_dir)
+
+
 def _q_frame_metrics(sf_dir: str):
     """profilingmetricsconnector port: frame/classification/custom
     metrics over deterministic template stacks (stages/profiling.py;
@@ -1140,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_text_profile": _q_text_profile,
         "p_frame_metrics": _q_frame_metrics,
         "t_promrw": _q_promrw,
+        "t_entity_docs": _q_entity_docs,
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "t_stratified_sample": _q_stratified_sample,
@@ -1288,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         # templates the engine's stacks are synthesized from
         "p_frame_metrics": _profiling.profiling_metrics_sql(window="1h"),
         "t_promrw": _promrw.PROMRW_SQL,
+        "t_entity_docs": _entity.ENTITY_DOCS_SQL,
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         # e_ivf_topk (value-gated, round 3): exhaustive probes make the
         # IVF index search exact, so the brute-force oracle applies.
