@@ -46,6 +46,9 @@ from opentelemetry_collector_components_ray.sources import (
 from opentelemetry_collector_components_ray.sources import (
     entity as _entity,
 )
+from opentelemetry_collector_components_ray.pipelines import (
+    config as _pipecfg,
+)
 from opentelemetry_collector_components_ray.stages import enrich as _enrich_mod
 from opentelemetry_collector_components_ray.stages.enrich import (
     ENRICHED_SQL,
@@ -1007,6 +1010,19 @@ def _q_promrw(sf_dir: str):
     )
 
 
+def _q_ottl(sf_dir: str):
+    """OTTL-subset statement pipeline: every editor/converter of the
+    grammar applied in order over the transcripts (pipelines/config.py
+    DEMO_STATEMENTS; reference lsmintervalprocessor
+    config/config.go:70-78, execution processor.go:556-605)."""
+    from opentelemetry_collector_components_ray.pipelines import config
+    from opentelemetry_collector_components_ray.sources import read_transcripts
+
+    return config.apply_statements(
+        read_transcripts(sf_dir), config.DEMO_STATEMENTS
+    )
+
+
 def _q_entity_docs(sf_dir: str):
     """entityanalyticsreceiver publisher port: identity documents →
     bodymap log rows (sources/entity.py; reference
@@ -1153,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_frame_metrics": _q_frame_metrics,
         "t_promrw": _q_promrw,
         "t_entity_docs": _q_entity_docs,
+        "t_ottl": _q_ottl,
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "t_stratified_sample": _q_stratified_sample,
@@ -1302,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "p_frame_metrics": _profiling.profiling_metrics_sql(window="1h"),
         "t_promrw": _promrw.PROMRW_SQL,
         "t_entity_docs": _entity.ENTITY_DOCS_SQL,
+        "t_ottl": f"{_CTE} {_pipecfg.DEMO_STATEMENTS_SQL}",
         "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         # e_ivf_topk (value-gated, round 3): exhaustive probes make the
         # IVF index search exact, so the brute-force oracle applies.

@@ -346,6 +346,58 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
     raise ValueError(f"unknown editor {editor!r} in statement: {stmt!r}")
 
 
+def apply_statements(ds, statements: Sequence[str]):
+    """Compile a statement list once and apply it in order inside one
+    fused ``map_batches`` (the post-aggregation decoration hook,
+    lsmintervalprocessor processor.go:556-605)."""
+    fns = [parse_statement(s) for s in statements]
+
+    def run(t: pa.Table) -> pa.Table:
+        for fn in fns:
+            t = fn(t)
+        return t
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# A statement pipeline exercising every editor and converter of the
+# subset, with a hand-mirrored SQL twin (the t_ottl oracle gate):
+# sequential semantics matter — stmt 8's where reads the tool column
+# AFTER stmt 7 rewrote it, and truncate_all runs before keep_keys.
+DEMO_STATEMENTS: Tuple[str, ...] = (
+    'set(tier, "std")',
+    'set(tier, "gold") where role == "assistant"',
+    'concat(conv_turn, [conv_id, turn_idx], "-")',
+    'set(role3, Substring(role, 0, 3))',
+    'set(turn_d, Double(turn_idx))',
+    'set(half_turn, Int(turn_d)) where turn_idx >= 10',
+    'replace_pattern(tool, "^$", "none")',
+    'set(label, Concat([role, tool], ":")) where tool != "none"',
+    "truncate_all(40)",
+    "keep_keys([conv_id, turn_idx, role, tool, text, tier, conv_turn,"
+    " role3, turn_d, half_turn, label])",
+)
+
+# The DuckDB mirror of DEMO_STATEMENTS over the transcripts CTE.  Only
+# `text` can exceed the 40-codeunit truncation (every other string
+# column is provably shorter), so the twin truncates just it.
+DEMO_STATEMENTS_SQL = """
+SELECT
+  conv_id, turn_idx, role,
+  regexp_replace(tool, '^$', 'none') AS tool,
+  left(text, 40) AS text,
+  CASE WHEN role = 'assistant' THEN 'gold' ELSE 'std' END AS tier,
+  conv_id || '-' || CAST(turn_idx AS VARCHAR) AS conv_turn,
+  substr(role, 1, 3) AS role3,
+  CAST(turn_idx AS DOUBLE) AS turn_d,
+  CASE WHEN turn_idx >= 10 THEN CAST(turn_idx AS BIGINT) END AS half_turn,
+  CASE WHEN regexp_replace(tool, '^$', 'none') <> 'none'
+       THEN role || ':' || regexp_replace(tool, '^$', 'none')
+  END AS label
+FROM transcripts
+"""
+
+
 def apply_statements(
     ds: rd.Dataset, statements: Sequence[str]
 ) -> rd.Dataset:

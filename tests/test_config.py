@@ -227,3 +227,33 @@ def test_ottl_rejects_out_of_subset():
     ):
         with _pytest.raises(ValueError):
             parse_statement(bad)
+
+
+def test_demo_statements_sequential_semantics():
+    """stmt 8's where must see the tool column AFTER stmt 7 rewrote
+    empty tools to 'none' (sequential statement application)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        DEMO_STATEMENTS,
+        parse_statement,
+    )
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c2"]),
+        "turn_idx": pa.array([5, 12], pa.int32()),
+        "role": pa.array(["assistant", "tool"]),
+        "tool": pa.array(["", "search"]),
+        "text": pa.array(["x" * 60, "short"]),
+        "ts": pa.array([0, 1], pa.timestamp("us")),
+    })
+    for s in DEMO_STATEMENTS:
+        t = parse_statement(s)(t)
+    d = t.to_pydict()
+    assert d["tool"] == ["none", "search"]
+    assert d["label"] == [None, "tool:search"]       # where ran post-rewrite
+    assert d["tier"] == ["gold", "std"]
+    assert d["half_turn"] == [None, 12]
+    assert d["text"][0] == "x" * 40                  # truncate_all
+    assert d["conv_turn"] == ["c1-5", "c2-12"]
+    assert "ts" not in d                             # keep_keys dropped it
