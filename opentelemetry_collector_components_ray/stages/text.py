@@ -245,6 +245,114 @@ NORMALIZE_TEXT_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics): fraction of
+# duplicated words, most-common-word fraction, fraction of duplicated
+# word bigrams — the repetition filters public training-data pipelines
+# (Gopher §A.1, C4) apply to drop boilerplate/spam documents.  Fully
+# vectorized: one regex split per batch, then factorized token ids and
+# run-length encoding over a sorted (row, token) key — no Python loop
+# over rows or tokens.
+# ---------------------------------------------------------------------------
+
+_WORD_SPLIT_RE = r"[^a-z0-9]+"
+# the SQL twin tokenizes with the complement character class; the two
+# are equivalent once empty split fragments are dropped
+_WORDS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _round6_away(x: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero to 6 digits for non-negative doubles,
+    matching DuckDB's round()."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def repetition_scores(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Append ``dup_word_frac``, ``top_word_frac``, ``dup_bigram_frac``.
+
+    dup_word_frac   = (n_words - n_distinct_words) / n_words
+    top_word_frac   = count(most frequent word) / n_words
+    dup_bigram_frac = (n_bigrams - n_distinct_bigrams) / n_bigrams
+    (all 0 when the denominator is 0; rounded to 6 digits)
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        lists = pc.split_pattern_regex(pc.utf8_lower(col), _WORD_SPLIT_RE)
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(object)
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = flat != ""  # boundary splits yield empty fragments
+        flat, row = flat[keep], row[keep]
+        n_words = np.bincount(row, minlength=n).astype(np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        n_bigrams = np.zeros(n, dtype=np.int64)
+        distinct_bg = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            uniq, wid = np.unique(flat, return_inverse=True)
+            V = np.int64(len(uniq))
+            # distinct words + top-word count per row: RLE over sorted keys
+            sk = np.sort(row * V + wid)
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            run_len = np.diff(np.r_[starts, len(sk)])
+            run_row = sk[starts] // V
+            distinct = np.bincount(run_row, minlength=n).astype(np.int64)
+            row_starts = np.flatnonzero(
+                np.r_[True, run_row[1:] != run_row[:-1]]
+            )
+            if len(row_starts):
+                top[run_row[row_starts]] = np.maximum.reduceat(
+                    run_len, row_starts
+                )
+            # bigrams: adjacent tokens within the same row
+            adj = row[1:] == row[:-1]
+            if adj.any():
+                brow = row[:-1][adj]
+                bkey = (brow * V + wid[:-1][adj]) * V + wid[1:][adj]
+                n_bigrams = np.bincount(brow, minlength=n).astype(np.int64)
+                sbk = np.sort(bkey)
+                bstarts = np.flatnonzero(np.r_[True, sbk[1:] != sbk[:-1]])
+                brun_row = sbk[bstarts] // (V * V)
+                distinct_bg = np.bincount(
+                    brun_row, minlength=n
+                ).astype(np.int64)
+
+        def frac(numer: np.ndarray, denom: np.ndarray) -> pa.Array:
+            safe = np.maximum(denom, 1).astype(np.float64)
+            return pa.array(_round6_away(numer / safe), pa.float64())
+
+        return (
+            batch.append_column("dup_word_frac", frac(n_words - distinct, n_words))
+            .append_column("top_word_frac", frac(top, n_words))
+            .append_column(
+                "dup_bigram_frac", frac(n_bigrams - distinct_bg, n_bigrams)
+            )
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BIGRAMS_EXPR = (
+    f"list_transform(range(1, len({_WORDS_EXPR})), "
+    f"i -> {_WORDS_EXPR}[i] || ' ' || {_WORDS_EXPR}[i+1])"
+)
+
+REPETITION_SCORES_SQL = f"""
+SELECT documents.*,
+  round((len({_WORDS_EXPR}) - len(list_distinct({_WORDS_EXPR})))
+        / greatest(len({_WORDS_EXPR}), 1)::DOUBLE, 6) AS dup_word_frac,
+  round(coalesce(list_max(list_transform(list_distinct({_WORDS_EXPR}),
+            w -> len(list_filter({_WORDS_EXPR}, x -> x = w)))), 0)
+        / greatest(len({_WORDS_EXPR}), 1)::DOUBLE, 6) AS top_word_frac,
+  round((len({_BIGRAMS_EXPR}) - len(list_distinct({_BIGRAMS_EXPR})))
+        / greatest(len({_BIGRAMS_EXPR}), 1)::DOUBLE, 6) AS dup_bigram_frac
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 # Folded per-document profile: all five text-analysis ops in one pass.
 # Each op appends columns, so the chain is a single fused map_batches
 # pipeline (no extra shuffles/materialization); the SQL twin is
@@ -255,12 +363,14 @@ NORMALIZE_TEXT_SQL = (
 
 def text_profile(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """token counts + quality scores + language ID + fingerprint +
-    normalization, appended to the input rows in one fused pass."""
+    normalization + repetition signals, appended to the input rows in
+    one fused pass."""
     ds = token_counts(ds, text_col)
     ds = quality_scores(ds, text_col)
     ds = lang_id(ds, text_col)
     ds = fingerprints(ds, text_col)
-    return normalize_text(ds, text_col)
+    ds = normalize_text(ds, text_col)
+    return repetition_scores(ds, text_col)
 
 
 def _derived_exprs(sql: str) -> str:
@@ -281,6 +391,7 @@ def text_profile_sql() -> str:
         _derived_exprs(lang_id_sql()),
         _derived_exprs(FINGERPRINTS_SQL),
         _derived_exprs(NORMALIZE_TEXT_SQL),
+        _derived_exprs(REPETITION_SCORES_SQL),
     ]
     return (
         "SELECT documents.*,\n  " + ",\n  ".join(parts)

@@ -82,3 +82,76 @@ def test_normalize_text_unicode_and_whitespace(ray_session):
         "tabs and newlines",
         "already clean",
     ]
+
+
+def test_repetition_scores(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        repetition_scores,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "spam spam spam spam",        # 4 words, 1 distinct
+                "a b c d",                     # all distinct
+                "",                            # empty → all fracs 0
+                "x y x y x y",                 # repeated bigrams
+                "solo",                        # single word, no bigrams
+            ],
+        }
+    )
+    out = (
+        repetition_scores(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # dup_word_frac = (n - distinct) / n
+    assert out.dup_word_frac.tolist() == [0.75, 0.0, 0.0, 0.666667, 0.0]
+    # top_word_frac = max count / n
+    assert out.top_word_frac.tolist() == [1.0, 0.25, 0.0, 0.5, 1.0]
+    # doc 0: 3 bigrams, 1 distinct → 2/3; doc 3: xy yx xy yx xy →
+    # 5 bigrams, 2 distinct → 0.6
+    assert out.dup_bigram_frac.tolist() == [0.666667, 0.0, 0.0, 0.6, 0.0]
+
+
+def test_repetition_scores_rounding_matches_duckdb(ray_session):
+    """dup fractions must round half-away-from-zero like DuckDB."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        REPETITION_SCORES_SQL,
+        repetition_scores,
+    )
+
+    documents = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "one two two three three three",
+                "q w e r t y q w",
+                "repeat repeat unique",
+                "a a b b c c d d e",
+            ],
+        }
+    )
+    got = (
+        repetition_scores(rd.from_pandas(documents))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.connect()
+        .execute(REPETITION_SCORES_SQL.replace("documents", "documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("dup_word_frac", "top_word_frac", "dup_bigram_frac"):
+        assert got[c].tolist() == exp[c].tolist(), c
