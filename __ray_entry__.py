@@ -784,20 +784,45 @@ def _q_top_tools(sf_dir: str):
     return _agg.top_tools(read_transcripts(sf_dir), k=5)
 
 
-def _q_sample(sf_dir: str):
+def _q_sampling(sf_dir: str):
+    """All three sampling ops in one tag-union result (round 3 —
+    consolidates the former t_sample / t_split / t_stratified_sample
+    slots so every registered query keeps a value oracle within the
+    driver's 50-query budget): deterministic md5-keyed sample,
+    train/val/test split assignment, and per-key quota stratified
+    sample, distinguished by a ``method`` column."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.sources import read_transcripts
     from opentelemetry_collector_components_ray.stages import sampling
 
-    return sampling.deterministic_sample(
+    cols = ["method", "split", "conv_id", "turn_idx", "role", "text",
+            "tool", "ts"]
+
+    def tag(method: str, with_blank_split: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            batch = batch.append_column(
+                "method", pa.array([method] * n, pa.string())
+            )
+            if with_blank_split:
+                batch = batch.append_column(
+                    "split", pa.array([""] * n, pa.string())
+                )
+            return batch.select(cols)
+
+        return fn
+
+    samp = sampling.deterministic_sample(
         read_transcripts(sf_dir), "conv_id", 0.5
-    )
-
-
-def _q_split(sf_dir: str):
-    from opentelemetry_collector_components_ray.sources import read_transcripts
-    from opentelemetry_collector_components_ray.stages import sampling
-
-    return sampling.assign_split(read_transcripts(sf_dir), "conv_id")
+    ).map_batches(tag("sample", True), batch_format="pyarrow")
+    spl = sampling.assign_split(
+        read_transcripts(sf_dir), "conv_id"
+    ).map_batches(tag("split", False), batch_format="pyarrow")
+    strat = sampling.stratified_sample(
+        read_transcripts(sf_dir), "conv_id", n_per_key=10
+    ).map_batches(tag("stratified", True), batch_format="pyarrow")
+    return samp.union(spl).union(strat)
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -1084,15 +1109,6 @@ def _q_quantize(sf_dir: str):
     return ann.quantize_embeddings_flat(_embs(sf_dir))
 
 
-def _q_stratified_sample(sf_dir: str):
-    from opentelemetry_collector_components_ray.sources import read_transcripts
-    from opentelemetry_collector_components_ray.stages import sampling
-
-    return sampling.stratified_sample(
-        read_transcripts(sf_dir), "conv_id", n_per_key=10
-    )
-
-
 def _q_embedding_clusters(sf_dir: str):
     """Verified-edge embedding clusters over the planted-twin corpus
     (round 3): exact-cosine-verified pairs as edges, strong LSH config
@@ -1146,8 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_sessionize": _q_sessionize,
         "e_hopping_counts": _q_hopping_counts,
         "t_top_tools": _q_top_tools,
-        "t_sample": _q_sample,
-        "t_split": _q_split,
+        "t_sampling": _q_sampling,
         "t_conv_stats": _q_conv_stats,
         "t_conv_head": _q_conv_head,
         "t_ecs_remap": _q_ecs_remap,
@@ -1172,7 +1187,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_ottl": _q_ottl,
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
-        "t_stratified_sample": _q_stratified_sample,
         "e_cosine_neardup": _q_cosine_neardup,
         "e_ivf_topk": _q_ivf_topk,
         "e_embedding_clusters": _q_embedding_clusters,
@@ -1222,11 +1236,20 @@ def oracle_sql() -> dict[str, str]:
             ["event_type"], table="events", window="1h", hop="10m"
         ),
         "t_top_tools": f"{_CTE} {_agg.top_tools_sql(5)}",
-        "t_sample": (
+        "t_sampling": (
             f"{_CTE} "
-            f"{_sampling.deterministic_sample_sql('conv_id', 0.5)}"
+            "SELECT 'sample' AS method, '' AS split, conv_id, turn_idx, "
+            "role, text, tool, ts FROM "
+            f"({_sampling.deterministic_sample_sql('conv_id', 0.5)}) t "
+            "UNION ALL "
+            "SELECT 'split' AS method, split, conv_id, turn_idx, "
+            "role, text, tool, ts FROM "
+            f"({_sampling.assign_split_sql('conv_id')}) t "
+            "UNION ALL "
+            "SELECT 'stratified' AS method, '' AS split, conv_id, turn_idx, "
+            "role, text, tool, ts FROM "
+            f"({_sampling.stratified_sample_sql('conv_id', 10)}) t"
         ),
-        "t_split": f"{_CTE} {_sampling.assign_split_sql('conv_id')}",
         "t_conv_stats": f"{_CTE} {_conv.CONV_STATS_SQL}",
         "t_conv_head": f"{_CTE} {_conv.conv_head_sql(3)}",
         # t_approx_convs: HLL estimate (±1%) cannot hash-match an exact

@@ -44,10 +44,12 @@ def deterministic_sample(
     """Keep rows whose md5(key) prefix < fraction — group-preserving
     (every row of a kept key is kept) and layout-independent."""
     thr = _hex_threshold(fraction)
+    from ..functions.blocks import to_clean_arrow
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(df: pd.DataFrame):
         pref = _md5_prefix(df[key].to_numpy())
-        return df[pref < thr]
+        # arrow out: empty pandas blocks trip Ray's size estimator
+        return to_clean_arrow(df[pref < thr])
 
     return ds.map_batches(fn, batch_format="pandas")
 
