@@ -36,6 +36,7 @@ from opentelemetry_collector_components_ray.stages import (
 from opentelemetry_collector_components_ray.stages import (
     multimodal as _mm,
 )
+from opentelemetry_collector_components_ray.stages import lm as _lm
 from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages import (
     profiling as _profiling,
@@ -1024,6 +1025,17 @@ def _q_text_profile(sf_dir: str):
     return text.text_profile(_docs(sf_dir))
 
 
+def _q_lm_stats(sf_dir: str):
+    """Corpus LM statistics (round 3): unigram model fit + per-doc
+    mean log-probability scoring (broadcast model, searchsorted per
+    batch) unioned with corpus top-k bigram counts — the
+    perplexity-style quality signal and n-gram audit pass of public
+    training-data pipelines (stages/lm.py)."""
+    from opentelemetry_collector_components_ray.stages import lm
+
+    return lm.lm_stats(_docs(sf_dir), k=20)
+
+
 def _q_promrw(sf_dir: str):
     """prometheusremotewritev1receiver translate port: timeseries →
     gauge datapoints, labels → attrs, missing __name__ dropped
@@ -1181,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash_pairs": _q_simhash_pairs,
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,
         "d_text_profile": _q_text_profile,
+        "d_lm_stats": _q_lm_stats,
         "p_frame_metrics": _q_frame_metrics,
         "t_promrw": _q_promrw,
         "t_entity_docs": _q_entity_docs,
@@ -1336,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         # IS that brute-force set.
         "d_simhash_pairs": _dedup.simhash_pairs_oracle_sql(3),
         "d_text_profile": _text.text_profile_sql(),
+        "d_lm_stats": _lm.lm_stats_sql(k=20),
         # p_frame_metrics (value-gated): expected VALUES rows generated
         # by the naive frame.go transcription over the same scenario
         # templates the engine's stacks are synthesized from
