@@ -36,6 +36,9 @@ from opentelemetry_collector_components_ray.stages import (
 from opentelemetry_collector_components_ray.stages import (
     multimodal as _mm,
 )
+from opentelemetry_collector_components_ray.stages import (
+    decontam as _decontam,
+)
 from opentelemetry_collector_components_ray.stages import lm as _lm
 from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages import (
@@ -1036,6 +1039,16 @@ def _q_lm_stats(sf_dir: str):
     return lm.lm_stats(_docs(sf_dir), k=20)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (round 3): deterministic snippet set
+    broadcast once, vectorized substring scan per batch, clean corpus
+    via the distributed anti_join (stages/decontam.py) — both halves
+    value-gated by the position()-based DuckDB twin."""
+    from opentelemetry_collector_components_ray.stages import decontam
+
+    return decontam.decontam_report(_docs(sf_dir))
+
+
 def _q_promrw(sf_dir: str):
     """prometheusremotewritev1receiver translate port: timeseries →
     gauge datapoints, labels → attrs, missing __name__ dropped
@@ -1194,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,
         "d_text_profile": _q_text_profile,
         "d_lm_stats": _q_lm_stats,
+        "d_decontaminate": _q_decontaminate,
         "p_frame_metrics": _q_frame_metrics,
         "t_promrw": _q_promrw,
         "t_entity_docs": _q_entity_docs,
@@ -1350,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash_pairs": _dedup.simhash_pairs_oracle_sql(3),
         "d_text_profile": _text.text_profile_sql(),
         "d_lm_stats": _lm.lm_stats_sql(k=20),
+        "d_decontaminate": _decontam.DECONTAM_REPORT_SQL,
         # p_frame_metrics (value-gated): expected VALUES rows generated
         # by the naive frame.go transcription over the same scenario
         # templates the engine's stacks are synthesized from

@@ -238,6 +238,110 @@ def asof_join(
     )
 
 
+def filter_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    mode: str = "semi",
+    broadcast: bool | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Semi / anti join: keep left rows whose ``on`` key does (semi) or
+    does not (anti) appear in ``right`` — the filter joins a
+    training-data pipeline uses for decontamination (drop documents
+    matching a benchmark set) and allow-list selection.
+
+    ``broadcast=None`` → estimator decides (same polarity as
+    resolve_distributed): a right side that clearly fits one worker is
+    collected once, ``ray.put``, and each left batch filters with a
+    vectorized ``np.isin`` — no shuffle.  Otherwise both sides bucket
+    by ``hash64(on) % num_buckets`` and each bucket filters its slice —
+    no worker ever holds the full key set.
+    """
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+    keep_matches = mode == "semi"
+
+    if broadcast is None:
+        from ..stages.aggregate import AUTO_DISTRIBUTED_BYTES, estimate_input_bytes
+
+        est = estimate_input_bytes(right)
+        broadcast = est is not None and est <= AUTO_DISTRIBUTED_BYTES
+
+    left_cols = list(left.schema().names)
+
+    if broadcast:
+        keys_df = right.select_columns([on]).to_pandas()  # bounded side
+        keys = np.unique(keys_df[on].to_numpy())
+        ref = ray.put(keys)
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            hit = np.isin(df[on].to_numpy(), ks)
+            return df[hit if keep_matches else ~hit]
+
+        return left.map_batches(fn, batch_format="pandas")
+
+    import pyarrow as pa
+
+    pad_cols = [c for c in left_cols if c != on]
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            return pa.string()
+        return pa.string() if dt == np.dtype("O") else pa.from_numpy_dtype(dt)
+
+    pad_types = {
+        c: _pa_type(t)
+        for c, t in zip(left.schema().names, left.schema().types)
+    }
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {on: t[on]}
+            for c in pad_cols:
+                cols[c] = (
+                    t[c] if side == "l"
+                    else pa.nulls(t.num_rows, pad_types[c])
+                )
+            cols["_side"] = pa.array([side] * t.num_rows, pa.string())
+            cols["_bucket"] = pa.array(
+                (hash64(t[on]) % np.uint64(num_buckets)).astype(np.int64)
+            )
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.select_columns([on]).map_batches(
+            tag("r"), batch_format="pyarrow"
+        )
+    )
+
+    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_r = df["_side"].to_numpy() == "r"
+        l = df[~is_r]
+        rkeys = df[is_r][on].unique()
+        hit = l[on].isin(rkeys).to_numpy()
+        return l[hit if keep_matches else ~hit][left_cols]
+
+    return both.groupby("_bucket").map_groups(
+        filter_bucket, batch_format="pandas"
+    )
+
+
+def semi_join(left: rd.Dataset, right: rd.Dataset, on: str, **kw) -> rd.Dataset:
+    return filter_join(left, right, on, mode="semi", **kw)
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, on: str, **kw) -> rd.Dataset:
+    return filter_join(left, right, on, mode="anti", **kw)
+
+
 def range_join_broadcast(
     left: rd.Dataset,
     bands: pd.DataFrame,

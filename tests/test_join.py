@@ -185,3 +185,74 @@ def test_range_join_rejects_gappy_bands(ray_session):
     )
     with pytest.raises(ValueError):
         range_join_broadcast(rd.from_pandas(left), bad, value_col="v")
+
+
+def _left_right(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {"k": ["a", "b", "c", "d", "a"], "v": [1, 2, 3, 4, 5]}
+        )
+    )
+    right = rd.from_pandas(pd.DataFrame({"k": ["a", "c", "zz"]}))
+    return left, right
+
+
+def test_semi_anti_join_broadcast(ray_session):
+    from opentelemetry_collector_components_ray.functions.join import (
+        anti_join,
+        semi_join,
+    )
+
+    left, right = _left_right(ray_session)
+    semi = semi_join(left, right, on="k", broadcast=True).to_pandas()
+    anti = anti_join(left, right, on="k", broadcast=True).to_pandas()
+    assert sorted(semi.v.tolist()) == [1, 3, 5]
+    assert sorted(anti.v.tolist()) == [2, 4]
+
+
+def test_semi_anti_join_bucketed_matches_broadcast(ray_session):
+    from opentelemetry_collector_components_ray.functions.join import (
+        filter_join,
+    )
+
+    left, right = _left_right(ray_session)
+    for mode, exp in (("semi", [1, 3, 5]), ("anti", [2, 4])):
+        out = filter_join(
+            left, right, on="k", mode=mode, broadcast=False, num_buckets=4
+        ).to_pandas()
+        assert sorted(out.v.tolist()) == exp
+        assert list(out.columns) == ["k", "v"]
+
+
+def test_decontaminate_removes_contaminated_docs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.decontam import (
+        decontaminate,
+        flag_contamination,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the quick brown fox BENCHMARK SNIPPET here",
+                    "unrelated content entirely",
+                    "also contains BENCHMARK SNIPPET text",
+                    "clean as a whistle",
+                ],
+            }
+        )
+    )
+    import numpy as np
+
+    snips = np.array(["BENCHMARK SNIPPET"], dtype=object)
+    flagged = flag_contamination(docs, snips).to_pandas().sort_values("doc_id")
+    assert flagged.n_hits.tolist() == [1, 0, 1, 0]
+    clean = decontaminate(docs, snips).to_pandas()
+    assert sorted(clean.doc_id.tolist()) == [1, 3]
