@@ -862,7 +862,7 @@ def _q_multimodal_features(sf_dir: str):
         decode_stage,
         synth_audio_table_formula,
         synth_image_table_formula,
-        synth_video_table_formula,
+        synth_video_table_y4m_formula,
         video_frame_stage,
     )
 
@@ -893,7 +893,7 @@ def _q_multimodal_features(sf_dir: str):
         batch_format="pandas",
     )
     vid = video_frame_stage(
-        rd.from_arrow(synth_video_table_formula(max(32, n // 2))),
+        rd.from_arrow(synth_video_table_y4m_formula(max(32, n // 2))),
         every_k=4,
     ).map_batches(
         melt("video", "video_id", ["frame_mean", "frame_std"]),

@@ -14,8 +14,11 @@ alignment).  The deterministic fixtures (:func:`synth_image_table`,
 :func:`synth_audio_table`) emit real ``image/bmp`` / ``audio/wav``
 bytes, so the actor-pool decode path is end-to-end real; no external
 libraries.  The legacy ``IMG1``/``AUD1`` synthetic-header formats stay
-decodable for old fixtures.  Video remains a clearly-labeled stub
-(container formats genuinely need external codecs).
+decodable for old fixtures.  Video decode is REAL too (round 3):
+a pure-numpy YUV4MPEG2 (Y4M) parser — header tokens, FRAME markers,
+mono/420/444 plane sizes, seekable every-k sampling — with the legacy
+``VID1`` stub kept for old fixtures; compressed containers (mp4/webm)
+genuinely need external codecs and stay out of scope.
 """
 
 from __future__ import annotations
@@ -555,20 +558,157 @@ class FakeVideoDecoder:
             ).reshape(h, w)
 
 
+# ---------------------------------------------------------------------------
+# Real Y4M codec (pure numpy/bytes): YUV4MPEG2, the uncompressed video
+# interchange format (mjpegtools/ffmpeg `yuv4mpegpipe`).  Stream =
+# one `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>]\n` header, then per frame a
+# `FRAME[ params]\n` marker followed by raw planar data.  Supported
+# colorspaces: Cmono (Y only), C420* (Y + quarter-res U,V), C444.
+# No external libraries; frame positions are computable when FRAME
+# markers are bare (the common case), so every-k sampling seeks
+# directly instead of walking skipped frames.
+# ---------------------------------------------------------------------------
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_frame_size(w: int, h: int, cs: bytes) -> int:
+    ysz = w * h
+    if cs.startswith(b"mono"):
+        return ysz
+    if cs.startswith(b"444"):
+        return 3 * ysz
+    if cs.startswith(b"420"):  # 420, 420jpeg, 420mpeg2, 420paldv
+        return ysz + 2 * ((w // 2) * (h // 2))
+    raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+
+
+def encode_y4m(frames: np.ndarray, colorspace: bytes = b"mono") -> bytes:
+    """(n_frames, H, W) uint8 luma → Y4M bytes.  ``mono`` writes the
+    luma plane as-is; ``420jpeg`` adds flat 128 chroma planes."""
+    nf, h, w = frames.shape
+    assert frames.dtype == np.uint8
+    parts = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, colorspace)]
+    chroma = (
+        np.full((h // 2) * (w // 2) * 2, 128, np.uint8).tobytes()
+        if colorspace.startswith(b"420")
+        else b""
+    )
+    for f in range(nf):
+        parts.append(b"FRAME\n")
+        parts.append(frames[f].tobytes())
+        if chroma:
+            parts.append(chroma)
+    return b"".join(parts)
+
+
+class Y4MDecoder:
+    """Real YUV4MPEG2 decoder: yields ``(frame_idx, (h, w) uint8 luma)``
+    for every ``every_k``-th frame.  Bare ``FRAME\\n`` markers (what
+    every known muxer emits for constant-parameter streams) make the
+    frame offsets closed-form, so sampling seeks; frames with
+    parameters fall back to a marker walk."""
+
+    def frames(self, payload: bytes, every_k: int):
+        nl = payload.index(b"\n")
+        toks = payload[:nl].split(b" ")
+        if toks[0] != Y4M_MAGIC:
+            raise ValueError("not a Y4M stream")
+        w = h = None
+        cs = b"420jpeg"  # Y4M default when C is absent
+        for tok in toks[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                cs = tok[1:]
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        ysz, fsz = w * h, _y4m_frame_size(w, h, cs)
+        pos = nl + 1
+        stride = len(b"FRAME\n") + fsz
+        bare = (len(payload) - pos) % stride == 0 and all(
+            payload[pos + i * stride : pos + i * stride + 6] == b"FRAME\n"
+            for i in range(max(1, (len(payload) - pos) // stride))
+        )
+        if bare:  # seekable fast path
+            nf = (len(payload) - pos) // stride
+            for fi in range(0, nf, every_k):
+                off = pos + fi * stride + 6
+                yield fi, np.frombuffer(
+                    payload, np.uint8, ysz, off
+                ).reshape(h, w)
+            return
+        fi = 0  # parameterized FRAME markers: walk
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"bad FRAME marker at {pos}")
+            data = payload.index(b"\n", pos) + 1
+            if fi % every_k == 0:
+                yield fi, np.frombuffer(
+                    payload, np.uint8, ysz, data
+                ).reshape(h, w)
+            pos = data + fsz
+            fi += 1
+
+
+def synth_video_table_y4m_formula(n: int) -> pa.Table:
+    """REAL Y4M (Cmono) video rows with the SAME closed-form luma
+    bytes as :func:`synth_video_table_formula` —
+    byte(i, f, p) = (131i + 17f + 7p) mod 256 — so the existing
+    SQL oracle (:func:`multimodal_features_sql`) verifies the real
+    container decode unchanged."""
+    ids, payloads, nf_, w_, h_ = [], [], [], [], []
+    for i in range(n):
+        nf = 4 + (i * 7) % 13
+        w = 8 + (i * 11) % 24
+        h = 8 + (i * 17) % 24
+        f = np.arange(nf, dtype=np.int64)[:, None]
+        p = np.arange(w * h, dtype=np.int64)[None, :]
+        luma = ((131 * i + 17 * f + 7 * p) % 256).astype(np.uint8)
+        payloads.append(encode_y4m(luma.reshape(nf, h, w), b"mono"))
+        ids.append(i)
+        nf_.append(nf)
+        w_.append(w)
+        h_.append(h)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+            "n_frames": pa.array(nf_, pa.int32()),
+            "width": pa.array(w_, pa.int32()),
+            "height": pa.array(h_, pa.int32()),
+        }
+    )
+
+
 class SampleVideoFrames:
     """Actor: one video row in → one row per sampled frame out
     (video_id, frame_idx, mean/std features).  Codec held per actor."""
 
     def __init__(self, every_k: int = 4):
         self.every_k = every_k
-        self.codec = FakeVideoDecoder()
+        self.codecs = {
+            VIDEO_MAGIC: FakeVideoDecoder(),
+            Y4M_MAGIC: Y4MDecoder(),
+        }
+
+    def _codec(self, payload: bytes):
+        for magic, codec in self.codecs.items():
+            if payload[: len(magic)] == magic:
+                return codec
+        raise ValueError("unknown video container magic")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, fidx, means, stds = [], [], [], []
         ids = batch["video_id"].to_numpy(zero_copy_only=False)
         payloads = batch["payload"].to_pylist()
         for vid, payload in zip(ids, payloads):
-            for fi, frame in self.codec.frames(payload, self.every_k):
+            for fi, frame in self._codec(payload).frames(
+                payload, self.every_k
+            ):
                 vids.append(int(vid))
                 fidx.append(fi)
                 f = frame.astype(np.float64)
