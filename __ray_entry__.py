@@ -926,28 +926,36 @@ def _q_ecs_remap(sf_dir: str):
 
 
 def _q_cardinality_route(sf_dir: str):
+    """Both cardinality-routing variants in one tag-union result
+    (round 3 slot consolidation): the exact distributed fold and the
+    HLL-sketch estimator (router.go:287-297 precision-14 estimates —
+    exact at driver cardinalities, so both share the exact oracle),
+    distinguished by a ``variant`` column."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
     )
     from opentelemetry_collector_components_ray.stages.route import (
         cardinality_route,
-    )
-
-    return cardinality_route(enriched_transcripts(sf_dir))
-
-
-def _q_cardinality_route_hll(sf_dir: str):
-    """HLL-sketch cardinality routing (router.go:287-297 precision-14
-    estimates).  At driver cardinalities the linear-counting range
-    makes the estimate exact, so this can share the exact oracle."""
-    from opentelemetry_collector_components_ray.pipelines import (
-        enriched_transcripts,
-    )
-    from opentelemetry_collector_components_ray.stages.route import (
         cardinality_route_hll,
     )
 
-    return cardinality_route_hll(enriched_transcripts(sf_dir))
+    def tag(variant: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "variant", pa.array([variant] * len(t), pa.string())
+            )
+
+        return fn
+
+    exact = cardinality_route(enriched_transcripts(sf_dir)).map_batches(
+        tag("exact"), batch_format="pyarrow"
+    )
+    hll = cardinality_route_hll(enriched_transcripts(sf_dir)).map_batches(
+        tag("hll"), batch_format="pyarrow"
+    )
+    return exact.union(hll)
 
 
 def _q_jaccard_pairs(sf_dir: str):
@@ -1037,6 +1045,38 @@ def _q_lm_stats(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import lm
 
     return lm.lm_stats(_docs(sf_dir), k=20)
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 tel +1 555 0' || CAST(100 + doc_id % 900 AS VARCHAR)"
+)
+
+
+def _q_redact(sf_dir: str):
+    """PII redaction (round 3): the synthetic corpus carries no PII, so
+    the query PLANTS a deterministic email/IP/phone per document (the
+    t_ua_parse synthesis pattern — same expression on both sides) and
+    redacts with the RE2 kernels of stages/text.py; vacuous-green is
+    impossible because every row contains all three classes."""
+    import pandas as pd
+
+    from opentelemetry_collector_components_ray.stages import text as text_mod
+
+    def plant_pii(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        out = df[["doc_id"]].copy()
+        out["text"] = (
+            df["text"].to_numpy(dtype=object)
+            + " contact: user" + d.astype(str)
+            + "@example.com ip 10.0." + (d % 256).astype(str)
+            + ".7 tel +1 555 0" + (100 + d % 900).astype(str)
+        )
+        return out
+
+    planted = _docs(sf_dir).map_batches(plant_pii, batch_format="pandas")
+    return text_mod.redact_pii(planted)
 
 
 def _q_decontaminate(sf_dir: str):
@@ -1192,7 +1232,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_conv_head": _q_conv_head,
         "t_ecs_remap": _q_ecs_remap,
         "t_cardinality_route": _q_cardinality_route,
-        "t_cardinality_route_hll": _q_cardinality_route_hll,
         "d_jaccard_pairs": _q_jaccard_pairs,
         "t_latency_histogram": _q_latency_histogram,
         "t_summary_merge": _q_summary_merge,
@@ -1208,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_text_profile": _q_text_profile,
         "d_lm_stats": _q_lm_stats,
         "d_decontaminate": _q_decontaminate,
+        "d_redact": _q_redact,
         "p_frame_metrics": _q_frame_metrics,
         "t_promrw": _q_promrw,
         "t_entity_docs": _q_entity_docs,
@@ -1282,17 +1322,21 @@ def oracle_sql() -> dict[str, str]:
         # t_approx_convs: HLL estimate (±1%) cannot hash-match an exact
         # oracle → rows-only; accuracy asserted in tests/test_conversation.py
         "t_ecs_remap": f"{_CTE} {_remap.RemapSpec().sql_select('enriched')}",
-        "t_cardinality_route": f"{_CTE} {_route_mod.cardinality_route_sql()}",
-        # t_cardinality_route_hll (value-gated, round 3): the sketch
-        # estimate is a deterministic, order-insensitive function of the
-        # distinct-combo hash set (register = max over hashes), and at
-        # driver cardinalities (~15 combos vs 2^14 registers) it equals
-        # the exact count for every key on the seeded corpus (verified;
-        # register-index collisions, the only ±1 source, do not occur) —
-        # so the sketch path shares the exact-count oracle.  Accuracy at
-        # large cardinalities asserted in tests/test_cardinality_route.py.
-        "t_cardinality_route_hll": (
-            f"{_CTE} {_route_mod.cardinality_route_sql()}"
+        # t_cardinality_route: tag-union of the exact fold and the HLL
+        # sketch variant.  The sketch estimate is a deterministic,
+        # order-insensitive function of the distinct-combo hash set
+        # (register = max over hashes), and at driver cardinalities
+        # (~15 combos vs 2^14 registers) it equals the exact count for
+        # every key on the seeded corpus (verified; register-index
+        # collisions, the only ±1 source, do not occur) — so both
+        # variants share the exact-count oracle.  Accuracy at large
+        # cardinalities asserted in tests/test_cardinality_route.py.
+        "t_cardinality_route": (
+            f"{_CTE} SELECT v.*, 'exact' AS variant FROM "
+            f"({_route_mod.cardinality_route_sql()}) v "
+            "UNION ALL "
+            f"SELECT v.*, 'hll' AS variant FROM "
+            f"({_route_mod.cardinality_route_sql()}) v"
         ),
         "d_jaccard_pairs": _dedup.word_jaccard_pairs_sql(0.5, 400),
         "t_latency_histogram": (
@@ -1365,6 +1409,11 @@ def oracle_sql() -> dict[str, str]:
         "d_text_profile": _text.text_profile_sql(),
         "d_lm_stats": _lm.lm_stats_sql(k=20),
         "d_decontaminate": _decontam.DECONTAM_REPORT_SQL,
+        "d_redact": (
+            f"WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text "
+            "FROM documents) "
+            f"SELECT doc_id, text, {_text.redact_pii_sql()} FROM pii"
+        ),
         # p_frame_metrics (value-gated): expected VALUES rows generated
         # by the naive frame.go transcription over the same scenario
         # templates the engine's stacks are synthesized from
@@ -1377,9 +1426,6 @@ def oracle_sql() -> dict[str, str]:
         # IVF index search exact, so the brute-force oracle applies.
         "e_ivf_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         "e_quantize": _ann.quantize_embeddings_sql(dim=64),
-        "t_stratified_sample": (
-            f"{_CTE} {_sampling.stratified_sample_sql('conv_id', 10)}"
-        ),
         "r_pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "r_revenue_by_year": _rel.REVENUE_BY_YEAR_SQL,
         # m_multimodal_features (value-gated, round 3): the formula

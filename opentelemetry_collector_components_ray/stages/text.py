@@ -10,7 +10,7 @@ constants so the oracle can verify it exactly.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -242,6 +242,63 @@ NORMALIZE_TEXT_SQL = (
     "SELECT documents.*, trim(regexp_replace(lower(nfc_normalize(text)),"
     " '\\s+', ' ', 'g')) AS text_norm FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data cleaning): emails, IPv4 addresses and
+# phone numbers replaced with typed placeholders, plus a per-document
+# match count.  Both pyarrow and DuckDB run RE2, so the SQL twin uses
+# the IDENTICAL patterns — no dialect translation layer to drift.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: Sequence[Tuple[str, str, str]] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    ds: rd.Dataset, text_col: str = "text", out_col: str = "text_redacted"
+) -> rd.Dataset:
+    """Append ``n_pii`` (matches counted on the ORIGINAL text, so the
+    count is redaction-order-independent) and ``out_col`` with all
+    three PII classes replaced by placeholders, applied in
+    ``PII_PATTERNS`` order."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        n_pii = pc.cast(
+            pc.count_substring_regex(txt, PII_PATTERNS[0][1]), pa.int64()
+        )
+        red = txt
+        for i, (_, pat, repl) in enumerate(PII_PATTERNS):
+            if i > 0:
+                n_pii = pc.add(
+                    n_pii,
+                    pc.cast(pc.count_substring_regex(txt, pat), pa.int64()),
+                )
+            red = pc.replace_substring_regex(red, pat, repl)
+        return batch.append_column("n_pii", n_pii).append_column(
+            out_col, red
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_pii_sql(
+    text_expr: str = "text", out_col: str = "text_redacted"
+) -> str:
+    """``<n_pii expr> AS n_pii, <redacted expr> AS <out_col>`` — same
+    RE2 patterns as the engine."""
+    counts = " + ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    red = text_expr
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"CAST({counts} AS BIGINT) AS n_pii, {red} AS {out_col}"
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,67 @@ def test_repetition_scores_rounding_matches_duckdb(ray_session):
     )
     for c in ("dup_word_frac", "top_word_frac", "dup_bigram_frac"):
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_redact_pii(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        redact_pii,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail bob@corp.io from 192.168.0.1 call +1 555 0100 now",
+                "no pii here",
+                "two mails: a@b.co and c.d@e.org",
+            ],
+        }
+    )
+    out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out.n_pii.tolist() == [3, 0, 2]
+    assert out.text_redacted.tolist() == [
+        "mail <EMAIL> from <IP> call <PHONE> now",
+        "no pii here",
+        "two mails: <EMAIL> and <EMAIL>",
+    ]
+
+
+def test_redact_pii_sql_twin_matches(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        redact_pii,
+        redact_pii_sql,
+    )
+
+    documents = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "x 10.0.0.300 y someone@example.com tel +44 20 7946 0958",
+                "bare +1234567890 and 1.2.3.4",
+            ],
+        }
+    )
+    got = (
+        redact_pii(rd.from_pandas(documents))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = (
+        con.execute(
+            f"SELECT doc_id, {redact_pii_sql()} FROM documents ORDER BY doc_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.n_pii.astype("int64").tolist() == exp.n_pii.tolist()
+    assert got.text_redacted.tolist() == exp.text_redacted.tolist()
