@@ -191,6 +191,21 @@ def main() -> None:
     queries["doc_exact_dedup"], _ = _timed(
         lambda: dedup_mod.exact_dedup(docs).count()
     )
+
+    def decontam_run():
+        from opentelemetry_collector_components_ray.stages import decontam
+
+        snips = decontam.benchmark_snippets(docs)
+        return decontam.decontaminate(docs, snips).count()
+
+    queries["doc_decontaminate"], _ = _timed(decontam_run)
+
+    def lm_run():
+        from opentelemetry_collector_components_ray.stages import lm
+
+        return lm.lm_stats(docs, k=20).count()
+
+    queries["doc_lm_stats"], _ = _timed(lm_run)
     queries["doc_minhash_pairs"], _ = _timed(
         lambda: dedup_mod.minhash_near_dups(docs, threshold=0.8).count()
     )

@@ -108,36 +108,144 @@ def decontaminate(
 
 
 def decontam_report(docs: rd.Dataset) -> rd.Dataset:
-    """Driver-query form: every document tagged ``contaminated`` (with
-    its hit count) or ``clean`` — the clean half produced by the
-    anti_join path so a filter-join bug becomes a value mismatch."""
-    snippets = benchmark_snippets(docs)
-    flagged = flag_contamination(docs, snippets)
+    """Driver-query form, BOTH decontamination modes: every document
+    tagged ``contaminated`` (with its hit count) or ``clean`` under
+    (a) substring matching and (b) word-8-gram overlap, distinguished
+    by a ``mode`` column.  Each clean half is produced by the anti_join
+    path so a filter-join bug becomes a value mismatch."""
+    from ..functions.join import anti_join
 
-    def dirty_rows(t: pa.Table) -> pa.Table:
-        m = pc.greater(t["n_hits"], 0)
-        sub = t.filter(m)
-        return pa.table(
-            {"doc_id": sub["doc_id"],
-             "status": pa.array(["contaminated"] * len(sub), pa.string()),
-             "n_hits": sub["n_hits"]}
+    halves = []
+    for mode, flagged in (
+        ("substring", flag_contamination(docs, benchmark_snippets(docs))),
+        (f"ngram{NGRAM_N}",
+         flag_ngram_contamination(docs, benchmark_ngrams(docs))),
+    ):
+        def dirty_rows(t: pa.Table, mode=mode) -> pa.Table:
+            sub = t.filter(pc.greater(t["n_hits"], 0))
+            return pa.table(
+                {"doc_id": sub["doc_id"],
+                 "mode": pa.array([mode] * len(sub), pa.string()),
+                 "status": pa.array(
+                     ["contaminated"] * len(sub), pa.string()
+                 ),
+                 "n_hits": sub["n_hits"]}
+            )
+
+        def dirty_ids(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t["n_hits"], 0)).select(["doc_id"])
+
+        def clean_rows(t: pa.Table, mode=mode) -> pa.Table:
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "mode": pa.array([mode] * len(t), pa.string()),
+                 "status": pa.array(["clean"] * len(t), pa.string()),
+                 "n_hits": pa.array(np.zeros(len(t), np.int64))}
+            )
+
+        halves.append(
+            flagged.map_batches(
+                dirty_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
         )
-
-    dirty = flagged.map_batches(
-        dirty_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    def clean_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": t["doc_id"],
-             "status": pa.array(["clean"] * len(t), pa.string()),
-             "n_hits": pa.array(np.zeros(len(t), np.int64))}
+        ids = flagged.map_batches(
+            dirty_ids, batch_format="pyarrow", zero_copy_batch=True
         )
+        halves.append(
+            anti_join(docs, ids, on="doc_id").map_batches(
+                clean_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    out = halves[0]
+    for h in halves[1:]:
+        out = out.union(h)
+    return out
 
-    clean = decontaminate(docs, snippets).map_batches(
-        clean_rows, batch_format="pyarrow", zero_copy_batch=True
+
+# ---------------------------------------------------------------------------
+# n-gram overlap decontamination (GPT-3 §C / PaLM style): a document is
+# contaminated when any word n-gram of it appears in the benchmark
+# n-gram set.  More robust than substring matching (whitespace/case
+# differences don't hide overlap) — the standard method at corpus
+# scale, here with n=8 over the same lowercase [a-z0-9]+ tokenization
+# the text stages use.
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 8
+
+
+def _word_ngrams(col, n: int):
+    """(ngram_strings, row_ids, n_rows) for word n-grams built from the
+    lowercased tokens of each value — vectorized shifted joins."""
+    from .lm import _tokenize
+
+    words, row, nrows = _tokenize(col)
+    if len(words) < n:
+        return np.zeros(0, dtype="U1"), np.zeros(0, np.int64), nrows
+    W = words.astype("U")
+    m = len(W) - n + 1
+    valid = row[n - 1:] == row[:m]
+    parts = W[:m]
+    for j in range(1, n):
+        parts = np.char.add(np.char.add(parts, " "), W[j : m + j])
+    return parts[valid], row[:m][valid], nrows
+
+
+def benchmark_ngrams(docs: rd.Dataset, n: int = NGRAM_N) -> np.ndarray:
+    """The benchmark n-gram set: all word n-grams of every 23rd
+    document (driver-side, bounded by construction)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % SNIPPET_EVERY == 0)).select(["text"])
+
+    sub = docs.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    grams, _, _ = _word_ngrams(pa.array(sub["text"], pa.string()), n)
+    return np.unique(grams)
+
+
+def flag_ngram_contamination(
+    docs: rd.Dataset,
+    grams: np.ndarray,
+    n: int = NGRAM_N,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Append ``n_hits``: how many DISTINCT benchmark n-grams occur in
+    each document.  The gram set is broadcast once (sorted, matched via
+    searchsorted); n-gram construction is vectorized shifted joins."""
+    gs = np.sort(np.asarray(grams).astype("U"))
+    ref = ray.put(gs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gset = ray.get(ref)
+        gr, row, nrows = _word_ngrams(batch[text_col], n)
+        hits = np.zeros(nrows, np.int64)
+        if len(gr) and len(gset):
+            idx = np.searchsorted(gset, gr)
+            idx = np.clip(idx, 0, len(gset) - 1)
+            m = gset[idx] == gr
+            if m.any():
+                mg, mr = gr[m], row[m]
+                uniq, gid = np.unique(mg, return_inverse=True)
+                key = np.unique(mr * np.int64(len(uniq)) + gid)
+                hits = np.bincount(
+                    key // np.int64(len(uniq)), minlength=nrows
+                ).astype(np.int64)
+        return batch.append_column("n_hits", pa.array(hits, pa.int64()))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ngram_list_sql(n: int) -> str:
+    joins = " || ' ' || ".join(
+        f"ws[i+{j}]" if j else "ws[i]" for j in range(n)
     )
-    return dirty.union(clean)
+    return (
+        f"list_transform(range(1, greatest(len(ws) - {n - 2}, 1)), "
+        f"i -> {joins})"
+    )
 
 
 DECONTAM_REPORT_SQL = f"""
@@ -146,10 +254,30 @@ hits AS (
   SELECT d.doc_id, count(*)::BIGINT AS n_hits
   FROM documents d JOIN snip s ON position(s.snippet IN d.text) > 0
   GROUP BY d.doc_id
+),
+wsdocs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+docgrams AS (
+  SELECT doc_id, unnest({_ngram_list_sql(NGRAM_N)}) AS ng FROM wsdocs
+),
+snipgrams AS (
+  SELECT DISTINCT ng FROM docgrams WHERE doc_id % {SNIPPET_EVERY} = 0
+),
+nhits AS (
+  SELECT g.doc_id, count(DISTINCT g.ng)::BIGINT AS n_hits
+  FROM docgrams g JOIN snipgrams USING (ng) GROUP BY g.doc_id
 )
-SELECT d.doc_id,
+SELECT d.doc_id, 'substring' AS mode,
        CASE WHEN h.doc_id IS NULL THEN 'clean' ELSE 'contaminated' END
          AS status,
        coalesce(h.n_hits, 0)::BIGINT AS n_hits
 FROM documents d LEFT JOIN hits h USING (doc_id)
+UNION ALL
+SELECT d.doc_id, 'ngram{NGRAM_N}' AS mode,
+       CASE WHEN nh.doc_id IS NULL THEN 'clean' ELSE 'contaminated' END
+         AS status,
+       coalesce(nh.n_hits, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN nhits nh USING (doc_id)
 """

@@ -256,3 +256,41 @@ def test_decontaminate_removes_contaminated_docs(ray_session):
     assert flagged.n_hits.tolist() == [1, 0, 1, 0]
     clean = decontaminate(docs, snips).to_pandas()
     assert sorted(clean.doc_id.tolist()) == [1, 3]
+
+
+def test_ngram_contamination(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.decontam import (
+        _word_ngrams,
+        flag_ngram_contamination,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "one two three four five six seven eight nine",
+                    "ONE two THREE four Five six SEVEN eight ten",
+                    "completely different words in this document here now",
+                ],
+            }
+        )
+    )
+    # benchmark grams = the 8-grams of doc 0
+    import pyarrow as pa
+
+    grams, _, _ = _word_ngrams(
+        pa.array(["one two three four five six seven eight nine"]), 8
+    )
+    out = (
+        flag_ngram_contamination(docs, np.unique(grams))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc 0: both of its 8-grams are benchmark grams; doc 1 shares the
+    # FIRST 8-gram after lowercasing (word 9 differs); doc 2: none
+    assert out.n_hits.tolist() == [2, 1, 0]
