@@ -294,3 +294,36 @@ def test_ngram_contamination(ray_session):
     # doc 0: both of its 8-grams are benchmark grams; doc 1 shares the
     # FIRST 8-gram after lowercasing (word 9 differs); doc 2: none
     assert out.n_hits.tolist() == [2, 1, 0]
+
+
+def test_filter_join_paths_agree_on_random_data(ray_session):
+    """Property: broadcast and bucketed filter joins agree on random
+    key distributions (including keys absent from either side)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        filter_join,
+    )
+
+    rng = np.random.RandomState(7)
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 40, 300),
+                "v": np.arange(300),
+            }
+        )
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"k": rng.randint(20, 60, 50)})
+    )
+    for mode in ("semi", "anti"):
+        a = filter_join(
+            left, right, on="k", mode=mode, broadcast=True
+        ).to_pandas()
+        b = filter_join(
+            left, right, on="k", mode=mode, broadcast=False, num_buckets=8
+        ).to_pandas()
+        assert sorted(a.v.tolist()) == sorted(b.v.tolist()), mode

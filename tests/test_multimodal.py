@@ -300,3 +300,38 @@ def test_video_stage_dispatches_both_containers(ray_session):
     old = old.sort_values(key).reset_index(drop=True)
     new = new.sort_values(key).reset_index(drop=True)
     assert old.equals(new)
+
+
+def test_y4m_roundtrip_property():
+    """Property: encode→decode is identity for the luma plane across
+    sizes/colorspaces, and every-k sampling picks exactly the k-step
+    frame subset."""
+    import numpy as np
+
+    from opentelemetry_collector_components_ray.stages.multimodal import (
+        Y4MDecoder,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        nf = int(rng.randint(1, 9))
+        h = int(rng.randint(2, 17)) * 2  # 420 needs even dims
+        w = int(rng.randint(2, 17)) * 2
+        cs = [b"mono", b"420jpeg", b"444"][trial % 3]
+        frames = rng.randint(0, 256, (nf, h, w)).astype(np.uint8)
+        if cs == b"444":
+            # encode_y4m writes mono/420 only; build 444 by hand
+            payload = b"YUV4MPEG2 W%d H%d F25:1 C444\n" % (w, h)
+            for f in range(nf):
+                payload += (
+                    b"FRAME\n" + frames[f].tobytes()
+                    + bytes(2 * h * w)  # flat U,V planes
+                )
+        else:
+            payload = encode_y4m(frames, cs)
+        every_k = int(rng.randint(1, 4))
+        got = list(Y4MDecoder().frames(payload, every_k))
+        assert [fi for fi, _ in got] == list(range(0, nf, every_k))
+        for fi, luma in got:
+            assert (luma == frames[fi]).all(), (trial, fi)
