@@ -38,6 +38,14 @@ def main() -> None:
 
     import ray
 
+    # host-adaptive allocator decision (BEFORE ray.init so workers
+    # inherit the exported env; see functions/allocprobe.py)
+    from opentelemetry_collector_components_ray.functions.allocprobe import (
+        resolve_malloc_tuning,
+    )
+
+    malloc_tuning = resolve_malloc_tuning()
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -317,6 +325,7 @@ def main() -> None:
                 "ivf_n_centroids": n_cent,
                 "ivf_nprobe": nprobe,
                 "ivf_pruned_read_fraction": ivf_read_fraction,
+                "malloc_tuning": malloc_tuning,
             }
         )
     )
@@ -339,6 +348,13 @@ def scaling() -> None:
     scaling).  Override with GRAFT_BENCH_REPEAT.
     """
     scale_repeat = os.environ.get("GRAFT_BENCH_REPEAT", str(REPEAT * 4))
+
+    # one allocator decision for BOTH levels (exported → children inherit)
+    from opentelemetry_collector_components_ray.functions.allocprobe import (
+        resolve_malloc_tuning,
+    )
+
+    malloc_tuning = resolve_malloc_tuning()
 
     def run_once(ncpu: int) -> dict:
         env = dict(
@@ -386,6 +402,7 @@ def scaling() -> None:
                 "turns_per_sec_32": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "n_turns": r_hi["n_turns"],
+                "malloc_tuning": malloc_tuning,
             }
         )
     )

@@ -39,7 +39,12 @@ def _tune_allocator() -> None:
     compaction storms (kcompactd/khugepaged) measured 2-6× slowdowns on
     the tail of a multi-phase bench (latest_state 17 s → 5.5 s,
     sharded 59 s → 9.2 s with tuning off).  Workload- and
-    host-dependent; enable only after measuring both ways.
+    host-dependent; ``functions/allocprobe.py`` measures the actual
+    pathology (CONCURRENT fresh-alloc fill rate, which is what a
+    single-process benchmark misses) and exports the per-host decision
+    — bench.py and CLI entry points call it before ``ray.init`` so
+    every worker inherits it.  Set ``OCCR_MALLOC_TUNING=0|1`` to
+    override the probe.
     """
     import os
 
