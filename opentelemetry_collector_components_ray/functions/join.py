@@ -245,6 +245,8 @@ def filter_join(
     mode: str = "semi",
     broadcast: bool | None = None,
     num_buckets: int = 64,
+    prefilter: str | None = None,
+    bloom_bits_per_key: int = 10,
 ) -> rd.Dataset:
     """Semi / anti join: keep left rows whose ``on`` key does (semi) or
     does not (anti) appear in ``right`` — the filter joins a
@@ -257,10 +259,38 @@ def filter_join(
     vectorized ``np.isin`` — no shuffle.  Otherwise both sides bucket
     by ``hash64(on) % num_buckets`` and each bucket filters its slice —
     no worker ever holds the full key set.
+
+    ``prefilter="bloom"`` (the 100 TB polarity): build a mergeable
+    Bloom filter over the right keys (functions/bloom.py), broadcast
+    it, and settle every left row whose membership the filter decides
+    outright — a semi-join miss is dropped, an anti-join miss is kept
+    with no further work.  Only the bloom HITS (true matches + ~1%
+    false positives) enter the exact bucketed verify, so the all-to-all
+    exchange moves the candidate subset instead of the whole left side.
+    The result is exactly the plain semi/anti join (the filter prunes,
+    never decides positives) — same oracle.
     """
     if mode not in ("semi", "anti"):
         raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
     keep_matches = mode == "semi"
+
+    if prefilter is not None:
+        if prefilter != "bloom":
+            raise ValueError(f"unknown prefilter {prefilter!r}")
+        from .bloom import bloom_prefilter, build_bloom
+
+        bf = build_bloom(
+            right.select_columns([on]), on, bits_per_key=bloom_bits_per_key
+        )
+        candidates = bloom_prefilter(left, bf, on, keep_hits=True)
+        verified = filter_join(
+            candidates, right, on,
+            mode=mode, broadcast=broadcast, num_buckets=num_buckets,
+        )
+        if keep_matches:
+            return verified
+        definite_keep = bloom_prefilter(left, bf, on, keep_hits=False)
+        return definite_keep.union(verified)
 
     if broadcast is None:
         from ..stages.aggregate import AUTO_DISTRIBUTED_BYTES, estimate_input_bytes
