@@ -112,14 +112,19 @@ def decontam_report(docs: rd.Dataset) -> rd.Dataset:
     tagged ``contaminated`` (with its hit count) or ``clean`` under
     (a) substring matching and (b) word-8-gram overlap, distinguished
     by a ``mode`` column.  Each clean half is produced by the anti_join
-    path so a filter-join bug becomes a value mismatch."""
+    path so a filter-join bug becomes a value mismatch — the ngram
+    half via the Bloom-prefiltered anti join (the 100 TB polarity:
+    definite misses settled from the broadcast filter, only candidates
+    enter the exact verify), so a bloom bug mismatches too."""
     from ..functions.join import anti_join
 
     halves = []
-    for mode, flagged in (
-        ("substring", flag_contamination(docs, benchmark_snippets(docs))),
+    for mode, flagged, join_kw in (
+        ("substring", flag_contamination(docs, benchmark_snippets(docs)),
+         {}),
         (f"ngram{NGRAM_N}",
-         flag_ngram_contamination(docs, benchmark_ngrams(docs))),
+         flag_ngram_contamination(docs, benchmark_ngrams(docs)),
+         {"prefilter": "bloom"}),
     ):
         def dirty_rows(t: pa.Table, mode=mode) -> pa.Table:
             sub = t.filter(pc.greater(t["n_hits"], 0))
@@ -152,7 +157,7 @@ def decontam_report(docs: rd.Dataset) -> rd.Dataset:
             dirty_ids, batch_format="pyarrow", zero_copy_batch=True
         )
         halves.append(
-            anti_join(docs, ids, on="doc_id").map_batches(
+            anti_join(docs, ids, on="doc_id", **join_kw).map_batches(
                 clean_rows, batch_format="pyarrow", zero_copy_batch=True
             )
         )
