@@ -1135,10 +1135,41 @@ def _q_frame_metrics(sf_dir: str):
 
 
 def _q_cosine_topk(sf_dir: str):
+    """Tag-union of two retrieval methods over the same 5 queries
+    (round 3 — keeps the PQ search value-gated inside the 50-query
+    budget): ``exact`` brute-force cosine top-k, and ``pq_adc`` —
+    product-quantization codes (corpus-derived codebook, so the DuckDB
+    twin recomputes codes AND ADC distances from the embeddings view
+    alone) ranked by asymmetric distance."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.stages import ann
 
     embs = _embs(sf_dir)
-    return ann.cosine_topk(embs, embs.filter(expr="vec_id < 5"), k=10)
+    queries = embs.filter(expr="vec_id < 5")
+
+    def tag(variant: str, score_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "variant": pa.array([variant] * len(batch), pa.string()),
+                    "query_id": batch["query_id"],
+                    "vec_id": batch["vec_id"],
+                    "score": batch[score_col].cast(pa.float64()),
+                    "rank": batch["rank"].cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    exact = ann.cosine_topk(embs, queries, k=10).map_batches(
+        tag("exact", "sim"), batch_format="pyarrow"
+    )
+    cb = ann.pq_corpus_codebook(embs, m=8, n_codes=128)
+    pq = ann.pq_adc_topk(
+        ann.pq_encode(embs, cb), queries, cb, k=10
+    ).map_batches(tag("pq_adc", "adc_d2"), batch_format="pyarrow")
+    return exact.union(pq)
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -1169,9 +1200,47 @@ def _q_ivf_topk(sf_dir: str):
 
 
 def _q_quantize(sf_dir: str):
+    """Tag-union (round 3): the int8 symmetric flat quantization and
+    the PQ code assignment over the corpus-derived codebook, mapped
+    onto the shared (vec_id, dim_idx, q, scale) shape."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.stages import ann
 
-    return ann.quantize_embeddings_flat(_embs(sf_dir))
+    embs = _embs(sf_dir)
+
+    def tag_int8(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array(["int8"] * len(batch), pa.string()),
+                "vec_id": batch["vec_id"],
+                "dim_idx": batch["dim_idx"].cast(pa.int64()),
+                "q": batch["q"].cast(pa.int64()),
+                "scale": batch["scale"].cast(pa.float64()),
+            }
+        )
+
+    def tag_pq(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "variant": pa.array(["pq8x128"] * len(batch), pa.string()),
+                "vec_id": batch["vec_id"],
+                "dim_idx": batch["subspace"].cast(pa.int64()),
+                "q": batch["code"].cast(pa.int64()),
+                "scale": pa.array(np.zeros(len(batch))),
+            }
+        )
+
+    int8 = ann.quantize_embeddings_flat(embs).map_batches(
+        tag_int8, batch_format="pyarrow"
+    )
+    cb = ann.pq_corpus_codebook(embs, m=8, n_codes=128)
+    pq = ann.pq_encode_flat(embs, cb).map_batches(
+        tag_pq, batch_format="pyarrow"
+    )
+    return int8.union(pq)
 
 
 def _q_embedding_clusters(sf_dir: str):
@@ -1421,11 +1490,35 @@ def oracle_sql() -> dict[str, str]:
         "t_promrw": _promrw.PROMRW_SQL,
         "t_entity_docs": _entity.ENTITY_DOCS_SQL,
         "t_ottl": f"{_CTE} {_pipecfg.DEMO_STATEMENTS_SQL}",
-        "e_cosine_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
+        # e_cosine_topk: tag-union of exact brute force and PQ/ADC over
+        # the corpus-derived codebook (both twins recompute from the
+        # embeddings view alone; see stages/ann.py PQ section)
+        "e_cosine_topk": (
+            "SELECT 'exact' AS variant, query_id, vec_id, sim AS score,"
+            " rank FROM ("
+            + _ann.cosine_topk_sql(k=10, n_queries=5)
+            + ") UNION ALL "
+            "SELECT 'pq_adc' AS variant, query_id, vec_id,"
+            " adc_d2 AS score, rank FROM ("
+            + _ann.pq_adc_topk_sql(m=8, dsub=8, n_codes=128, k=10,
+                                   n_queries=5)
+            + ")"
+        ),
         # e_ivf_topk (value-gated, round 3): exhaustive probes make the
         # IVF index search exact, so the brute-force oracle applies.
         "e_ivf_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
-        "e_quantize": _ann.quantize_embeddings_sql(dim=64),
+        # e_quantize: tag-union of the int8 flat form and the PQ code
+        # assignment (subspace→dim_idx, code→q, scale fixed 0.0)
+        "e_quantize": (
+            "SELECT 'int8' AS variant, vec_id, dim_idx, q, scale FROM ("
+            + _ann.quantize_embeddings_sql(dim=64)
+            + ") UNION ALL "
+            "SELECT 'pq8x128' AS variant, vec_id,"
+            " CAST(subspace AS BIGINT) AS dim_idx,"
+            " CAST(code AS BIGINT) AS q, 0.0 AS scale FROM ("
+            + _ann.pq_encode_sql(m=8, dsub=8, n_codes=128)
+            + ")"
+        ),
         "r_pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "r_revenue_by_year": _rel.REVENUE_BY_YEAR_SQL,
         # m_multimodal_features (value-gated, round 3): the formula

@@ -964,3 +964,322 @@ FROM (
         FROM embeddings)
 ) CROSS JOIN generate_series(0, {dim - 1}) AS gs(i)
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side scale path for ANN.
+#
+# Jégou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split d dims into m subspaces, quantize each slice to
+# one of C codebook centroids, store m uint8 codes per vector (64-dim
+# float32 → 8 bytes = 32× compression), and search with asymmetric
+# distance computation (ADC): per query a (m, C) lookup table of
+# subspace distances is built once, after which each candidate costs m
+# table gathers — no float vector ever leaves storage.  Composes with
+# the IVF index (probe buckets, then ADC-rank inside them).
+#
+# Two codebook sources:
+# - pq_train_codebook: per-subspace seeded k-means (production path);
+# - pq_corpus_codebook: the first C corpus vectors sliced per subspace
+#   — deterministic AND SQL-expressible, so the encode and the full
+#   ADC top-k are value-gated against a DuckDB twin that recomputes
+#   codes and distances from the embeddings view alone (same trick as
+#   the e_ivf_topk exhaustive-probe gate).
+#
+# Determinism: subspace distances are computed as the IN-ORDER sum of
+# (x_i - c_i)^2 (no BLAS expansion) and rounded to 9 decimals before
+# argmin / ranking on BOTH sides, ties broken by lowest code / vec_id.
+# ---------------------------------------------------------------------------
+
+
+def pq_corpus_codebook(
+    ds: rd.Dataset,
+    m: int = 8,
+    n_codes: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, n_codes, d//m) codebook from the vectors with
+    ``id < n_codes`` (bounded small side; filter pushed to the read)."""
+    df = (
+        ds.filter(expr=f"{id_col} < {n_codes}")
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+    )
+    mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+    n, d = mat.shape
+    if n < n_codes:
+        raise ValueError(f"corpus has {n} < n_codes={n_codes} vectors")
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [mat[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+
+def pq_train_codebook(
+    ds: rd.Dataset,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int | None = None,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace seeded Lloyd k-means (plain L2, no normalization —
+    PQ quantizes residual geometry, not direction).  Same bounded
+    deterministic sample discipline as :func:`train_centroids`."""
+    if sample_limit is None:
+        sample_limit = max(20000, 40 * n_codes)
+    sample = (
+        ds.limit(sample_limit)
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+    )
+    mat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        x = mat[:, s * dsub : (s + 1) * dsub]
+        cent = x[rng.choice(n, size=min(n_codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = _pq_subspace_d2(x, cent)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def _pq_subspace_d2(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, C) squared L2 distances, accumulated dimension-by-dimension
+    in index order so the float result matches the SQL twin's
+    sequential sum (the BLAS expansion |x|²-2x·c+|c|² sums in a
+    different order and can flip a near-tie argmin)."""
+    n, dsub = x.shape
+    out = np.zeros((n, cb.shape[0]), dtype=np.float64)
+    for i in range(dsub):
+        diff = x[:, i, None] - cb[None, :, i]
+        out += diff * diff
+    return out
+
+
+def pq_encode(
+    ds: rd.Dataset,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Compact codes: (id, codes list<uint8>) — the stored form.
+    Codebook broadcast once; per batch one vectorized distance +
+    argmin per subspace."""
+    m, n_codes, dsub = codebook.shape
+    ref = ray.put(codebook)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        x = _matrix(batch[vec_col])
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            d2 = _pq_subspace_d2(x[:, s * dsub : (s + 1) * dsub], cb[s])
+            codes[:, s] = round_half_away(d2, 9).argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def pq_encode_flat(
+    ds: rd.Dataset,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Exploded (id, subspace, code) rows — the oracle-comparable
+    shape (see pq_encode_sql)."""
+    m, n_codes, dsub = codebook.shape
+    compact = pq_encode(ds, codebook, id_col=id_col, vec_col=vec_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack(
+            batch["codes"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, m)),
+                "subspace": pa.array(np.tile(np.arange(m), n)),
+                "code": pa.array(codes.reshape(-1)),
+            }
+        )
+
+    return compact.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_adc_topk(
+    codes_ds: rd.Dataset,
+    query_ds: rd.Dataset,
+    codebook: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """ADC top-k over PRE-ENCODED codes: (query_id, vec_id, adc_d2,
+    rank).  Per query one (m, C) LUT of rounded subspace distances is
+    built driver-side (queries are the bounded side, like cosine_topk)
+    and broadcast; each candidate batch costs m vectorized gathers.
+    Smallest distance first; ties by vec_id."""
+    m, n_codes, dsub = codebook.shape
+    qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
+    qm = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
+    qids = qdf[id_col].to_numpy().astype(np.int64)
+    lut = np.empty((len(qids), m, n_codes), dtype=np.float64)
+    for s in range(m):
+        lut[:, s, :] = _pq_subspace_d2(
+            qm[:, s * dsub : (s + 1) * dsub], codebook[s]
+        )
+    ref = ray.put({"qids": qids, "lut": lut})
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack(
+            batch["codes"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        n = len(ids)
+        nq = len(b["qids"])
+        # (nq, n): sum the per-subspace LUT gathers in subspace order
+        d2 = np.zeros((nq, n), dtype=np.float64)
+        for s in range(m):
+            d2 += b["lut"][:, s, :][:, codes[:, s]]
+        d2 = round_half_away(d2, 9)
+        # per-block partial top-k per query
+        kk = min(k, n)
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(b["qids"], kk)
+        rows_v = ids[part.reshape(-1)]
+        rows_d = np.take_along_axis(d2, part, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q),
+                id_col: pa.array(rows_v),
+                "adc_d2": pa.array(rows_d),
+            }
+        )
+
+    partials = codes_ds.map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "adc_d2", id_col],
+            ascending=[True, True, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", as_index=False, sort=True).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df.reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+
+def pq_encode_sql(m: int = 8, dsub: int = 8, n_codes: int = 128) -> str:
+    """DuckDB twin of pq_encode_flat over the corpus-derived codebook:
+    codes recomputed from the embeddings view alone (codebook = the
+    first n_codes vectors sliced per subspace), same 9-decimal rounding
+    and lowest-code tie-break."""
+    terms = " + ".join(
+        f"(v.emb[v.subspace*{dsub} + {i+1}] - c.emb[c.subspace*{dsub} + {i+1}])"
+        f" * (v.emb[v.subspace*{dsub} + {i+1}] - c.emb[c.subspace*{dsub} + {i+1}])"
+        for i in range(dsub)
+    )
+    return f"""
+WITH sub AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, gs.s AS subspace
+  FROM embeddings CROSS JOIN generate_series(0, {m - 1}) AS gs(s)
+)
+SELECT vec_id, subspace, code FROM (
+  SELECT v.vec_id, v.subspace, c.vec_id AS code,
+         row_number() OVER (
+           PARTITION BY v.vec_id, v.subspace
+           ORDER BY round({terms}, 9) ASC, c.vec_id ASC) AS rn
+  FROM sub v JOIN sub c
+    ON c.subspace = v.subspace AND c.vec_id < {n_codes}
+) WHERE rn = 1
+"""
+
+
+def pq_adc_topk_sql(
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 128,
+    k: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB twin of the full PQ pipeline (encode + ADC rank): doc
+    codes from pq_encode_sql, per-(query, doc, subspace) LUT distance
+    from the query's true slice to the CODE's codebook vector, summed
+    over subspaces, 9-decimal rounding, (d2, vec_id) rank order."""
+    code_terms = " + ".join(
+        f"(v.emb[v.subspace*{dsub} + {i+1}] - c.emb[c.subspace*{dsub} + {i+1}])"
+        f" * (v.emb[v.subspace*{dsub} + {i+1}] - c.emb[c.subspace*{dsub} + {i+1}])"
+        for i in range(dsub)
+    )
+    adc_terms = " + ".join(
+        f"(q.emb[cd.subspace*{dsub} + {i+1}] - cb.emb[cd.subspace*{dsub} + {i+1}])"
+        f" * (q.emb[cd.subspace*{dsub} + {i+1}] - cb.emb[cd.subspace*{dsub} + {i+1}])"
+        for i in range(dsub)
+    )
+    return f"""
+WITH sub AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, gs.s AS subspace
+  FROM embeddings CROSS JOIN generate_series(0, {m - 1}) AS gs(s)
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT v.vec_id, v.subspace, c.vec_id AS code,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY round({code_terms}, 9) ASC, c.vec_id ASC) AS rn
+    FROM sub v JOIN sub c
+      ON c.subspace = v.subspace AND c.vec_id < {n_codes}
+  ) WHERE rn = 1
+),
+dists AS (
+  SELECT q.vec_id AS query_id, cd.vec_id,
+         round(SUM({adc_terms}), 9) AS adc_d2
+  FROM codes cd
+  JOIN sub cb ON cb.vec_id = cd.code AND cb.subspace = cd.subspace
+  CROSS JOIN (SELECT vec_id, emb, subspace FROM sub
+              WHERE vec_id < {n_queries}) q
+  WHERE q.subspace = cd.subspace
+  GROUP BY q.vec_id, cd.vec_id
+)
+SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM dists
+) WHERE rank <= {k}
+"""
