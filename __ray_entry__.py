@@ -783,9 +783,45 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_top_tools(sf_dir: str):
+    """Tag-union (round 3): the exact sort+limit top-k and the
+    Misra-Gries heavy-hitters sketch.  The sketch runs with capacity ≥
+    distinct(tool), where MG provably never decrements (dec = 0,
+    count_min == true count) — so both variants share the exact top-k
+    oracle, and any sketch/merge bug becomes a value mismatch (the HLL
+    routing gate's polarity)."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.sources import read_transcripts
 
-    return _agg.top_tools(read_transcripts(sf_dir), k=5)
+    ts = read_transcripts(sf_dir)
+
+    def tag_sort(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array(["sort"] * len(batch), pa.string()),
+                "tool": batch["tool"],
+                "turn_count": batch["turn_count"].cast(pa.int64()),
+            }
+        )
+
+    def tag_mg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array(
+                    ["misra_gries"] * len(batch), pa.string()
+                ),
+                "tool": batch["tool"],
+                "turn_count": batch["count_min"].cast(pa.int64()),
+            }
+        )
+
+    exact = _agg.top_tools(ts, k=5).map_batches(
+        tag_sort, batch_format="pyarrow"
+    )
+    mg = _agg.heavy_hitters(ts, "tool", capacity=64, k=5).map_batches(
+        tag_mg, batch_format="pyarrow"
+    )
+    return exact.union(mg)
 
 
 def _q_sampling(sf_dir: str):
@@ -1371,7 +1407,13 @@ def oracle_sql() -> dict[str, str]:
         "e_hopping_counts": _agg.hopping_counts_sql(
             ["event_type"], table="events", window="1h", hop="10m"
         ),
-        "t_top_tools": f"{_CTE} {_agg.top_tools_sql(5)}",
+        # t_top_tools: tag-union of exact sort+limit and the Misra-Gries
+        # sketch (capacity ≥ distinct ⇒ provably exact, shared oracle)
+        "t_top_tools": (
+            f"{_CTE} SELECT v.variant, t.tool, t.turn_count FROM "
+            f"({_agg.top_tools_sql(5)}) t CROSS JOIN (VALUES ('sort'), "
+            "('misra_gries')) AS v(variant)"
+        ),
         "t_sampling": (
             f"{_CTE} "
             "SELECT 'sample' AS method, '' AS split, conv_id, turn_idx, "

@@ -257,3 +257,71 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, b: bytes, p: int = 14) -> "HyperLogLog":
         return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitters summary (mergeable).
+#
+# The bounded-memory path for value top-k when the key cardinality
+# explodes past what a sort shuffle or a tree merge of exact partials
+# can hold: at most ``capacity`` counters survive per summary, and
+# summaries merge by summing matched counters then decrementing all by
+# the (capacity+1)-st largest and dropping non-positives — the
+# mergeable-summaries result (Agarwal et al., PODS 2012): the merged
+# summary obeys the same guarantee
+#     true_count - W/(capacity+1)  <=  count  <=  true_count
+# with W the TOTAL summarized weight, regardless of merge tree shape.
+# ``dec`` carries the cumulative decrement, so every reported counter
+# comes with a certificate: count is the lower bound, count+dec the
+# upper.  When capacity >= distinct keys no decrement ever happens and
+# the summary is EXACT (dec = 0) — the value-gate trick the driver's
+# top-k query uses (same polarity as the HLL routing gate).
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """Vectorized MG summary: items ndarray + counts ndarray + dec."""
+
+    def __init__(self, capacity: int):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = capacity
+        self.items = np.array([], dtype=object)
+        self.counts = np.array([], dtype=np.int64)
+        self.dec = 0
+
+    def _compress(self) -> None:
+        if len(self.items) <= self.capacity:
+            return
+        # decrement by the (capacity+1)-st largest count
+        t = np.partition(self.counts, -(self.capacity + 1))[
+            -(self.capacity + 1)
+        ]
+        keep = self.counts > t
+        self.items = self.items[keep]
+        self.counts = self.counts[keep] - t
+        self.dec += int(t)
+
+    def update(self, items: np.ndarray, counts: np.ndarray) -> "MisraGries":
+        """Bulk-add exact (item, count) pairs (a batch's value_counts)."""
+        allv = np.concatenate([self.items, np.asarray(items, dtype=object)])
+        allc = np.concatenate(
+            [self.counts, np.asarray(counts, dtype=np.int64)]
+        )
+        uniq, inv = np.unique(allv, return_inverse=True)
+        self.items = uniq.astype(object)
+        self.counts = np.bincount(inv, weights=allc).astype(np.int64)
+        self._compress()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.dec += other.dec
+        return self.update(other.items, other.counts)
+
+    def result(self):
+        """(items, count_lower, count_upper) sorted by count desc,
+        item asc — deterministic."""
+        order = np.lexsort((self.items, -self.counts))
+        items = self.items[order]
+        lo = self.counts[order]
+        return items, lo, lo + self.dec

@@ -625,6 +625,98 @@ def top_tools_sql(k: int = 5) -> str:
     )
 
 
+def heavy_hitters(
+    ds: rd.Dataset,
+    col: str,
+    capacity: int = 64,
+    k: int = 5,
+    batch_size: int = 131072,
+) -> rd.Dataset:
+    """Bounded-memory value top-k via mergeable Misra-Gries summaries
+    (functions/sketches.py ``MisraGries``) — the scale path for
+    :func:`top_tools` when key cardinality explodes: every stage holds
+    at most ``capacity`` counters, merged in a two-hop tree, so neither
+    the sort shuffle nor the tree merge ever materializes the full key
+    space.  Output: (item, count_min, count_max, rank) — count_min is
+    the MG lower bound, count_max = count_min + total decrement; with
+    ``capacity`` >= distinct(col) the summary is exact (count_min ==
+    count_max == true count), which is how the driver query shares the
+    exact top-k oracle."""
+    import numpy as np
+
+    from ..functions.sketches import MisraGries
+
+    def _emit(mg: MisraGries) -> pa.Table:
+        items, lo, _ = mg.result()
+        return pa.table(
+            {
+                "item": pa.array(
+                    list(items) + [None], pa.string()
+                ),
+                "cnt": pa.array(
+                    np.concatenate([lo, [0]]), pa.int64()
+                ),
+                "dec": pa.array(
+                    [0] * len(items) + [mg.dec], pa.int64()
+                ),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"item": batch[col]})
+        g = t.group_by(["item"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["item", "n"])
+        mg = MisraGries(capacity).update(
+            g["item"].to_numpy(zero_copy_only=False),
+            g["n"].to_numpy(zero_copy_only=False),
+        )
+        return _emit(mg)
+
+    def combine(t: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        mg.dec = int(pc.sum(t["dec"]).as_py() or 0)
+        real = t.filter(pc.is_valid(t["item"]))
+        if len(real):
+            g = real.group_by(["item"]).aggregate([("cnt", "sum")])
+            mg.update(
+                g["item"].to_numpy(zero_copy_only=False),
+                g["cnt_sum"].to_numpy(zero_copy_only=False),
+            )
+        return _emit(mg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        mg.dec = int(pc.sum(t["dec"]).as_py() or 0)
+        real = t.filter(pc.is_valid(t["item"]))
+        if len(real):
+            g = real.group_by(["item"]).aggregate([("cnt", "sum")])
+            mg.update(
+                g["item"].to_numpy(zero_copy_only=False),
+                g["cnt_sum"].to_numpy(zero_copy_only=False),
+            )
+        items, lo, hi = mg.result()
+        n = min(k, len(items))
+        return pa.table(
+            {
+                col: pa.array(list(items[:n]), pa.string()),
+                "count_min": pa.array(lo[:n], pa.int64()),
+                "count_max": pa.array(hi[:n], pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return (
+        partials.repartition(8)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windowed explicit-bound latency histogram
 # (transaction.duration.histogram spec config.go:341-344 + the
