@@ -503,11 +503,44 @@ def _q_summary_merge(sf_dir: str):
 
 
 def _q_latency_quantiles(sf_dir: str):
+    """Tag-union (round 3): the expo-histogram CDF-walk quantiles and
+    the KLL/MRL sketch path.  The sketch runs with capacity ≥ every
+    group's count, where nothing ever compacts and its quantiles are
+    exact discrete quantiles — value-gated by the same crossing formula
+    in SQL (the MG/HLL exactness-gate polarity)."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
     )
 
-    return _agg.latency_quantiles(enriched_transcripts(sf_dir), "24h")
+    enriched = enriched_transcripts(sf_dir)
+
+    def tag_expo(batch: pa.Table) -> pa.Table:
+        return batch.add_column(
+            0, "variant", pa.array(["expo"] * len(batch), pa.string())
+        )
+
+    def tag_kll(batch: pa.Table) -> pa.Table:
+        # align with the expo schema: scale -1 / offset 0 markers
+        n = len(batch)
+        batch = batch.add_column(
+            0, "variant", pa.array(["kll"] * n, pa.string())
+        )
+        batch = batch.add_column(
+            4, "scale", pa.array([-1] * n, pa.int64())
+        )
+        return batch.add_column(
+            5, "offset", pa.array([0] * n, pa.int64())
+        )
+
+    expo = _agg.latency_quantiles(enriched, "24h").map_batches(
+        tag_expo, batch_format="pyarrow"
+    )
+    kll = _agg.latency_quantiles_sketch(enriched, "24h").map_batches(
+        tag_kll, batch_format="pyarrow"
+    )
+    return expo.union(kll)
 
 
 def _q_event_counts(sf_dir: str):
@@ -1466,8 +1499,15 @@ def oracle_sql() -> dict[str, str]:
         # t_latency_quantiles (value-gated, round 3): quantiles are a
         # deterministic CDF walk over the same flat histogram, so the
         # SQL twin recomputes them from exploded buckets.
+        # t_latency_quantiles: tag-union — expo CDF walk + exact-regime
+        # KLL sketch, each with its own SQL twin
         "t_latency_quantiles": (
-            f"{_CTE} {_agg.latency_quantiles_sql('24h')}"
+            f"{_CTE} SELECT 'expo' AS variant, * FROM "
+            f"({_agg.latency_quantiles_sql('24h')}) UNION ALL "
+            "SELECT 'kll' AS variant, interval, window_start, role, "
+            "-1 AS scale, 0 AS \"offset\", \"count\", hsum, zero_count, "
+            "hmin, hmax, p50, p95, p99 FROM "
+            f"({_agg.latency_quantiles_sketch_sql('24h')})"
         ),
         "e_event_counts": (
             f"SELECT {_agg.window_start_sql('1h')} AS window_start, "

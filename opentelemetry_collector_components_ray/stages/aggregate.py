@@ -1150,6 +1150,131 @@ def latency_quantiles(
     )
 
 
+def latency_quantiles_sketch(
+    ds: rd.Dataset,
+    interval: str = "24h",
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    capacity: int = 65536,
+    batch_size: int = 131072,
+    num_buckets: int = 16,
+) -> rd.Dataset:
+    """Per-(window, role) quantiles via mergeable KLL/MRL sketches
+    (functions/quantiles.py) — the second scale path for summary
+    quantiles, independent of the expo histogram's bucket grid: one
+    sketch per group per batch, sketches merge in a key-hash bucketed
+    reduce, memory per group bounded by ``capacity`` floats per level.
+
+    With ``capacity`` ≥ the largest group (the driver configuration)
+    nothing compacts, the sketch is the sorted sample, and every output
+    — count/sum/min/max/zero-count scalars and the discrete quantiles
+    ``smallest v with cum-weight ≥ p·W`` — is exact, so the driver's
+    tag-union shares a plain SQL crossing-formula oracle.  At scale
+    the same pipeline runs with a small capacity under the MRL rank
+    bound (tests assert it empirically)."""
+    import numpy as np
+
+    from ..functions.blocks import to_clean_arrow
+    from ..functions.quantiles import KLLSketch
+    from ..functions.sketches import hash64
+
+    validate_intervals([interval])
+    us = INTERVALS_US[interval]
+
+    def partial(df: pd.DataFrame):
+        df = df[df["latency_ms"].notna()]
+        ts_us = df["ts"].astype("int64")
+        df = df.assign(
+            window_start=pd.to_datetime((ts_us // us) * us, unit="us")
+        )
+        rows = []
+        for (w, r), g in df.groupby(["window_start", "role"], sort=False):
+            sk = KLLSketch(capacity).update(
+                g["latency_ms"].to_numpy(dtype=np.float64)
+            )
+            rows.append((w, r, sk.to_bytes()))
+        out = pd.DataFrame(
+            rows, columns=["window_start", "role", "_sketch"]
+        )
+        key = (
+            out["window_start"].astype("int64").astype(str)
+            + "\x1f" + out["role"].astype(str)
+        )
+        out["_bucket"] = (
+            hash64(key.to_numpy(dtype=object)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return to_clean_arrow(out)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (w, r), g in df.groupby(["window_start", "role"], sort=True):
+            sk = None
+            for b in g["_sketch"]:
+                nxt = KLLSketch.from_bytes(bytes(b))
+                sk = nxt if sk is None else sk.merge(nxt)
+            quants = [round(float(x), 6) for x in sk.quantiles(qs)]
+            rows.append(
+                (interval, w, r, sk.n, round(sk.vsum, 6),
+                 sk.zero_count, sk.vmin, sk.vmax, *quants)
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "interval", "window_start", "role", "count", "hsum",
+                "zero_count", "hmin", "hmax",
+                *[f"p{int(q * 100)}" for q in qs],
+            ],
+        )
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    return (
+        ds.map_batches(
+            partial, batch_format="pandas", batch_size=batch_size
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda df: reduce_bucket(df.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def latency_quantiles_sketch_sql(
+    interval: str = "24h", qs: Sequence[float] = (0.5, 0.95, 0.99)
+) -> str:
+    """DuckDB twin of the EXACT (capacity ≥ group) sketch regime: the
+    same cumulative-count crossing ``rn >= CAST(p AS DOUBLE) * n`` the
+    sketch's searchsorted computes, duplicated float semantics and
+    all."""
+    ws = window_start_sql(interval)
+    qcols = ",\n       ".join(
+        f"round(MIN(CASE WHEN rn >= CAST({q!r} AS DOUBLE) * n "
+        f"THEN latency_ms END), 6) AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+SELECT '{interval}' AS interval, window_start, role,
+       CAST(MAX(n) AS BIGINT) AS "count",
+       round(MAX(s), 6) AS hsum,
+       CAST(MAX(zc) AS BIGINT) AS zero_count,
+       MAX(mn) AS hmin, MAX(mx) AS hmax,
+       {qcols}
+FROM (
+  SELECT v.*,
+         row_number() OVER (PARTITION BY window_start, role
+                            ORDER BY latency_ms) AS rn,
+         COUNT(*) OVER (PARTITION BY window_start, role) AS n,
+         SUM(latency_ms) OVER (PARTITION BY window_start, role) AS s,
+         SUM(CASE WHEN latency_ms = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY window_start, role) AS zc,
+         MIN(latency_ms) OVER (PARTITION BY window_start, role) AS mn,
+         MAX(latency_ms) OVER (PARTITION BY window_start, role) AS mx
+  FROM (SELECT {ws} AS window_start, role, latency_ms
+        FROM enriched WHERE latency_ms IS NOT NULL) v
+) GROUP BY window_start, role
+"""
+
+
 def capped_tool_summary_sql(limit: int = 4) -> str:
     # nested subqueries (not CTEs) so this composes after the shared
     # WITH-prefix the oracle queries are built from
