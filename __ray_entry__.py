@@ -1238,7 +1238,28 @@ def _q_cosine_topk(sf_dir: str):
     pq = ann.pq_adc_topk(
         ann.pq_encode(embs, cb), queries, cb, k=10
     ).map_batches(tag("pq_adc", "adc_d2"), batch_format="pyarrow")
-    return exact.union(pq)
+
+    # ivfpq_adc: the FAISS-style composed index — exhaustive probes make
+    # its ranking equal the flat PQ/ADC ranking (same SQL twin); the
+    # probe-PRUNED configuration is benched and recall-tested instead
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="occr_ivfpq_index_")
+    try:
+        n_cent = ann.auto_n_centroids(embs)
+        ann.ivfpq_build_index(
+            embs, idx, n_centroids=n_cent, codebook=cb
+        )
+        ivfpq = ann.ivfpq_search_index(
+            idx, queries, k=10, nprobe=n_cent
+        ).materialize()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    ivfpq = ivfpq.map_batches(
+        tag("ivfpq_adc", "adc_d2"), batch_format="pyarrow"
+    )
+    return exact.union(pq).union(ivfpq)
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -1580,11 +1601,12 @@ def oracle_sql() -> dict[str, str]:
             " rank FROM ("
             + _ann.cosine_topk_sql(k=10, n_queries=5)
             + ") UNION ALL "
-            "SELECT 'pq_adc' AS variant, query_id, vec_id,"
-            " adc_d2 AS score, rank FROM ("
+            "SELECT v.variant, s.query_id, s.vec_id,"
+            " s.adc_d2 AS score, s.rank FROM ("
             + _ann.pq_adc_topk_sql(m=8, dsub=8, n_codes=128, k=10,
                                    n_queries=5)
-            + ")"
+            + ") s CROSS JOIN (VALUES ('pq_adc'), ('ivfpq_adc'))"
+            " AS v(variant)"
         ),
         # e_ivf_topk (value-gated, round 3): exhaustive probes make the
         # IVF index search exact, so the brute-force oracle applies.

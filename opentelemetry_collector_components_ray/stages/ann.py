@@ -1283,3 +1283,176 @@ SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank FROM (
   FROM dists
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ composition — the canonical billion-scale ANN layout (FAISS
+# IVFPQ / Jégou et al. §V): coarse IVF centroids pick WHICH partitions
+# to read, PQ codes decide HOW CHEAPLY candidates are ranked.  The
+# persistent index stores only (vec_id, codes) per centroid partition
+# — 8 bytes/vector at (m=8, d=64) instead of 256, so probe-pruned
+# reads shrink another ~30× on top of the partition pruning.  Raw-
+# vector PQ (not FAISS's residual encoding) keeps the ADC ranking
+# identical to pq_adc_topk, which is what makes the exhaustive-probe
+# value gate exact: nprobe = n_centroids scores every code for every
+# query, so the result must equal the flat PQ/ADC ranking and shares
+# its SQL twin (the e_ivf_topk gate pattern, composed).
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int | None = None,
+    codebook: np.ndarray | None = None,
+    m: int = 8,
+    n_codes: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assign every vector to its IVF centroid AND PQ-encode it in one
+    pass; write (id, codes) hive-partitioned by ``centroid_id`` plus
+    ``centroids.npy`` / ``codebook.npy``.  ``codebook=None`` trains
+    per-subspace k-means (:func:`pq_train_codebook`)."""
+    import os
+
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(ds)
+    cent = train_centroids(ds, n_centroids, vec_col, id_col=id_col)
+    if codebook is None:
+        codebook = pq_train_codebook(
+            ds, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+        )
+    mm, nc, dsub = codebook.shape
+    ref = ray.put({"cent": cent, "cb": codebook})
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        x = _matrix(batch[vec_col])
+        sims = _normalize(x) @ b["cent"].T
+        cid = sims.argmax(axis=1).astype(np.int64)
+        codes = np.empty((len(x), mm), dtype=np.uint8)
+        for s in range(mm):
+            d2 = _pq_subspace_d2(x[:, s * dsub : (s + 1) * dsub], b["cb"][s])
+            codes[:, s] = round_half_away(d2, 9).argmin(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+                "centroid_id": pa.array(cid),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(
+        assign_encode, batch_format="pyarrow", batch_size=8192
+    ).write_parquet(f"{index_dir}/codes", partition_cols=["centroid_id"])
+    np.save(f"{index_dir}/centroids.npy", cent)
+    np.save(f"{index_dir}/codebook.npy", codebook)
+    return cent, codebook
+
+
+def ivfpq_search_index(
+    index_dir: str,
+    query_ds: rd.Dataset,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """ADC top-k against an IVFPQ index: read ONLY the probed centroid
+    partitions (codes, not vectors), rank candidates per query by the
+    broadcast (m, C) LUT, merge partial top-ks.  Output
+    (query_id, vec_id, adc_d2, rank) — with nprobe = n_centroids the
+    ranking equals :func:`pq_adc_topk` exactly."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_clean
+
+    cent = np.load(f"{index_dir}/centroids.npy")
+    codebook = np.load(f"{index_dir}/codebook.npy")
+    mm, nc, dsub = codebook.shape
+    qdf = query_ds.select_columns([id_col, vec_col]).to_pandas()
+    qdf = qdf.sort_values(id_col, kind="mergesort")
+    qm = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
+    qids = qdf[id_col].to_numpy().astype(np.int64)
+    probes = np.argsort(
+        -_det_matmul(_normalize(qm), cent.T), axis=1
+    )[:, :nprobe]
+    lut = np.empty((len(qids), mm, nc), dtype=np.float64)
+    for s in range(mm):
+        lut[:, s, :] = _pq_subspace_d2(
+            qm[:, s * dsub : (s + 1) * dsub], codebook[s]
+        )
+    needed = sorted({int(c) for row in probes for c in row})
+    paths = []
+    for c in needed:
+        paths.extend(
+            sorted(
+                _glob.glob(f"{index_dir}/codes/centroid_id={c}/*.parquet")
+            )
+        )
+    if not paths:
+        raise FileNotFoundError(f"no index partitions under {index_dir}")
+    pruned = read_parquet_clean(paths)
+    ref = ray.put({"qids": qids, "lut": lut, "probes": probes})
+
+    def score(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = pc.cast(batch["centroid_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        codes = np.stack(
+            batch["codes"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(b["qids"])):
+            sel = np.isin(cid, b["probes"][qi])
+            if not sel.any():
+                continue
+            c = codes[sel]
+            d2 = np.zeros(len(c), dtype=np.float64)
+            for s in range(c.shape[1]):
+                d2 += b["lut"][qi, s][c[:, s]]
+            d2 = round_half_away(d2, 9)
+            kk = min(k, len(c))
+            part = np.argpartition(d2, kk - 1)[:kk]
+            out_q.append(np.full(kk, b["qids"][qi], dtype=np.int64))
+            out_v.append(ids[sel][part])
+            out_d.append(d2[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "adc_d2": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_v)),
+                "adc_d2": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    partials = pruned.map_batches(
+        score, batch_format="pyarrow", batch_size=8192
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "adc_d2", id_col],
+            ascending=[True, True, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", as_index=False, sort=True).head(k)
+        df["rank"] = df.groupby("query_id").cumcount() + 1
+        return df.reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )

@@ -110,3 +110,66 @@ def test_adc_approximates_true_distance(ray_session):
     )
     corr = np.corrcoef(out.adc_d2.to_numpy(), true_d2)[0, 1]
     assert corr > 0.95
+
+
+def test_ivfpq_exhaustive_equals_flat_adc(embs, tmp_path):
+    cb = ann.pq_corpus_codebook(embs, m=8, n_codes=32)
+    n_cent = 4
+    ann.ivfpq_build_index(
+        embs, str(tmp_path / "idx"), n_centroids=n_cent, codebook=cb
+    )
+    queries = embs.filter(expr="vec_id < 3")
+    via_index = ann.ivfpq_search_index(
+        str(tmp_path / "idx"), queries, k=8, nprobe=n_cent
+    ).to_pandas()
+    flat = ann.pq_adc_topk(
+        ann.pq_encode(embs, cb), queries, cb, k=8
+    ).to_pandas()
+    key = ["query_id", "rank"]
+    a = via_index.sort_values(key).reset_index(drop=True)
+    b = flat.sort_values(key).reset_index(drop=True)
+    assert a.vec_id.tolist() == b.vec_id.tolist()
+    assert np.allclose(a.adc_d2, b.adc_d2)
+
+
+def test_ivfpq_pruned_probe_recall(embs, tmp_path):
+    """Pruned probes must still recover most of the exhaustive ADC
+    top-k (same bar shape as the IVF recall test)."""
+    cb = ann.pq_corpus_codebook(embs, m=8, n_codes=32)
+    ann.ivfpq_build_index(
+        embs, str(tmp_path / "idx"), n_centroids=4, codebook=cb
+    )
+    queries = embs.filter(expr="vec_id < 3")
+    pruned = ann.ivfpq_search_index(
+        str(tmp_path / "idx"), queries, k=8, nprobe=2
+    ).to_pandas()
+    full = ann.pq_adc_topk(
+        ann.pq_encode(embs, cb), queries, cb, k=8
+    ).to_pandas()
+    hits = 0
+    for q in (0, 1, 2):
+        want = set(full[full.query_id == q].vec_id)
+        got = set(pruned[pruned.query_id == q].vec_id)
+        hits += len(want & got)
+    assert hits / (3 * 8) >= 0.4  # nprobe=2 of 4 on isotropic data
+
+
+def test_ivfpq_index_stores_codes_not_vectors(embs, tmp_path):
+    import glob
+    import os
+
+    cb = ann.pq_corpus_codebook(embs, m=8, n_codes=32)
+    ann.ivfpq_build_index(
+        embs, str(tmp_path / "pq"), n_centroids=4, codebook=cb
+    )
+    ann.ivf_build_index(embs, str(tmp_path / "ivf"), n_centroids=4)
+
+    def nbytes(d, sub):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(f"{d}/{sub}/**/*.parquet", recursive=True)
+        )
+
+    assert nbytes(tmp_path / "pq", "codes") < 0.5 * nbytes(
+        tmp_path / "ivf", "vectors"
+    )
