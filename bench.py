@@ -259,11 +259,102 @@ def main() -> None:
         ).count()
 
     queries["doc_cluster_dedup_5m"], _ = _timed(cluster_5m)
+
+    # bloom-prefiltered vs bucketed anti-join over the 12M-turn input
+    # (decontamination shape: small dirty-id right side, huge left) —
+    # the bloom path settles definite misses from the broadcast filter
+    # so the exchange moves candidates only
+    def _turns_with_ids():
+        import pyarrow as _pa
+
+        def add_key(t: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as _pc
+
+            key = _pc.binary_join_element_wise(
+                _pc.cast(t["conv_id"], _pa.string()),
+                _pc.cast(t["turn_idx"], _pa.string()),
+                "#",
+            )
+            return _pa.table({"key": key, "role": t["role"]})
+
+        return read_transcripts(inp).map_batches(
+            add_key, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    left = _turns_with_ids()
+    dirty = left.limit(20000).select_columns(["key"]).materialize()
+    from opentelemetry_collector_components_ray.functions.join import (
+        filter_join,
+    )
+
+    queries["turns_anti_join_bucketed"], _ = _timed(
+        lambda: filter_join(
+            left, dirty, on="key", mode="anti", broadcast=False
+        ).count()
+    )
+    queries["turns_anti_join_bloom"], _ = _timed(
+        lambda: filter_join(
+            left, dirty, on="key", mode="anti", broadcast=False,
+            prefilter="bloom",
+        ).count()
+    )
+
     queries["emb_cosine_topk"], _ = _timed(
         lambda: ann_mod.cosine_topk(
             embs, embs.filter(expr="vec_id < 5"), k=10
         ).count()
     )
+
+    # PQ at 500k vectors: encode throughput + IVFPQ probe-pruned search
+    # over the codes-only partitioned index
+    def _embs_500k():
+        import pyarrow as _pa
+
+        def rep(batch: _pa.Table) -> _pa.Table:
+            import numpy as _np2
+
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+                _np2.int64
+            )
+            reps_e = -(-500_000 // n_embs)
+            return _pa.concat_tables(
+                [
+                    _pa.table(
+                        {
+                            "vec_id": _pa.array(ids + r * 1_000_000),
+                            "embedding": batch["embedding"],
+                        }
+                    )
+                    for r in range(reps_e)
+                ]
+            )
+
+        return embs.map_batches(
+            rep, batch_format="pyarrow"
+        ).materialize()
+
+    n_embs = embs.count()
+    big_embs = _embs_500k()
+    pq_cb = ann_mod.pq_train_codebook(embs, m=8, n_codes=256)
+    queries["emb_pq_encode_500k"], _ = _timed(
+        lambda: ann_mod.pq_encode(big_embs, pq_cb).count()
+    )
+    import tempfile as _tf
+
+    ivfpq_dir = _tf.mkdtemp(prefix="occr_bench_ivfpq_")
+    # n_centroids pinned (the √N rule would train 707 driver-side and
+    # dominate the timing; centroid-training scale is ivf_build's story)
+    queries["emb_ivfpq_build_500k"], _ = _timed(
+        lambda: ann_mod.ivfpq_build_index(
+            big_embs, ivfpq_dir, n_centroids=64, codebook=pq_cb
+        )
+    )
+    queries["emb_ivfpq_search_pruned"], _ = _timed(
+        lambda: ann_mod.ivfpq_search_index(
+            ivfpq_dir, embs.filter(expr="vec_id < 3"), k=10, nprobe=8
+        ).count()
+    )
+    shutil.rmtree(ivfpq_dir, ignore_errors=True)
 
     # IVF persistent index: build once, then probe-pruned search — the
     # evidence that probing prunes at the READ (bytes touched =
