@@ -155,9 +155,12 @@ def top_bigrams(
     return merged.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
-def lm_stats(ds: rd.Dataset, k: int = 20) -> rd.Dataset:
-    """Tag-union of both ops for the driver query: rows
-    ``('bigram', bigram, count)`` ∪ ``('doc_lp', doc_id, logprob)``."""
+def lm_stats(ds: rd.Dataset, k: int = 20,
+             tfidf_k: int = 3) -> rd.Dataset:
+    """Tag-union of the corpus-LM ops for the driver query: rows
+    ``('bigram', bigram, count)`` ∪ ``('doc_lp', doc_id, logprob)`` ∪
+    ``('tfidf', doc_id#rank#term, score)`` — the rank in the key makes
+    the per-doc TF-IDF ORDERING part of the value gate."""
 
     def melt_bigrams(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -173,13 +176,29 @@ def lm_stats(ds: rd.Dataset, k: int = 20) -> rd.Dataset:
              "val": t["unigram_logprob"]}
         )
 
+    def melt_tfidf(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["doc_id"], pa.string()),
+            pc.cast(t["rank"], pa.string()),
+            t["term"],
+            "#",
+        )
+        return pa.table(
+            {"kind": pa.array(["tfidf"] * len(t), pa.string()),
+             "key": key,
+             "val": t["score"]}
+        )
+
     bigrams = top_bigrams(ds, k).map_batches(
         melt_bigrams, batch_format="pyarrow", zero_copy_batch=True
     )
     scored = unigram_logprob(ds).map_batches(
         melt_docs, batch_format="pyarrow", zero_copy_batch=True
     )
-    return bigrams.union(scored)
+    tfidf = tfidf_top_terms(ds, tfidf_k).map_batches(
+        melt_tfidf, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bigrams.union(scored).union(tfidf)
 
 
 _BIGRAMS_UNNEST = (
@@ -188,7 +207,8 @@ _BIGRAMS_UNNEST = (
 )
 
 
-def lm_stats_sql(k: int = 20, table: str = "documents") -> str:
+def lm_stats_sql(k: int = 20, table: str = "documents",
+                 tfidf_k: int = 3) -> str:
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
@@ -207,10 +227,136 @@ bg AS (
 top AS (
   SELECT b, count(*) AS n FROM bg GROUP BY b
   ORDER BY n DESC, b ASC LIMIT {k}
+),
+dfq AS (SELECT wd, count(DISTINCT doc_id)::DOUBLE AS df FROM w GROUP BY wd),
+nd AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+tfq AS (SELECT doc_id, wd, count(*)::DOUBLE AS c FROM w GROUP BY doc_id, wd),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM w GROUP BY doc_id),
+sc AS (
+  SELECT tfq.doc_id, tfq.wd,
+         round(tfq.c / dl.len * ln(nd.n / dfq.df), 6) AS s
+  FROM tfq JOIN dl USING (doc_id) JOIN dfq USING (wd) CROSS JOIN nd
+),
+tk AS (
+  SELECT doc_id, wd, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, wd ASC) AS r
+  FROM sc
 )
 SELECT 'bigram' AS kind, b AS key, n::DOUBLE AS val FROM top
 UNION ALL
 SELECT 'doc_lp' AS kind, CAST(d.doc_id AS VARCHAR) AS key,
        round(coalesce(lp.v, 0), 6) AS val
 FROM {table} d LEFT JOIN lp USING (doc_id)
+UNION ALL
+SELECT 'tfidf' AS kind,
+       CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR) || '#' || wd
+         AS key,
+       s AS val
+FROM tk WHERE r <= {tfidf_k}
 """
+
+
+def doc_frequencies(
+    ds: rd.Dataset, text_col: str = "text",
+    distributed: bool | None = None,
+) -> rd.Dataset:
+    """Document frequencies ``(word, df)`` — how many documents contain
+    each word at least once.  Per-batch combiner over the batch's
+    distinct (row, word) pairs; vocab-bounded merge like
+    :func:`word_frequencies`."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, row, _ = _tokenize(batch[text_col])
+        if not len(words):
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        wu = words.astype("U")
+        order = np.lexsort((wu, row))
+        wu, row = wu[order], row[order]
+        first = np.ones(len(wu), dtype=bool)
+        first[1:] = (row[1:] != row[:-1]) | (wu[1:] != wu[:-1])
+        uniq, cnt = np.unique(wu[first], return_counts=True)
+        return pa.table(
+            {"word": pa.array(uniq.astype(object), pa.string()),
+             "df": pa.array(cnt, pa.int64())}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_partials(partials, ["word"], [("df", "sum")],
+                          distributed=distributed)
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    k_per_doc: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document top-k terms by TF-IDF — the classic quality /
+    keyword-extraction signal: ``score = (c_term / doc_len) ·
+    ln(N / df_term)``, rounded to 6, ranked per document with the
+    (score DESC, term ASC) tie-break.  Output (doc_id, term, score,
+    rank).
+
+    The (word → idf) table is vocab-bounded, fit in one combiner pass
+    and broadcast once (the unigram-model discipline); scoring and the
+    per-doc top-k are one vectorized pass per batch — each document
+    lives in one row, so its top-k never crosses blocks."""
+    n_docs = float(ds.count())
+    freq = doc_frequencies(ds, text_col).to_pandas()  # bounded: vocab
+    vocab = freq["word"].to_numpy(dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    idf = np.log(n_docs / freq["df"].to_numpy(dtype=np.float64)[order])
+    model_ref = ray.put((vocab.astype("U"), idf))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vocab_s, idf_s = process_cached(
+            ("tfidf_model", model_ref.hex()), lambda: ray.get(model_ref)
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words, row, n = _tokenize(batch[text_col])
+        if not len(words):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        wu = words.astype("U")
+        dlen = np.bincount(row, minlength=n).astype(np.float64)
+        order_ = np.lexsort((wu, row))
+        wu_s, row_s = wu[order_], row[order_]
+        first = np.ones(len(wu_s), dtype=bool)
+        first[1:] = (row_s[1:] != row_s[:-1]) | (wu_s[1:] != wu_s[:-1])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(wu_s)))
+        t_row = row_s[starts]
+        t_word = wu_s[starts]
+        tf = counts / dlen[t_row]
+        score = _round6_away_signed(
+            tf * idf_s[np.searchsorted(vocab_s, t_word)]
+        )
+        # per-doc rank by (score desc, term asc)
+        sel = np.lexsort((t_word, -score, t_row))
+        t_row, t_word, score = t_row[sel], t_word[sel], score[sel]
+        doc_first = np.ones(len(t_row), dtype=bool)
+        doc_first[1:] = t_row[1:] != t_row[:-1]
+        pos = np.arange(len(t_row))
+        rank = pos - np.maximum.accumulate(
+            np.where(doc_first, pos, 0)
+        ) + 1
+        keep = rank <= k_per_doc
+        return pa.table(
+            {id_col: pa.array(ids[t_row[keep]]),
+             "term": pa.array(t_word[keep].astype(object), pa.string()),
+             "score": pa.array(score[keep], pa.float64()),
+             "rank": pa.array(rank[keep], pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -69,3 +69,50 @@ def test_lm_stats_union_shape(ray_session):
     kinds = out.kind.value_counts().to_dict()
     assert kinds["doc_lp"] == 2
     assert kinds["bigram"] == 3
+
+
+def test_doc_frequencies(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import lm
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["cat dog cat", "dog bird", "fish"],
+            }
+        )
+    ).repartition(2)
+    out = (
+        lm.doc_frequencies(ds)
+        .to_pandas()
+        .set_index("word")["df"]
+        .to_dict()
+    )
+    assert out == {"cat": 1, "dog": 2, "bird": 1, "fish": 1}
+
+
+def test_tfidf_top_terms_manual(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import lm
+
+    # doc 0: "a a b" — 'a' common to both docs (idf=0), 'b' unique
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["a a b", "a c c c"]}
+        )
+    )
+    out = lm.tfidf_top_terms(ds, k_per_doc=2).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # 'b': tf=1/3, idf=ln(2/1) → top; 'a': idf=ln(2/2)=0
+    assert d0.term.tolist() == ["b", "a"]
+    assert np.isclose(d0.score.iloc[0], round(1 / 3 * np.log(2), 6))
+    assert d0.score.iloc[1] == 0.0
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    assert d1.term.tolist() == ["c", "a"]
+    assert np.isclose(d1.score.iloc[0], round(3 / 4 * np.log(2), 6))
