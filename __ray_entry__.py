@@ -40,6 +40,7 @@ from opentelemetry_collector_components_ray.stages import (
     decontam as _decontam,
 )
 from opentelemetry_collector_components_ray.stages import lm as _lm
+from opentelemetry_collector_components_ray.stages import packing as _packing
 from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages import (
     profiling as _profiling,
@@ -1098,11 +1099,16 @@ def _q_minhash_dedup_keep(sf_dir: str):
 
 def _q_text_profile(sf_dir: str):
     """All five text-analysis ops (token counts, quality, lang ID,
-    fingerprint, normalize) folded into one fused per-doc pass; the
-    SQL twin is assembled from the per-op twins (stages/text.py)."""
-    from opentelemetry_collector_components_ray.stages import text
+    fingerprint, normalize) folded into one fused per-doc pass, then
+    GPT-style concat-and-chunk packing columns via the distributed
+    ordered prefix-scan (stages/packing.py) — the scan's per-block
+    base offsets and within-block cumsums are all hash-gated against
+    the SQL window twin."""
+    from opentelemetry_collector_components_ray.stages import packing, text
 
-    return text.text_profile(_docs(sf_dir))
+    return packing.concat_chunk_packing(
+        text.text_profile(_docs(sf_dir)), budget=512
+    )
 
 
 def _q_lm_stats(sf_dir: str):
@@ -1578,7 +1584,11 @@ def oracle_sql() -> dict[str, str]:
         # engine's block bucketing is pigeonhole-exact, so its pair set
         # IS that brute-force set.
         "d_simhash_pairs": _dedup.simhash_pairs_oracle_sql(3),
-        "d_text_profile": _text.text_profile_sql(),
+        # d_text_profile: fused per-doc profile wrapped by the packing
+        # window scan (pack_offset/first/last/n_chunks)
+        "d_text_profile": _packing.packing_sql(
+            _text.text_profile_sql(), budget=512
+        ),
         "d_lm_stats": _lm.lm_stats_sql(k=20),
         "d_decontaminate": _decontam.DECONTAM_REPORT_SQL,
         "d_redact": (
