@@ -214,6 +214,20 @@ def main() -> None:
         return lm.lm_stats(docs, k=20).count()
 
     queries["doc_lm_stats"], _ = _timed(lm_run)
+    # full curation composition: profile → quality filter → exact +
+    # near-dup dedup → prefix-scan packing, one streaming pipeline
+    def curation_run():
+        from opentelemetry_collector_components_ray.stages.curation import (
+            CurationConfig,
+            curate,
+        )
+
+        return curate(
+            docs, cfg=CurationConfig(pack_budget=2048)
+        ).count()
+
+    queries["docs_curation_e2e"], _ = _timed(curation_run)
+
     queries["doc_minhash_pairs"], _ = _timed(
         lambda: dedup_mod.minhash_near_dups(docs, threshold=0.8).count()
     )

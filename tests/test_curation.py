@@ -1,0 +1,105 @@
+"""Curation composition and incremental dedup against the persistent
+fingerprint index."""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opentelemetry_collector_components_ray.stages.curation import (
+    CurationConfig,
+    curate,
+    incremental_dedup,
+)
+
+
+def _docs(ray_session, texts, start_id=0):
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(start_id, start_id + len(texts)),
+                "text": texts,
+            }
+        )
+    ).repartition(3)
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "sleeps near the river with a friendly dog in the warm sun"
+)
+
+
+def test_curate_filters_dedups_and_packs(ray_session):
+    texts = [
+        GOOD,                       # keeps
+        GOOD,                       # exact dup → dropped
+        "zz zz zz zz zz zz",        # repetition + und language → dropped
+        "el perro y el gato en la casa grande con mucha comida el "
+        "perro duerme y el gato come en la cocina con la familia",
+        GOOD + " extra tail words about the meadow and the morning",
+    ]
+    out = curate(
+        _docs(ray_session, texts),
+        cfg=CurationConfig(near_dup=False, pack_budget=16),
+    ).to_pandas()
+    # doc 0 survives, doc 1 is an exact dup, 2 fails quality, 3 is
+    # Spanish, 4 survives
+    assert sorted(out.doc_id.tolist()) == [0, 4]
+    assert {"pack_offset", "pack_first_chunk", "pack_n_chunks"} <= set(
+        out.columns
+    )
+    o = out.sort_values("doc_id")
+    assert o.pack_offset.tolist()[0] == 0
+    assert o.pack_offset.tolist()[1] == o.n_tokens.tolist()[0]
+
+
+def test_curate_near_dup_drops_twin(ray_session):
+    texts = [
+        GOOD,
+        GOOD.replace("lazy", "sleepy"),  # near dup of doc 0
+        "completely different content about mountains and snow and "
+        "long winter evenings by the fire with hot tea and old books",
+    ]
+    out = curate(
+        _docs(ray_session, texts),
+        cfg=CurationConfig(near_dup=True, pack_budget=64),
+    ).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [0, 2]
+
+
+def test_curate_writes_partitioned(ray_session, tmp_path):
+    texts = [GOOD + f" variation {i}" for i in range(30)]
+    curate(
+        _docs(ray_session, texts),
+        out_dir=str(tmp_path / "out"),
+        cfg=CurationConfig(near_dup=False, pack_budget=8,
+                           partition_chunks=16),
+    )
+    parts = glob.glob(str(tmp_path / "out" / "pack_partition=*"))
+    assert len(parts) >= 2  # enough chunks to span partitions
+
+
+def test_incremental_dedup_across_runs(ray_session, tmp_path):
+    idx = str(tmp_path / "fpindex")
+    batch1 = _docs(ray_session, ["aaa", "bbb", "ccc", "aaa"])
+    fresh1 = incremental_dedup(batch1, idx, run_id="r1").to_pandas()
+    assert sorted(fresh1.text.tolist()) == ["aaa", "bbb", "ccc"]
+
+    # second ingest: one repeat of history, one new
+    batch2 = _docs(ray_session, ["bbb", "ddd"], start_id=10)
+    fresh2 = incremental_dedup(batch2, idx, run_id="r2").to_pandas()
+    assert fresh2.text.tolist() == ["ddd"]
+
+    # idempotent re-run of r2 must not double-register
+    batch2b = _docs(ray_session, ["bbb", "ddd"], start_id=10)
+    fresh2b = incremental_dedup(batch2b, idx, run_id="r2").to_pandas()
+    assert fresh2b.text.tolist() == ["ddd"]
+
+    # third ingest sees ddd as history exactly once
+    batch3 = _docs(ray_session, ["ddd", "eee"], start_id=20)
+    fresh3 = incremental_dedup(batch3, idx, run_id="r3").to_pandas()
+    assert fresh3.text.tolist() == ["eee"]
