@@ -1456,3 +1456,145 @@ def ivfpq_search_index(
     return partials.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix and PCA whitening.
+#
+# The one dense-linear-algebra reduce a 100 TB embedding pipeline
+# needs: G = Xᵀ X and the column-sum vector, accumulated per batch
+# (d×d floats each — constant-size partials regardless of corpus) and
+# tree-merged; the driver then eigendecomposes the d×d covariance and
+# broadcasts the projection.  Whitening decorrelates dimensions before
+# PQ / LSH (Jégou et al. §V.A note the rotation; product quantizers
+# assume roughly isotropic subspaces).
+#
+# Value gate: the FLAT GRAM FORM (i, j, sum of x_i·x_j) is a plain SQL
+# double sum over the embeddings view — raw sums, not covariances, so
+# neither side depends on a library's covariance update formula; the
+# eigendecomposition itself is driver-deterministic given the gated
+# inputs and is asserted in tests (reconstruction + whitened-identity
+# properties), not in SQL.
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(G = Xᵀ X, column_sums, n) via per-batch partials — each partial
+    is one (d² + d + 1)-float row, so the reduce moves kilobytes."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _matrix(batch[vec_col])
+        g = x.T @ x
+        return pa.table(
+            {
+                "g": pa.array([g.reshape(-1)], pa.list_(pa.float64())),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "n": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = np.stack(t["g"].to_numpy(zero_copy_only=False)).sum(axis=0)
+        s = np.stack(t["s"].to_numpy(zero_copy_only=False)).sum(axis=0)
+        n = int(pc.sum(t["n"]).as_py() or 0)
+        return pa.table(
+            {
+                "g": pa.array([g], pa.list_(pa.float64())),
+                "s": pa.array([s], pa.list_(pa.float64())),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192,
+        zero_copy_batch=True,
+    )
+    merged = (
+        parts.repartition(8)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    ).take(1)[0]
+    g = np.asarray(merged["g"], dtype=np.float64)
+    d = int(round(len(g) ** 0.5))
+    return (
+        g.reshape(d, d),
+        np.asarray(merged["s"], dtype=np.float64),
+        int(merged["n"]),
+    )
+
+
+def gram_flat(
+    ds: rd.Dataset, vec_col: str = "embedding", ndigits: int = 6
+) -> rd.Dataset:
+    """The oracle-comparable form: one row per (i, j ≥ i) with the raw
+    product sum rounded to ``ndigits`` (upper triangle — G is
+    symmetric)."""
+    g, _, _ = gram_matrix(ds, vec_col)
+    d = g.shape[0]
+    iu = np.triu_indices(d)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "i": pa.array(iu[0].astype(np.int64)),
+                "j": pa.array(iu[1].astype(np.int64)),
+                "g": pa.array(round_half_away(g[iu], ndigits)),
+            }
+        )
+    )
+
+
+def gram_flat_sql(dim: int = 64, ndigits: int = 6) -> str:
+    return f"""
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+       round(SUM(emb[a.i + 1] * emb[b.j + 1]), {ndigits}) AS g
+FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+CROSS JOIN generate_series(0, {dim - 1}) AS a(i)
+CROSS JOIN generate_series(0, {dim - 1}) AS b(j)
+WHERE b.j >= a.i
+GROUP BY a.i, b.j
+"""
+
+
+def pca_whiten(
+    ds: rd.Dataset,
+    k: int | None = None,
+    eps: float = 1e-8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "whitened",
+) -> rd.Dataset:
+    """Append ``out_col``: the PCA-whitened (optionally k-truncated)
+    embedding.  Covariance from the distributed Gram reduce, eigh on
+    the driver (d×d), deterministic eigenvector sign (largest-|coeff|
+    positive), projection broadcast once."""
+    g, s, n = gram_matrix(ds, vec_col)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    if k is not None:
+        w, v = w[:k], v[:, :k]
+    # deterministic sign: flip so each eigenvector's largest-|.| coeff
+    # is positive (eigh's sign is arbitrary)
+    flip = np.sign(v[np.abs(v).argmax(axis=0), np.arange(v.shape[1])])
+    v = v * flip[None, :]
+    proj = v / np.sqrt(np.maximum(w, eps))[None, :]
+    ref = ray.put({"mean": mean, "proj": proj})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        x = _matrix(batch[vec_col])
+        out = (x - b["mean"][None, :]) @ b["proj"]
+        return batch.append_column(
+            out_col, pa.array(list(out), pa.list_(pa.float64()))
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
+    )
