@@ -180,3 +180,33 @@ SELECT * EXCLUDE (_rk) FROM (
   FROM {table}
 ) WHERE _rk <= {n_per_key}
 """
+
+
+def epoch_shuffle(
+    ds: rd.Dataset,
+    id_cols: Sequence[str],
+    epoch: int = 0,
+) -> rd.Dataset:
+    """Deterministic global shuffle for training epochs: order rows by
+    ``hash64(id ⊕ epoch)`` — a seeded pseudorandom permutation that is
+    reproducible across runs and cluster layouts (``random_shuffle``
+    is not), changes completely per epoch, and costs exactly one sort
+    shuffle.  The id tuple must be unique per row."""
+    from ..functions.sketches import hash64
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[id_cols[0]].astype(str)
+        for c in id_cols[1:]:
+            k = k + "\x1f" + df[c].astype(str)
+        k = k + f"\x1fepoch={epoch}"
+        df = df.copy()
+        df["_shuffle_key"] = hash64(k.to_numpy(dtype=object)).astype(
+            np.int64
+        )
+        return df
+
+    return (
+        ds.map_batches(key, batch_format="pandas")
+        .sort("_shuffle_key")
+        .drop_columns(["_shuffle_key"])
+    )

@@ -86,3 +86,30 @@ def test_stratified_sample_quota_and_determinism(ray_session, sf_dir):
     a = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     b = out2.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.sampling import (
+        epoch_shuffle,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(200), "v": np.arange(200)})
+
+    def order(ds, epoch):
+        return epoch_shuffle(ds, ["doc_id"], epoch).to_pandas()[
+            "doc_id"
+        ].tolist()
+
+    a = order(rd.from_pandas(df).repartition(4), epoch=0)
+    b = order(rd.from_pandas(df.sample(frac=1, random_state=3))
+              .repartition(7), epoch=0)
+    assert a == b  # layout/row-order invariant
+    c = order(rd.from_pandas(df).repartition(4), epoch=1)
+    assert a != c  # epochs differ
+    assert sorted(c) == list(range(200))  # still a permutation
+    # actually shuffled, not accidentally ordered
+    assert a != sorted(a)
