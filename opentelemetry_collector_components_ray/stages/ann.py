@@ -1465,9 +1465,15 @@ def ivfpq_search_index(
 # needs: G = Xᵀ X and the column-sum vector, accumulated per batch
 # (d×d floats each — constant-size partials regardless of corpus) and
 # tree-merged; the driver then eigendecomposes the d×d covariance and
-# broadcasts the projection.  Whitening decorrelates dimensions before
-# PQ / LSH (Jégou et al. §V.A note the rotation; product quantizers
-# assume roughly isotropic subspaces).
+# broadcasts the projection.  Whitening decorrelates dimensions
+# (Mahalanobis-izes the metric) — useful before LSH/cosine when the
+# anisotropy is nuisance variance.  NOTE, measured: full whitening is
+# NOT unconditionally good for PQ — when the high-variance directions
+# carry the cluster signal, flattening them amplifies noise dims and
+# ADC fidelity drops (0.95 → 0.57 corr on stretched clusters); that is
+# why OPQ balances subspace variance with a rotation instead of
+# flattening it.  The engine ships the decorrelation primitive; apply
+# it per-corpus after measuring.
 #
 # Value gate: the FLAT GRAM FORM (i, j, sum of x_i·x_j) is a plain SQL
 # double sum over the embeddings view — raw sums, not covariances, so
