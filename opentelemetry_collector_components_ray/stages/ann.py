@@ -1604,3 +1604,60 @@ def pca_whiten(
     return ds.map_batches(
         fn, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
     )
+
+
+def pca_rotate(
+    ds: rd.Dataset,
+    m: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> rd.Dataset:
+    """Decorrelating rotation WITHOUT variance flattening — the
+    OPQ-natural-baseline preprocessing for PQ (Ge et al., CVPR 2013
+    §4): rotate into the PCA basis (kills cross-dimension correlation,
+    which is what makes independent subspace quantizers lose
+    information) but keep each eigenvalue's scale (so signal-bearing
+    directions stay dominant — see the whitening caveat above).  With
+    ``m`` given, dimensions are snake-ordered across the m subspaces
+    (largest eigenvalue to subspace 0, next to 1, …, then back) so
+    every subspace receives a balanced variance budget.
+
+    Same distributed Gram reduce as :func:`pca_whiten`; the rotation is
+    orthonormal, so true L2 distances are EXACTLY preserved — only the
+    quantizer's view changes."""
+    g, s, n = gram_matrix(ds, vec_col)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    flip = np.sign(v[np.abs(v).argmax(axis=0), np.arange(v.shape[1])])
+    v = v * flip[None, :]
+    d = v.shape[1]
+    if m is not None:
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        # snake allocation: eigen-rank r goes to subspace s, slot k
+        perm = np.empty(d, dtype=np.int64)
+        r = 0
+        for k in range(dsub):
+            subs = range(m) if k % 2 == 0 else range(m - 1, -1, -1)
+            for sidx in subs:
+                perm[sidx * dsub + k] = r
+                r += 1
+        v = v[:, perm]
+    ref = ray.put({"mean": mean, "rot": v})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        x = _matrix(batch[vec_col])
+        out = (x - b["mean"][None, :]) @ b["rot"]
+        return batch.append_column(
+            out_col, pa.array(list(out), pa.list_(pa.float64()))
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
+    )
