@@ -1,0 +1,491 @@
+"""Exact substring (duplicated-span) deduplication.
+
+Removes every repeated long word-window across documents except one
+keeper occurrence — the training-data op published as "exact substring
+deduplication" (Lee et al., "Deduplicating Training Data Makes Language
+Models Better", ACL 2022), re-expressed word-level and Ray-Data-first
+instead of via a monolithic suffix array:
+
+1. **fingerprint** — one ``map_batches`` pass explodes each doc into
+   rolling k-word window fingerprints ``(gram:uint64, doc_id, pos)``;
+   the gram hash is a position-weighted combination of buffer-level
+   word hashes (`functions.sketches.hash64`), so the text itself never
+   leaves the fingerprint stage (16 bytes/window cross the wire, not
+   raw text).
+2. **find duplicated grams** — per-batch pandas combiner emits one
+   partial row per gram ``(keeper occurrence, d_lo, d_hi)``; partials
+   are hash-bucketed by gram and reduced per bucket.  A gram is
+   duplicated iff ``d_lo != d_hi`` (it occurs in ≥2 distinct docs) —
+   the min/max-doc pair is the cheapest mergeable "≥2 distinct" test.
+   The keeper is the lexicographically minimal ``(doc_id, pos)``
+   occurrence; merging per-batch minima yields the global minimum.
+3. **apply removals** — a word position is removed iff some window
+   covering it is a non-keeper occurrence of a duplicated gram.
+   Broadcast finish (small dup table): ``ray.put`` the sorted gram →
+   keeper arrays once, re-derive windows per batch, searchsorted
+   lookup, vectorized span-union, Arrow ``binary_join`` rebuild.
+   Distributed finish: removal starts come from a bucketed gram join
+   (``functions.join.bucket_join``), then docs and their removal rows
+   are co-located by a doc-id hash bucket and finished per group —
+   no worker ever holds the corpus or the dup table.
+
+Semantics (shared verbatim with the DuckDB twin
+``substring_dedup_sql``): words are ``text`` split on a single space;
+window ``(d, p)`` covers words ``[p, p+k)``; equality is exact word
+sequence (engine: 64-bit gram hash — collision probability over W
+windows is ~W²/2⁶⁵, negligible and deterministic); output per doc is
+``(doc_id, n_words, n_removed, clean_text)`` with kept words re-joined
+by a single space.
+
+Reference analogue: none (the collector has no corpus-level op); this
+extends the §2.8 dedup family alongside exact/MinHash/SimHash dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.sketches import hash64
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# position weights: distinct odd constants so windows are order-sensitive
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+_OUT_SCHEMA = {
+    "doc_id": "int64",
+    "n_words": "int64",
+    "n_removed": "int64",
+    "clean_text": "object",
+}
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in _OUT_SCHEMA.items()}
+    )
+
+
+def _flat_words(texts):
+    """Split a batch of texts on single spaces (exact
+    ``string_split(text, ' ')`` parity with the SQL twin — empty tokens
+    kept).  Returns (flat pyarrow words, word_hashes, doc_offsets,
+    word_counts)."""
+    arr = texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), pa.string())
+    words_list = pc.split_pattern(arr, " ")
+    flat = pc.list_flatten(words_list)
+    counts = np.asarray(pc.list_value_length(words_list), dtype=np.int64)
+    h = hash64(flat)
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        np.cumsum(counts[:-1], out=offsets[1:])
+    return flat, h, offsets, counts
+
+
+def _window_grams(h: np.ndarray, offsets: np.ndarray, counts: np.ndarray,
+                  k: int):
+    """Rolling k-word gram hashes over the flat word-hash array with doc
+    boundaries masked out.  Returns (gram, doc_idx, pos) for every
+    window that fits inside one doc — pos is the 0-based word offset
+    within its doc."""
+    n = len(h)
+    ncomb = max(n - k + 1, 0)
+    comb = np.zeros(ncomb, dtype=np.uint64)
+    for j in range(k):
+        comb = comb + (_GOLD + np.uint64(2 * j + 1)) * h[j : ncomb + j]
+    doc_of = np.repeat(np.arange(len(counts)), counts)[:ncomb]
+    idx = np.arange(ncomb)
+    ends = offsets + counts
+    if ncomb:
+        valid = idx + k - 1 < ends[doc_of]
+    else:
+        valid = np.zeros(0, dtype=bool)
+    d = doc_of[valid]
+    return comb[valid], d, idx[valid] - offsets[d]
+
+
+def _fingerprint_fn(text_col: str, id_col: str, k: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        _, h, off, cnt = _flat_words(batch[text_col])
+        gram, didx, pos = _window_grams(h, off, cnt, k)
+        return pa.table(
+            {
+                "gram": pa.array(gram, pa.uint64()),
+                "doc_id": pa.array(ids[didx].astype(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """(gram, doc_id, pos) occurrences → one mergeable row per gram:
+    keeper = min (doc_id, pos); d_lo/d_hi = min/max doc seen."""
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(dtype="uint64"),
+                "keep_doc": pd.Series(dtype="int64"),
+                "keep_pos": pd.Series(dtype="int64"),
+                "d_lo": pd.Series(dtype="int64"),
+                "d_hi": pd.Series(dtype="int64"),
+            }
+        )
+    if "keep_doc" not in df.columns:  # raw occurrence rows
+        df = df.rename(columns={"doc_id": "keep_doc", "pos": "keep_pos"})
+        df["d_lo"] = df["keep_doc"]
+        df["d_hi"] = df["keep_doc"]
+    df = df.sort_values(["gram", "keep_doc", "keep_pos"], kind="mergesort")
+    g = df.groupby("gram", sort=False)
+    out = pd.DataFrame(
+        {
+            "keep_doc": g["keep_doc"].first(),
+            "keep_pos": g["keep_pos"].first(),
+            "d_lo": g["d_lo"].min(),
+            "d_hi": g["d_hi"].max(),
+        }
+    ).reset_index()
+    return out
+
+
+def duplicated_grams(
+    occ: rd.Dataset, num_buckets: int = 64
+) -> rd.Dataset:
+    """Occurrence fingerprints → ``(gram, keep_doc, keep_pos)`` for
+    every gram that appears in ≥2 distinct docs.  Combiner-first: one
+    partial row per (batch, gram) crosses the exchange, hash-bucketed
+    by gram so no worker holds the global gram space."""
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = _dup_partial(df)
+        df["_b"] = (
+            df["gram"].to_numpy() % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = _dup_partial(df.drop(columns=["_b"]))
+        df = df[df["d_lo"] != df["d_hi"]]
+        return df[["gram", "keep_doc", "keep_pos"]]
+
+    return (
+        occ.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def _apply_removals(
+    texts, ids: np.ndarray, rm_doc: np.ndarray, rm_pos: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Finish kernel shared by both paths: given docs and their
+    non-keeper duplicated-window START positions, union the covered
+    spans and rebuild clean text (kept words re-joined by ' ')."""
+    flat, _, off, cnt = _flat_words(texts)
+    n_flat = len(flat)
+    # doc_id value → batch-local index
+    order = np.argsort(ids, kind="stable")
+    loc = order[np.searchsorted(ids[order], rm_doc)]
+    # covered flat indices: off[doc] + pos + j for j in [0, k)
+    starts = off[loc] + rm_pos
+    removed = np.zeros(n_flat, dtype=bool)
+    if len(starts):
+        cover = (starts[:, None] + np.arange(k)[None, :]).ravel()
+        removed[cover] = True
+    kept = ~removed
+    kept_doc = np.repeat(np.arange(len(cnt)), cnt)[kept]
+    cnt_kept = np.bincount(kept_doc, minlength=len(cnt)).astype(np.int64)
+    new_off = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt_kept, out=new_off[1:])
+    flat_kept = flat.filter(pa.array(kept))
+    lists = pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32() if n_flat < 2**31 else pa.int64()),
+        flat_kept,
+    )
+    clean = pc.binary_join(lists, " ")
+    return pd.DataFrame(
+        {
+            "doc_id": ids.astype(np.int64),
+            "n_words": cnt,
+            "n_removed": cnt - cnt_kept,
+            "clean_text": clean.to_pandas().astype(object),
+        }
+    )
+
+
+def substring_dedup(
+    docs: rd.Dataset,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    distributed: Optional[bool] = None,
+) -> rd.Dataset:
+    """Cross-doc duplicated k-word-window removal →
+    ``(doc_id, n_words, n_removed, clean_text)``.
+
+    ``distributed=None`` → the estimator picks the finish
+    (`stages.aggregate.resolve_distributed`): broadcast the dup-gram
+    table when the input clearly fits one worker, else co-locate by
+    bucketed joins so nothing corpus-sized lands on the driver.  The
+    fingerprint pass is re-run per consumer (text is read twice) —
+    the streaming trade over materializing the occurrence table.
+    """
+    from .aggregate import resolve_distributed
+
+    occ = docs.map_batches(
+        _fingerprint_fn(text_col, id_col, k), batch_format="pyarrow"
+    )
+    dup = duplicated_grams(occ, num_buckets=num_buckets)
+
+    if resolve_distributed(docs, distributed):
+        return _finish_distributed(
+            docs, occ, dup, k, text_col, id_col, num_buckets
+        )
+    return _finish_broadcast(docs, dup, k, text_col, id_col)
+
+
+def _finish_broadcast(
+    docs: rd.Dataset, dup: rd.Dataset, k: int, text_col: str, id_col: str
+) -> rd.Dataset:
+    dup_df = dup.to_pandas()  # bounded: one row per duplicated gram
+    if "gram" not in dup_df.columns:  # fully-empty Dataset drops schema
+        dup_df = pd.DataFrame(
+            {
+                "gram": pd.Series(dtype="uint64"),
+                "keep_doc": pd.Series(dtype="int64"),
+                "keep_pos": pd.Series(dtype="int64"),
+            }
+        )
+    g = dup_df["gram"].to_numpy().astype(np.uint64)
+    order = np.argsort(g, kind="stable")
+    ref = ray.put(
+        (
+            g[order],
+            dup_df["keep_doc"].to_numpy()[order],
+            dup_df["keep_pos"].to_numpy()[order],
+        )
+    )
+
+    def finish(batch: pa.Table) -> pd.DataFrame:
+        grams_s, keep_doc, keep_pos = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, h, off, cnt = _flat_words(batch[text_col])
+        gram, didx, pos = _window_grams(h, off, cnt, k)
+        if len(grams_s) and len(gram):
+            j = np.searchsorted(grams_s, gram)
+            j = np.clip(j, 0, len(grams_s) - 1)
+            hit = grams_s[j] == gram
+            not_keeper = (ids[didx] != keep_doc[j]) | (pos != keep_pos[j])
+            rm = hit & not_keeper
+        else:
+            rm = np.zeros(len(gram), dtype=bool)
+        return _apply_removals(
+            batch[text_col], ids, ids[didx[rm]], pos[rm], k
+        )
+
+    return docs.map_batches(finish, batch_format="pyarrow")
+
+
+def _finish_distributed(
+    docs: rd.Dataset,
+    occ: rd.Dataset,
+    dup: rd.Dataset,
+    k: int,
+    text_col: str,
+    id_col: str,
+    num_buckets: int,
+) -> rd.Dataset:
+    from ..functions.join import bucket_join
+
+    joined = bucket_join(occ, dup, on="gram", num_buckets=num_buckets)
+    # non-keeper occurrences of duplicated grams → removal starts
+    removals = joined.map_batches(
+        lambda df: df.loc[
+            (df["doc_id"] != df["keep_doc"]) | (df["pos"] != df["keep_pos"]),
+            ["doc_id", "pos"],
+        ].reset_index(drop=True),
+        batch_format="pandas",
+    )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        # build from numpy — indexed Series would align on the block
+        # index and fabricate NaN rows after upstream .loc filters
+        out = pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy().astype(np.int64),
+                "pos": np.full(len(df), -1, dtype=np.int64),
+                "text": df[text_col].to_numpy(dtype=object),
+            }
+        )
+        out["_b"] = (
+            hash64(out["doc_id"].to_numpy()) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    def tag_rm(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "pos": df["pos"].to_numpy().astype(np.int64),
+                "text": np.full(len(df), None, dtype=object),
+            }
+        )
+        out["_b"] = (
+            hash64(out["doc_id"].to_numpy()) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    both = docs.map_batches(tag_docs, batch_format="pandas").union(
+        removals.map_batches(tag_rm, batch_format="pandas")
+    )
+
+    def finish_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["pos"].to_numpy() < 0
+        if not is_doc.any():
+            return _empty_out()
+        d = df[is_doc]
+        r = df[~is_doc]
+        texts = pa.array(d["text"].to_numpy(), pa.string())
+        return _apply_removals(
+            texts,
+            d["doc_id"].to_numpy(),
+            r["doc_id"].to_numpy(),
+            r["pos"].to_numpy(),
+            k,
+        )
+
+    return both.groupby("_b").map_groups(
+        lambda df: finish_bucket(df.drop(columns=["_b"])),
+        batch_format="pandas",
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic planted corpus + DuckDB twin
+
+
+PASSAGE_A = (
+    "shared passage alpha beta gamma delta epsilon zeta eta theta"
+)
+PASSAGE_B = (
+    "common boilerplate one two three four five six seven eight nine"
+)
+
+
+def plant_passages(docs: rd.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Deterministically derive a corpus with cross-doc duplicated
+    spans (the synthetic documents table has no natural long repeats):
+    docs with ``doc_id % 5 == 2`` get PASSAGE_A appended, docs with
+    ``doc_id % 7 == 3`` get PASSAGE_B prepended (append first, then
+    prepend — a doc can get both).  The SQL twin applies the identical
+    CASE chain, so the gate is non-vacuous by construction."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        txt = batch[text_col].to_pandas().astype(object)
+        m_a = (ids % 5) == 2
+        if m_a.any():
+            txt[m_a] = txt[m_a] + (" " + PASSAGE_A)
+        m_b = (ids % 7) == 3
+        if m_b.any():
+            txt[m_b] = (PASSAGE_B + " ") + txt[m_b]
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, pa.array(txt, pa.string()))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def substring_dedup_sql(k: int = 8, planted: bool = True) -> str:
+    """DuckDB value oracle mirroring ``substring_dedup`` over
+    (optionally planted) ``documents``: same space split, same window
+    rule, same keeper rule (lexicographic min (doc_id, pos)), same
+    position-union removal, same re-join."""
+    src = (
+        f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3
+                    THEN '{PASSAGE_B}' || ' ' ||
+                         CASE WHEN doc_id % 5 = 2
+                              THEN text || ' ' || '{PASSAGE_A}'
+                              ELSE text END
+                    WHEN doc_id % 5 = 2
+                    THEN text || ' ' || '{PASSAGE_A}'
+                    ELSE text END AS text
+        FROM documents
+        """
+        if planted
+        else "SELECT doc_id, text FROM documents"
+    )
+    return f"""
+WITH src AS ({src}),
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM src
+),
+occ AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - {k} + 1)) AS i,
+         w
+  FROM words
+),
+occ2 AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i : i + {k} - 1], ' ') AS gram
+  FROM occ
+),
+dup AS (
+  SELECT gram,
+         min(doc_id * 4294967296 + pos) AS keep_key
+  FROM occ2
+  GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+),
+removals AS (
+  SELECT o.doc_id, o.pos
+  FROM occ2 o JOIN dup USING (gram)
+  WHERE o.doc_id * 4294967296 + o.pos <> dup.keep_key
+),
+removed_pos AS (
+  SELECT DISTINCT doc_id,
+         pos + unnest(generate_series(0, {k} - 1)) AS wpos
+  FROM removals
+),
+per_word AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w))) - 1 AS wpos,
+         w
+  FROM words
+),
+kept AS (
+  SELECT p.doc_id, p.wpos, p.w[p.wpos + 1] AS word
+  FROM per_word p
+  LEFT JOIN removed_pos r
+    ON p.doc_id = r.doc_id AND p.wpos = r.wpos
+  WHERE r.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(w.w)::BIGINT AS n_words,
+       (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM words w LEFT JOIN agg a USING (doc_id)
+"""
