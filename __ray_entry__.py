@@ -45,6 +45,7 @@ from opentelemetry_collector_components_ray.stages import text as _text
 from opentelemetry_collector_components_ray.stages import (
     profiling as _profiling,
 )
+from opentelemetry_collector_components_ray.stages import substr as _substr
 from opentelemetry_collector_components_ray.sources import (
     promrw as _promrw,
 )
@@ -1265,34 +1266,40 @@ def _q_cosine_topk(sf_dir: str):
     ivfpq = ivfpq.map_batches(
         tag("ivfpq_adc", "adc_d2"), batch_format="pyarrow"
     )
-    return exact.union(pq).union(ivfpq)
 
-
-def _q_ivf_topk(sf_dir: str):
-    """Persistent IVF index end-to-end, VALUE-GATED (round 3): build
-    the parquet index (hive-partitioned by centroid_id, √N centroids),
-    then search with EXHAUSTIVE probes (nprobe = n_centroids) so the
-    result is exact and the brute-force cosine SQL is a value oracle —
-    proving the train/assign/partition/search/merge machinery
-    end-to-end.  The probe-PRUNED configuration (the scale path) is
-    benched in bench.py and its recall + streaming≡index equality are
-    unit-tested.  tempfile index dir: concurrent driver runs don't
-    race (round-2 verdict minor #5)."""
-    import shutil
-    import tempfile
-
-    from opentelemetry_collector_components_ray.stages import ann
-
-    idx = tempfile.mkdtemp(prefix="occr_ivf_index_")
+    # ivf_exact: the persistent float IVF index end-to-end (formerly the
+    # e_ivf_topk slot — folded here round 3 session 3 to free a slot for
+    # d_substring_dedup).  Exhaustive probes make the index search exact,
+    # so the brute-force cosine twin is a value oracle for the
+    # train/assign/partition/search/merge machinery; the probe-PRUNED
+    # configuration is benched and recall-tested instead.
+    idx2 = tempfile.mkdtemp(prefix="occr_ivf_index_")
     try:
-        embs = _embs(sf_dir)
-        n_cent = ann.auto_n_centroids(embs)
-        ann.ivf_build_index(embs, idx, n_centroids=n_cent)
-        return ann.ivf_search_index(
-            idx, embs.filter(expr="vec_id < 5"), k=10, nprobe=n_cent
+        ann.ivf_build_index(embs, idx2, n_centroids=n_cent)
+        ivf = ann.ivf_search_index(
+            idx2, queries, k=10, nprobe=n_cent
         ).materialize()
     finally:
-        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(idx2, ignore_errors=True)
+    ivf = ivf.map_batches(tag("ivf_exact", "sim"), batch_format="pyarrow")
+    return exact.union(pq).union(ivfpq).union(ivf)
+
+
+def _q_substring_dedup(sf_dir: str):
+    """Exact substring (duplicated-span) dedup over the documents
+    table with deterministically planted cross-doc passages (the
+    synthetic corpus has no natural long repeats — `plant_passages`
+    appends/prepends two fixed spans by doc_id residue, and the SQL
+    twin applies the identical CASE chain, so the gate is non-vacuous
+    by construction).  Every repeated k=8-word window loses all but
+    its lexicographically-first occurrence; output is
+    (doc_id, n_words, n_removed, clean_text)."""
+    from opentelemetry_collector_components_ray.stages import substr
+
+    docs = substr.plant_passages(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+    return substr.substring_dedup(docs, k=8)
 
 
 def _q_quantize(sf_dir: str):
@@ -1409,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_minhash_pairs": _q_minhash_pairs,
         "d_simhash_pairs": _q_simhash_pairs,
         "d_minhash_dedup_keep": _q_minhash_dedup_keep,
+        "d_substring_dedup": _q_substring_dedup,
         "d_text_profile": _q_text_profile,
         "d_lm_stats": _q_lm_stats,
         "d_decontaminate": _q_decontaminate,
@@ -1420,7 +1428,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_cosine_topk": _q_cosine_topk,
         "e_quantize": _q_quantize,
         "e_cosine_neardup": _q_cosine_neardup,
-        "e_ivf_topk": _q_ivf_topk,
         "e_embedding_clusters": _q_embedding_clusters,
         # real BMP/WAV decode kernels (video codec stubbed); value-gated
         # via closed-form payload formulas the oracle recomputes
@@ -1572,6 +1579,11 @@ def oracle_sql() -> dict[str, str]:
         # clustering ⇒ recursive-CTE closure over the brute-force pair
         # set is the exact component structure.
         "d_minhash_dedup_keep": _dedup.minhash_keep_verified_sql(0.8, 3),
+        # d_substring_dedup (value-gated): the twin replays the exact
+        # word-window semantics — same space split, same k, same
+        # lexicographic-min keeper, same position-union removal — over
+        # the identically planted corpus (stages/substr.py)
+        "d_substring_dedup": _substr.substring_dedup_sql(k=8, planted=True),
         # e_embedding_clusters (value-gated, round 3): components over
         # the planted-twin corpus are exactly the qualifying twin pairs.
         "e_embedding_clusters": _ann.embedding_clusters_sql(
@@ -1607,10 +1619,11 @@ def oracle_sql() -> dict[str, str]:
         # the corpus-derived codebook (both twins recompute from the
         # embeddings view alone; see stages/ann.py PQ section)
         "e_cosine_topk": (
-            "SELECT 'exact' AS variant, query_id, vec_id, sim AS score,"
-            " rank FROM ("
+            "SELECT v.variant, s.query_id, s.vec_id, s.sim AS score,"
+            " s.rank FROM ("
             + _ann.cosine_topk_sql(k=10, n_queries=5)
-            + ") UNION ALL "
+            + ") s CROSS JOIN (VALUES ('exact'), ('ivf_exact'))"
+            " AS v(variant) UNION ALL "
             "SELECT v.variant, s.query_id, s.vec_id,"
             " s.adc_d2 AS score, s.rank FROM ("
             + _ann.pq_adc_topk_sql(m=8, dsub=8, n_codes=128, k=10,
@@ -1618,9 +1631,6 @@ def oracle_sql() -> dict[str, str]:
             + ") s CROSS JOIN (VALUES ('pq_adc'), ('ivfpq_adc'))"
             " AS v(variant)"
         ),
-        # e_ivf_topk (value-gated, round 3): exhaustive probes make the
-        # IVF index search exact, so the brute-force oracle applies.
-        "e_ivf_topk": _ann.cosine_topk_sql(k=10, n_queries=5),
         # e_quantize: tag-union of the int8 flat form and the PQ code
         # assignment (subspace→dim_idx, code→q, scale fixed 0.0)
         "e_quantize": (
