@@ -200,6 +200,38 @@ def main() -> None:
         lambda: dedup_mod.exact_dedup(docs).count()
     )
 
+    # exact substring dedup at 500k genuinely-diverse docs (~13M
+    # rolling 8-word windows): planted passages are the duplicated
+    # spans; broadcast finish (the estimator default at this size) and
+    # the fully-bucketed scale path benched side by side, like
+    # doc_minhash_pairs
+    def _substr_corpus():
+        from opentelemetry_collector_components_ray.stages import substr
+        from opentelemetry_collector_components_ray.synth import (
+            synth_random_documents,
+        )
+
+        return substr.plant_passages(
+            synth_random_documents(500_000)
+        ).materialize()
+
+    sub_docs = _substr_corpus()
+    from opentelemetry_collector_components_ray.stages import (
+        substr as substr_mod,
+    )
+
+    queries["doc_substring_dedup_500k"], _ = _timed(
+        lambda: substr_mod.substring_dedup(
+            sub_docs, k=8, distributed=False
+        ).count()
+    )
+    queries["doc_substring_dedup_500k_distributed"], _ = _timed(
+        lambda: substr_mod.substring_dedup(
+            sub_docs, k=8, distributed=True, num_buckets=256
+        ).count()
+    )
+    del sub_docs
+
     def decontam_run():
         from opentelemetry_collector_components_ray.stages import decontam
 

@@ -130,60 +130,99 @@ def _fingerprint_fn(text_col: str, id_col: str, k: int):
     return fn
 
 
-def _dup_partial(df: pd.DataFrame) -> pd.DataFrame:
-    """(gram, doc_id, pos) occurrences → one mergeable row per gram:
-    keeper = min (doc_id, pos); d_lo/d_hi = min/max doc seen."""
-    if not len(df):
-        return pd.DataFrame(
-            {
-                "gram": pd.Series(dtype="uint64"),
-                "keep_doc": pd.Series(dtype="int64"),
-                "keep_pos": pd.Series(dtype="int64"),
-                "d_lo": pd.Series(dtype="int64"),
-                "d_hi": pd.Series(dtype="int64"),
-            }
+def _dup_partial_np(
+    gram: np.ndarray,
+    keep_doc: np.ndarray,
+    keep_pos: np.ndarray,
+    d_lo: np.ndarray,
+    d_hi: np.ndarray,
+):
+    """Vectorized mergeable reduce per gram: keeper = lexicographic min
+    (keep_doc, keep_pos); d_lo/d_hi = min/max doc seen.  One lexsort +
+    reduceat — no pandas groupby on the hot path."""
+    if not len(gram):
+        return (gram,) + tuple(
+            np.empty(0, dtype=np.int64) for _ in range(4)
         )
-    if "keep_doc" not in df.columns:  # raw occurrence rows
-        df = df.rename(columns={"doc_id": "keep_doc", "pos": "keep_pos"})
-        df["d_lo"] = df["keep_doc"]
-        df["d_hi"] = df["keep_doc"]
-    df = df.sort_values(["gram", "keep_doc", "keep_pos"], kind="mergesort")
-    g = df.groupby("gram", sort=False)
-    out = pd.DataFrame(
-        {
-            "keep_doc": g["keep_doc"].first(),
-            "keep_pos": g["keep_pos"].first(),
-            "d_lo": g["d_lo"].min(),
-            "d_hi": g["d_hi"].max(),
-        }
-    ).reset_index()
-    return out
+    order = np.lexsort((keep_pos, keep_doc, gram))
+    g = gram[order]
+    starts = np.empty(len(g), dtype=bool)
+    starts[0] = True
+    starts[1:] = g[1:] != g[:-1]
+    idx = np.flatnonzero(starts)
+    return (
+        g[idx],
+        keep_doc[order][idx],  # first within gram = lexicographic min
+        keep_pos[order][idx],
+        np.minimum.reduceat(d_lo[order], idx),
+        np.maximum.reduceat(d_hi[order], idx),
+    )
+
+
+def _dup_table(gram, keep_doc, keep_pos, d_lo, d_hi,
+               bucket: Optional[int] = None) -> pa.Table:
+    cols = {
+        "gram": pa.array(gram, pa.uint64()),
+        "keep_doc": pa.array(keep_doc.astype(np.int64), pa.int64()),
+        "keep_pos": pa.array(keep_pos.astype(np.int64), pa.int64()),
+        "d_lo": pa.array(d_lo.astype(np.int64), pa.int64()),
+        "d_hi": pa.array(d_hi.astype(np.int64), pa.int64()),
+    }
+    if bucket is not None:
+        cols["_b"] = pa.array(
+            (gram % np.uint64(bucket)).astype(np.int64), pa.int64()
+        )
+    return pa.table(cols)
+
+
+def _as_np(t: pa.Table, col: str, dtype) -> np.ndarray:
+    return t[col].to_numpy(zero_copy_only=False).astype(dtype)
 
 
 def duplicated_grams(
     occ: rd.Dataset, num_buckets: int = 64
 ) -> rd.Dataset:
     """Occurrence fingerprints → ``(gram, keep_doc, keep_pos)`` for
-    every gram that appears in ≥2 distinct docs.  Combiner-first: one
-    partial row per (batch, gram) crosses the exchange, hash-bucketed
-    by gram so no worker holds the global gram space."""
+    every gram that appears in ≥2 distinct docs (min-doc ≠ max-doc is
+    the cheapest mergeable "≥2 distinct docs" test).  Combiner-first:
+    one partial row per (block, gram) crosses the exchange,
+    hash-bucketed by gram so no worker holds the global gram space."""
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = _dup_partial(df)
-        df["_b"] = (
-            df["gram"].to_numpy() % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        doc = _as_np(t, "doc_id", np.int64)
+        out = _dup_partial_np(
+            _as_np(t, "gram", np.uint64),
+            doc,
+            _as_np(t, "pos", np.int64),
+            doc,
+            doc,
+        )
+        return _dup_table(*out, bucket=num_buckets)
 
-    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = _dup_partial(df.drop(columns=["_b"]))
-        df = df[df["d_lo"] != df["d_hi"]]
-        return df[["gram", "keep_doc", "keep_pos"]]
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        g, kd, kp, lo, hi = _dup_partial_np(
+            _as_np(t, "gram", np.uint64),
+            _as_np(t, "keep_doc", np.int64),
+            _as_np(t, "keep_pos", np.int64),
+            _as_np(t, "d_lo", np.int64),
+            _as_np(t, "d_hi", np.int64),
+        )
+        dup = lo != hi
+        return pa.table(
+            {
+                "gram": pa.array(g[dup], pa.uint64()),
+                "keep_doc": pa.array(kd[dup], pa.int64()),
+                "keep_pos": pa.array(kp[dup], pa.int64()),
+            }
+        )
 
     return (
-        occ.map_batches(bucketize, batch_format="pandas")
+        occ.map_batches(
+            bucketize, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
         .groupby("_b")
-        .map_groups(reduce_bucket, batch_format="pandas")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
 
@@ -247,7 +286,10 @@ def substring_dedup(
     from .aggregate import resolve_distributed
 
     occ = docs.map_batches(
-        _fingerprint_fn(text_col, id_col, k), batch_format="pyarrow"
+        _fingerprint_fn(text_col, id_col, k),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
     )
     dup = duplicated_grams(occ, num_buckets=num_buckets)
 
@@ -297,7 +339,10 @@ def _finish_broadcast(
             batch[text_col], ids, ids[didx[rm]], pos[rm], k
         )
 
-    return docs.map_batches(finish, batch_format="pyarrow")
+    return docs.map_batches(
+        finish, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
 
 
 def _finish_distributed(
@@ -309,9 +354,21 @@ def _finish_distributed(
     id_col: str,
     num_buckets: int,
 ) -> rd.Dataset:
+    from ..functions.bloom import bloom_prefilter, build_bloom
     from ..functions.join import bucket_join
 
-    joined = bucket_join(occ, dup, on="gram", num_buckets=num_buckets)
+    # dup is the small side by construction (one row per duplicated
+    # gram) and is consumed twice (bloom build + join) — pin it
+    dup = dup.materialize()
+    # Bloom over the dup grams, broadcast once: occurrences that miss
+    # are DEFINITELY not duplicated and never enter the exchange — at
+    # realistic duplication rates this turns the all-to-all from
+    # |corpus windows| into |duplicated windows| (the filter only
+    # prunes; the bucketed join stays exact)
+    bf = build_bloom(dup, "gram", n_keys=max(dup.count(), 1))
+    occ_cand = bloom_prefilter(occ, bf, "gram", keep_hits=True)
+
+    joined = bucket_join(occ_cand, dup, on="gram", num_buckets=num_buckets)
     # non-keeper occurrences of duplicated grams → removal starts
     removals = joined.map_batches(
         lambda df: df.loc[

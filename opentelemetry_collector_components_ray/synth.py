@@ -382,3 +382,59 @@ SELECT * FROM (
   FROM events WHERE event_type = 'purchase'
 )
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic random documents (substring-dedup bench corpus)
+
+_DOC_VOCAB = (
+    "key agg row scan slow fast table value part hash "
+    "merge batch spark line sort window frame join group filter"
+).split()
+
+
+def synth_random_documents(n_docs: int, num_blocks: int = 64):
+    """Deterministic hash-derived random documents — genuinely diverse
+    texts (each word is ``splitmix64(doc_id << 20 ^ pos) % |vocab|``),
+    so cross-doc k-gram duplication is birthday-rare and planted
+    passages dominate the duplicated-gram set.  A linear-congruential
+    formula is NOT enough here: ``(a + b*pos) % V`` collapses to ≤V²
+    distinct texts and makes every window duplicated (measured — it
+    turns the substring-dedup bench into its worst case)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .functions.sketches import _splitmix64
+
+    vocab = np.array(_DOC_VOCAB)
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n_words = 24 + (ids % 13)
+        doc_of = np.repeat(np.arange(len(ids)), n_words)
+        total = int(n_words.sum())
+        pos = np.arange(total) - np.repeat(
+            np.cumsum(n_words) - n_words, n_words
+        )
+        h = _splitmix64(
+            (ids[doc_of].astype(np.uint64) << np.uint64(20))
+            ^ pos.astype(np.uint64)
+        )
+        w = vocab[(h % np.uint64(len(vocab))).astype(np.int64)]
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(n_words, out=offs[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(w)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return rd.range(n_docs, override_num_blocks=num_blocks).map_batches(
+        make, batch_format="pyarrow", batch_size=None
+    )
