@@ -859,13 +859,18 @@ def _q_top_tools(sf_dir: str):
     return exact.union(mg)
 
 
+_MIX_QUOTAS = {"assistant": 1200, "tool": 700, "user": 1200}
+
+
 def _q_sampling(sf_dir: str):
-    """All three sampling ops in one tag-union result (round 3 —
+    """All four sampling ops in one tag-union result (round 3 —
     consolidates the former t_sample / t_split / t_stratified_sample
     slots so every registered query keeps a value oracle within the
     driver's 50-query budget): deterministic md5-keyed sample,
-    train/val/test split assignment, and per-key quota stratified
-    sample, distinguished by a ``method`` column."""
+    train/val/test split assignment, per-key quota stratified sample,
+    and domain-mix quota rebalancing (role-keyed caps; `system` absent
+    from the mix config is dropped entirely), distinguished by a
+    ``method`` column."""
     import pyarrow as pa
 
     from opentelemetry_collector_components_ray.sources import read_transcripts
@@ -897,7 +902,12 @@ def _q_sampling(sf_dir: str):
     strat = sampling.stratified_sample(
         read_transcripts(sf_dir), "conv_id", n_per_key=10
     ).map_batches(tag("stratified", True), batch_format="pyarrow")
-    return samp.union(spl).union(strat)
+    # mix: per-domain quota rebalancing (round 3 session 3) — cap each
+    # role at a target count, drop roles outside the mix config
+    mix = sampling.quota_mix_sample(
+        read_transcripts(sf_dir), "role", _MIX_QUOTAS
+    ).map_batches(tag("mix", True), batch_format="pyarrow")
+    return samp.union(spl).union(strat).union(mix)
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -1159,10 +1169,14 @@ def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (round 3): deterministic snippet set
     broadcast once, vectorized substring scan per batch, clean corpus
     via the distributed anti_join (stages/decontam.py) — both halves
-    value-gated by the position()-based DuckDB twin."""
+    value-gated by the position()-based DuckDB twin.  Third mode
+    (session 3): embedding-cosine overlap vs the planted-twin benchmark
+    set — one broadcast matmul per batch, brute-force SQL twin."""
     from opentelemetry_collector_components_ray.stages import decontam
 
-    return decontam.decontam_report(_docs(sf_dir))
+    return decontam.decontam_report(_docs(sf_dir)).union(
+        decontam.embedding_decontam_report(_embs(sf_dir))
+    )
 
 
 def _q_promrw(sf_dir: str):
@@ -1493,7 +1507,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'stratified' AS method, '' AS split, conv_id, turn_idx, "
             "role, text, tool, ts FROM "
-            f"({_sampling.stratified_sample_sql('conv_id', 10)}) t"
+            f"({_sampling.stratified_sample_sql('conv_id', 10)}) t "
+            "UNION ALL "
+            "SELECT 'mix' AS method, '' AS split, conv_id, turn_idx, "
+            "role, text, tool, ts FROM "
+            f"({_sampling.quota_mix_sample_sql('role', _MIX_QUOTAS)}) t"
         ),
         "t_conv_stats": f"{_CTE} {_conv.CONV_STATS_SQL}",
         "t_conv_head": f"{_CTE} {_conv.conv_head_sql(3)}",
@@ -1602,7 +1620,11 @@ def oracle_sql() -> dict[str, str]:
             _text.text_profile_sql(), budget=512
         ),
         "d_lm_stats": _lm.lm_stats_sql(k=20),
-        "d_decontaminate": _decontam.DECONTAM_REPORT_SQL,
+        "d_decontaminate": (
+            "SELECT * FROM (" + _decontam.DECONTAM_REPORT_SQL + ") "
+            "UNION ALL SELECT * FROM ("
+            + _decontam.embedding_decontam_sql() + ")"
+        ),
         "d_redact": (
             f"WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text "
             "FROM documents) "

@@ -286,3 +286,106 @@ SELECT d.doc_id, 'ngram{NGRAM_N}' AS mode,
        coalesce(nh.n_hits, 0)::BIGINT AS n_hits
 FROM documents d LEFT JOIN nhits nh USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine decontamination (third mode, round 3 session 3): a
+# document is contaminated when its embedding is >= tau-similar to any
+# benchmark embedding — the semantic-overlap complement to verbatim
+# substring / n-gram matching (catches paraphrased benchmark items).
+# Benchmark set = deterministic planted twins (ann.plant_near_dup_twins)
+# so the gate is non-vacuous and the SQL twin recomputes every
+# similarity brute-force at driver scale.
+# ---------------------------------------------------------------------------
+
+EMB_EVERY = 10
+EMB_OFFSET = 1_000_000
+EMB_EPS = 0.1
+EMB_THRESHOLD = 0.99
+
+
+def embedding_decontam_report(embs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, mode='embedding', status, n_hits) over the embeddings
+    corpus vs the planted-twin benchmark set.
+
+    The benchmark matrix is broadcast once (small by definition: one
+    row per benchmark item — real decontamination benchmarks are a few
+    thousand rows, never corpus-sized); per-batch work is one
+    vectorized normalized matmul with a rounded threshold compare, the
+    exact float contract of ``ann.cosine_topk``.  No shuffle anywhere:
+    corpus → one map_batches."""
+    from .ann import (
+        _matrix,
+        _normalize,
+        plant_near_dup_twins,
+        round_half_away,
+    )
+
+    planted = plant_near_dup_twins(
+        embs, every=EMB_EVERY, eps=EMB_EPS, offset=EMB_OFFSET
+    )
+    bench = planted.filter(expr=f"vec_id >= {EMB_OFFSET}")
+    bench_df = bench.to_pandas()  # benchmark side: bounded small
+    bmat = _normalize(
+        np.stack(bench_df["embedding"].to_numpy()).astype(np.float64)
+    )
+    ref = ray.put(bmat)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        m = _normalize(_matrix(batch["embedding"]))
+        sims = round_half_away(m @ b.T, 6)
+        n_hits = (sims >= EMB_THRESHOLD).sum(axis=1).astype(np.int64)
+        status = np.where(n_hits > 0, "contaminated", "clean")
+        return pa.table(
+            {
+                "doc_id": batch["vec_id"],
+                "mode": pa.array(
+                    ["embedding"] * len(batch), pa.string()
+                ),
+                "status": pa.array(status, pa.string()),
+                "n_hits": pa.array(n_hits),
+            }
+        )
+
+    corpus = planted.filter(expr=f"vec_id < {EMB_OFFSET}")
+    return corpus.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_decontam_sql(
+    every: int = EMB_EVERY,
+    offset: int = EMB_OFFSET,
+    eps: float = EMB_EPS,
+    threshold: float = EMB_THRESHOLD,
+    dim: int = 64,
+) -> str:
+    """Brute-force DuckDB twin: rebuild the twin benchmark vectors with
+    the same roll-and-perturb formula (float32 cast parity — see
+    ann.cosine_neardup_sql), then count, per corpus vector, benchmark
+    vectors at rounded cosine >= threshold.  Exact because organic
+    similarities (~0.51 max) sit far below the planted 0.995."""
+    return f"""
+WITH bench AS (
+  SELECT list_transform(
+           generate_series(1, {dim}),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + {eps} * CAST(embedding[CASE WHEN i = 1 THEN {dim}
+                                              ELSE i - 1 END] AS DOUBLE)
+                     AS FLOAT)
+         ) AS twin
+  FROM embeddings WHERE vec_id % {every} = 0
+),
+hits AS (
+  SELECT e.vec_id AS doc_id, count(*)::BIGINT AS n_hits
+  FROM embeddings e JOIN bench b
+    ON round(list_cosine_similarity(
+         CAST(e.embedding AS DOUBLE[]), CAST(b.twin AS DOUBLE[])), 6)
+       >= {threshold}
+  GROUP BY e.vec_id
+)
+SELECT e.vec_id AS doc_id, 'embedding' AS mode,
+       CASE WHEN h.doc_id IS NULL THEN 'clean' ELSE 'contaminated' END
+         AS status,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits
+FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.doc_id
+"""

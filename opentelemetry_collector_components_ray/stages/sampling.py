@@ -182,6 +182,73 @@ SELECT * EXCLUDE (_rk) FROM (
 """
 
 
+def quota_mix_sample(
+    ds: rd.Dataset,
+    key: str,
+    quotas: dict,
+    id_expr_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Domain-mix rebalancing: keep at most ``quotas[k]`` rows of each
+    key value (keys absent from ``quotas`` are dropped), selecting the
+    rows with the smallest md5(row identity) — the deterministic
+    per-domain token-budget cap a training-data pipeline uses to hit a
+    target source mix.  Same bucketed machinery as
+    ``stratified_sample`` (per-key quota rank inside a hash bucket, no
+    global sort); the quota table is a plain broadcast-by-closure dict
+    (small by definition: one entry per domain)."""
+    from ..functions.blocks import to_clean_arrow
+    from ..functions.md5vec import md5_hex_np
+    from ..functions.sketches import hash64
+
+    cols = list(id_expr_cols)
+    q = dict(quotas)
+
+    def bucketize(df: pd.DataFrame):
+        df = df[df[key].isin(q.keys())].reset_index(drop=True).copy()
+        df["_bucket"] = (
+            hash64(df[key].to_numpy(dtype=object)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return to_clean_arrow(df)
+
+    def take_quota(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).copy()
+        ident = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            ident = ident + ":" + df[c].astype(str)
+        df["_h"] = md5_hex_np(ident.to_numpy(dtype=object))
+        df = df.sort_values([key, "_h"], kind="mergesort")
+        df["_rk"] = df.groupby(key).cumcount()
+        quota = df[key].map(q).to_numpy()
+        out = df[df["_rk"].to_numpy() < quota]
+        return out.drop(columns=["_h", "_rk"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(take_quota, batch_format="pandas")
+    )
+
+
+def quota_mix_sample_sql(
+    key: str, quotas: dict,
+    id_expr: str = "conv_id || ':' || CAST(turn_idx AS VARCHAR)",
+    table: str = "transcripts",
+) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(quotas.items())
+    )
+    keys = ", ".join(f"'{k}'" for k in sorted(quotas))
+    return f"""
+SELECT * EXCLUDE (_rk) FROM (
+  SELECT {table}.*,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY md5({id_expr})) AS _rk
+  FROM {table} WHERE {key} IN ({keys})
+) WHERE _rk <= CASE {key} {cases} ELSE 0 END
+"""
+
+
 def epoch_shuffle(
     ds: rd.Dataset,
     id_cols: Sequence[str],

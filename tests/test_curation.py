@@ -103,3 +103,30 @@ def test_incremental_dedup_across_runs(ray_session, tmp_path):
     batch3 = _docs(ray_session, ["ddd", "eee"], start_id=20)
     fresh3 = incremental_dedup(batch3, idx, run_id="r3").to_pandas()
     assert fresh3.text.tolist() == ["eee"]
+
+
+def test_embedding_decontam_report(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import decontam
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(60, dtype=np.int64),
+            "embedding": [
+                rng.normal(size=16).astype(np.float32) for _ in range(60)
+            ],
+        }
+    )
+    out = decontam.embedding_decontam_report(
+        rd.from_pandas(df).repartition(4)
+    ).to_pandas()
+    assert len(out) == 60  # corpus rows only, twins excluded
+    by_id = out.set_index("doc_id")
+    planted = set(range(0, 60, decontam.EMB_EVERY))
+    got = set(by_id[by_id["status"] == "contaminated"].index)
+    assert got == planted  # exactly the docs with a planted twin
+    assert (by_id.loc[sorted(planted), "n_hits"] == 1).all()

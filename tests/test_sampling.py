@@ -113,3 +113,43 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(ray_session):
     assert sorted(c) == list(range(200))  # still a permutation
     # actually shuffled, not accidentally ordered
     assert a != sorted(a)
+
+
+def test_quota_mix_sample(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.sampling import (
+        quota_mix_sample,
+        quota_mix_sample_sql,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(300)],
+            "turn_idx": np.arange(300) % 7,
+            "role": rng.choice(["user", "assistant", "system", "tool"], 300),
+        }
+    )
+    quotas = {"user": 20, "assistant": 5, "tool": 1000}  # system dropped
+    out = quota_mix_sample(
+        rd.from_pandas(df).repartition(5), "role", quotas
+    ).to_pandas()
+    counts = out["role"].value_counts().to_dict()
+    assert counts["user"] == 20
+    assert counts["assistant"] == 5
+    # quota above availability keeps everything
+    assert counts["tool"] == int((df["role"] == "tool").sum())
+    assert "system" not in counts
+
+    con = duckdb.connect()
+    con.register("transcripts", df)
+    want = con.execute(quota_mix_sample_sql("role", quotas)).df()
+    a = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = want[a.columns].sort_values(["conv_id", "turn_idx"]).reset_index(
+        drop=True
+    ).astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
