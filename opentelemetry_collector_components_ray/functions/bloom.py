@@ -116,7 +116,10 @@ def build_bloom(
         .repartition(1)
         .map_batches(or_merge, batch_format="pyarrow", batch_size=None)
     )
-    blob = merged.take(1)[0]["bloom"]
+    rows = merged.take(1)
+    if not rows:  # empty key set → all-miss filter (no bits set)
+        return BloomFilter(np.zeros(nbytes, dtype=np.uint8), m_bits, k)
+    blob = rows[0]["bloom"]
     return BloomFilter(
         np.frombuffer(blob, dtype=np.uint8).copy(), m_bits, k
     )

@@ -43,6 +43,10 @@ class CurationConfig:
     max_dup_word_frac: float = 0.5
     near_dup: bool = True
     minhash_kwargs: dict = field(default_factory=dict)
+    # when set, remove cross-doc duplicated k-word spans (exact
+    # substring dedup) after doc-level dedup, then RE-profile the
+    # rewritten text so packing budgets see the post-removal counts
+    substring_k: Optional[int] = None
     pack_budget: int = 512
     partition_chunks: int = 1024  # pack chunks per output partition
 
@@ -100,6 +104,28 @@ def curate(
             **cfg.minhash_kwargs,
         )
         deduped = semi_join(deduped, survivors, on=id_col)
+    if cfg.substring_k:
+        # span-level pass AFTER doc-level dedup (doc dups are gone, so
+        # only genuinely partial overlaps remain to rewrite); the text
+        # changes, so the profile is recomputed before packing
+        from .substr import substring_dedup
+
+        cleaned = substring_dedup(
+            deduped.select_columns([id_col, text_col]),
+            k=cfg.substring_k, text_col=text_col, id_col=id_col,
+        ).filter(expr="n_removed < n_words")
+
+        def swap_text(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_col: t["doc_id"], text_col: t["clean_text"]}
+            )
+
+        deduped = text_profile(
+            cleaned.map_batches(
+                swap_text, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            text_col,
+        )
     packed = concat_chunk_packing(
         deduped, budget=cfg.pack_budget, value_col="n_tokens",
         order_col=id_col,

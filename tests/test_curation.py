@@ -130,3 +130,26 @@ def test_embedding_decontam_report(ray_session):
     got = set(by_id[by_id["status"] == "contaminated"].index)
     assert got == planted  # exactly the docs with a planted twin
     assert (by_id.loc[sorted(planted), "n_hits"] == 1).all()
+
+
+def test_curate_substring_stage_rewrites_spans(ray_session):
+    shared = ("a little boat sails down the long green valley past "
+              "the old stone mill")
+    texts = [
+        GOOD + " " + shared,                 # keeper of the span
+        "different opening words here today now " + shared,
+        "completely different content about mountains and snow and "
+        "long winter evenings by the fire with hot tea and old books",
+    ]
+    out = curate(
+        _docs(ray_session, texts),
+        cfg=CurationConfig(near_dup=False, substring_k=8, pack_budget=64),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(out.doc_id.tolist()) == [0, 1, 2]
+    # doc 1 lost the shared 12-word span; doc 0 (keeper) kept it
+    t0, t1 = out.loc[0, "text"], out.loc[1, "text"]
+    assert shared in t0
+    assert shared not in t1
+    assert t1.startswith("different opening words")
+    # the packing budget saw the POST-removal token counts
+    assert out.loc[1, "n_tokens"] < out.loc[0, "n_tokens"]
