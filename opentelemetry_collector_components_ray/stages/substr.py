@@ -276,14 +276,16 @@ def substring_dedup(
     """Cross-doc duplicated k-word-window removal →
     ``(doc_id, n_words, n_removed, clean_text)``.
 
-    ``distributed=None`` → the estimator picks the finish
-    (`stages.aggregate.resolve_distributed`): broadcast the dup-gram
-    table when the input clearly fits one worker, else co-locate by
-    bucketed joins so nothing corpus-sized lands on the driver.  The
+    ``distributed=None`` → the estimator picks the finish from the
+    size of the DUP-GRAM table itself (the actual broadcast side —
+    input size is the wrong proxy here: a 100 TB corpus with sparse
+    duplication still has a worker-sized dup table, and broadcasting
+    it avoids two co-location shuffles): broadcast when it fits,
+    else bucketed joins so nothing corpus-sized lands anywhere.  The
     fingerprint pass is re-run per consumer (text is read twice) —
     the streaming trade over materializing the occurrence table.
     """
-    from .aggregate import resolve_distributed
+    from .aggregate import AUTO_DISTRIBUTED_BYTES
 
     occ = docs.map_batches(
         _fingerprint_fn(text_col, id_col, k),
@@ -293,7 +295,12 @@ def substring_dedup(
     )
     dup = duplicated_grams(occ, num_buckets=num_buckets)
 
-    if resolve_distributed(docs, distributed):
+    if distributed is None:
+        dup = dup.materialize()  # reduced table; reused by either path
+        # 24 B/row (u64 gram + i64 doc + i64 pos); worker-heap bound
+        distributed = dup.count() * 24 > AUTO_DISTRIBUTED_BYTES
+
+    if distributed:
         return _finish_distributed(
             docs, occ, dup, k, text_col, id_col, num_buckets
         )
