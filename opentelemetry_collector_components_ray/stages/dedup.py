@@ -284,7 +284,17 @@ class MinHasher:
         n = len(h)
         # shingle at position i combines words i..i+k-1 (valid when all
         # inside the same doc); docs shorter than k use their full run
-        mults = [np.uint64(0x9E3779B97F4A7C15 + 2 * j + 1) for j in range(k)]
+        # position weights must be non-linear in j: the former
+        # arithmetic-progression constants were palindromic
+        # (m[j] + m[k-1-j] constant), making every shingle collide with
+        # its word-reverse — caught by the substring-dedup
+        # naive-reference property test, fixed here the same way
+        from ..functions.sketches import _splitmix64
+
+        mults = _splitmix64(
+            np.uint64(0x9E3779B97F4A7C15)
+            + np.arange(1, k + 1, dtype=np.uint64)
+        )
         ncomb = max(n - k + 1, 0)
         comb = np.zeros(ncomb, dtype=np.uint64)
         for j in range(k):

@@ -98,11 +98,18 @@ def _window_grams(h: np.ndarray, offsets: np.ndarray, counts: np.ndarray,
     boundaries masked out.  Returns (gram, doc_idx, pos) for every
     window that fits inside one doc — pos is the 0-based word offset
     within its doc."""
+    from ..functions.sketches import _splitmix64
+
     n = len(h)
     ncomb = max(n - k + 1, 0)
     comb = np.zeros(ncomb, dtype=np.uint64)
+    # position weights must be non-linear in j: arithmetic-progression
+    # multipliers are palindromic (m[j] + m[k-1-j] constant), which
+    # makes every window collide with its reverse — caught by the
+    # naive-reference property test
+    mults = _splitmix64(_GOLD + np.arange(1, k + 1, dtype=np.uint64))
     for j in range(k):
-        comb = comb + (_GOLD + np.uint64(2 * j + 1)) * h[j : ncomb + j]
+        comb = comb + mults[j] * h[j : ncomb + j]
     doc_of = np.repeat(np.arange(len(counts)), counts)[:ncomb]
     idx = np.arange(ncomb)
     ends = offsets + counts

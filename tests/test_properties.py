@@ -255,3 +255,59 @@ def test_hash64_matches_python_reference(blobs):
     out = hash64(pa.array(blobs, pa.binary()))
     for i, b in enumerate(blobs):
         assert int(out[i]) == ref(b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_substring_dedup_matches_naive_reference(word_lists, k):
+    """Engine substring dedup ≡ a direct per-occurrence reference
+    implementation over tiny 4-word-vocab corpora (windows collide
+    constantly, exercising keeper choice and span-union merging)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import substr
+
+    texts = [" ".join(ws) for ws in word_lists]
+    ids = list(range(len(texts)))
+
+    # naive reference: string grams, dict bookkeeping
+    occ = {}
+    for d, ws in zip(ids, [t.split(" ") for t in texts]):
+        for p in range(len(ws) - k + 1):
+            occ.setdefault(tuple(ws[p : p + k]), []).append((d, p))
+    removed = {d: set() for d in ids}
+    for gram, occs in occ.items():
+        if len({d for d, _ in occs}) < 2:
+            continue
+        keeper = min(occs)
+        for d, p in occs:
+            if (d, p) != keeper:
+                removed[d].update(range(p, p + k))
+    want = []
+    for d, t in zip(ids, texts):
+        ws = t.split(" ")
+        kept = [w for i, w in enumerate(ws) if i not in removed[d]]
+        want.append((d, len(ws), len(ws) - len(kept), " ".join(kept)))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "n_words", "n_removed", "clean_text"]
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    got = (
+        substr.substring_dedup(docs, k=k, distributed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(want_df.dtypes.to_dict())
+    )
+    pd.testing.assert_frame_equal(got, want_df)
