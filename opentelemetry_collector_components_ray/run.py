@@ -26,13 +26,19 @@ def main(argv=None) -> int:
     p.add_argument(
         "--job",
         default="flagship",
-        choices=("flagship", "dedup", "cluster-dedup", "ndjson"),
+        choices=("flagship", "dedup", "cluster-dedup", "ndjson",
+                 "curate"),
         help="flagship: sharded parse→enrich→route→aggregate over "
         "parquet; dedup: exact-dedup a documents parquet; "
         "cluster-dedup: MinHash near-dup cluster dedup (distributed "
         "label propagation) writing survivors + cluster map; ndjson: "
-        "flagship over NDJSON stream files",
+        "flagship over NDJSON stream files; curate: the full "
+        "profile→filter→dedup→substring→pack preset writing "
+        "hive-partitioned training shards",
     )
+    p.add_argument("--substring-k", type=int, default=0,
+                   help="curate job: remove cross-doc duplicated k-word "
+                   "spans (0 = off)")
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--intervals", default="1h,24h")
     p.add_argument("--batch-size", type=int, default=65536)
@@ -97,6 +103,27 @@ def main(argv=None) -> int:
                 }
             )
         )
+        ray.shutdown()
+        return 0
+
+    if args.job == "curate":
+        from .sources.parquet import read_parquet_clean
+        from .stages.curation import CurationConfig, curate
+
+        src = (
+            os.path.join(args.input, "documents.parquet")
+            if os.path.isdir(args.input)
+            and os.path.exists(
+                os.path.join(args.input, "documents.parquet")
+            )
+            else args.input
+        )
+        cfg = CurationConfig(
+            substring_k=args.substring_k or None
+        )
+        out_dir = f"{args.out}/shards"
+        curate(read_parquet_clean(src), out_dir=out_dir, cfg=cfg)
+        print(json.dumps({"status": "ok", "shards": out_dir}))
         ray.shutdown()
         return 0
 
