@@ -117,9 +117,12 @@ def main() -> None:
             )
 
     cold, _ = _timed(headline)
-    warm, _ = _timed(headline)
+    # min-of-3 warm runs: this shared host's memory throughput swings
+    # ~10x over minutes (see BASELINE.md host-noise advisory), so a
+    # single sample measures the host, not the code
+    warms = [_timed(headline)[0] for _ in range(3)]
     queries["flagship_e2e_cold"] = cold
-    queries["flagship_e2e"] = min(cold, warm)
+    queries["flagship_e2e"] = min([cold] + warms)
 
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") and not os.environ.get(
         "GRAFT_BENCH_DISKBACK"
