@@ -302,7 +302,12 @@ def filter_join(
 
     if broadcast:
         keys_df = right.select_columns([on]).to_pandas()  # bounded side
-        keys = np.unique(keys_df[on].to_numpy())
+        # a fully-empty Dataset drops its schema → no key column
+        keys = (
+            np.unique(keys_df[on].to_numpy())
+            if on in keys_df.columns
+            else np.empty(0, dtype=object)
+        )
         ref = ray.put(keys)
 
         def fn(df: pd.DataFrame) -> pd.DataFrame:

@@ -560,3 +560,140 @@ SELECT w.doc_id,
        coalesce(a.clean_text, '') AS clean_text
 FROM words w LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# incremental substring dedup against a persistent gram index
+
+
+def _distinct_grams(occ: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+    """Globally-distinct ``(gram)`` rows: per-block np.unique combiner,
+    then a bucketed distinct so no worker holds the gram space."""
+
+    def local(t: pa.Table) -> pa.Table:
+        g = np.unique(_as_np(t, "gram", np.uint64))
+        return pa.table(
+            {
+                "gram": pa.array(g, pa.uint64()),
+                "_b": pa.array(
+                    (g % np.uint64(num_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_distinct(t: pa.Table) -> pa.Table:
+        g = np.unique(_as_np(t, "gram", np.uint64))
+        return pa.table({"gram": pa.array(g, pa.uint64())})
+
+    return (
+        occ.map_batches(
+            local, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .groupby("_b")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+
+
+def incremental_substring_dedup(
+    new_docs: rd.Dataset,
+    index_dir: str,
+    run_id: str,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    distributed: Optional[bool] = None,
+) -> rd.Dataset:
+    """Span-dedup a NEW ingest against the persistent gram index of
+    every prior ingest, then register the batch's grams — the
+    incremental-crawl variant of :func:`substring_dedup`, mirroring
+    ``curation.incremental_dedup``'s run-partitioned idempotent layout.
+
+    Semantics: a window whose gram is in the INDEX is always removed
+    (its keeper lives in a prior ingest); within-batch duplicates keep
+    the lexicographic-min occurrence as usual.  History grams take
+    priority when a gram is both indexed and batch-duplicated
+    (``anti_join`` drops the in-batch keeper row, so every occurrence
+    goes).  The history side is never broadcast whole — occurrences
+    are Bloom-prefiltered and only candidate grams enter the exact
+    bucketed verify; the index itself is corpus-scale by nature (as is
+    a suffix array), stored as one hive partition per run so re-runs
+    overwrite themselves.
+
+    Registration stores the ORIGINAL batch's distinct grams: the
+    keeper occurrence of every in-batch duplicate survives in this
+    ingest, so future batches must dedup against all of them.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from ..functions.join import anti_join, semi_join
+    from .aggregate import AUTO_DISTRIBUTED_BYTES
+
+    run_dir = f"{index_dir}/run={run_id}"
+    if _os.path.isdir(run_dir):  # idempotent re-run
+        _shutil.rmtree(run_dir)
+    history = sorted(
+        p
+        for p in _glob.glob(f"{index_dir}/run=*/*.parquet")
+        if f"/run={run_id}/" not in p
+    )
+
+    occ = new_docs.map_batches(
+        _fingerprint_fn(text_col, id_col, k),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    batch_grams = _distinct_grams(occ, num_buckets).materialize()
+    new_dup = duplicated_grams(occ, num_buckets=num_buckets)
+
+    if history:
+        hist = rd.read_parquet(history).select_columns(["gram"])
+        hits = semi_join(
+            batch_grams, hist, on="gram", prefilter="bloom",
+            num_buckets=num_buckets,
+        )
+
+        def as_hist_dup(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "gram": t["gram"],
+                    "keep_doc": pa.array(
+                        np.full(n, -1, dtype=np.int64)
+                    ),
+                    "keep_pos": pa.array(
+                        np.full(n, -1, dtype=np.int64)
+                    ),
+                }
+            )
+
+        hist_dup = hits.map_batches(
+            as_hist_dup, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # history keeper wins: drop the in-batch keeper row for grams
+        # already indexed, so EVERY new occurrence of them is removed
+        new_dup = anti_join(
+            new_dup, hist_dup, on="gram", num_buckets=num_buckets
+        )
+        dup = new_dup.union(hist_dup)
+    else:
+        dup = new_dup
+
+    if distributed is None:
+        dup = dup.materialize()
+        distributed = dup.count() * 24 > AUTO_DISTRIBUTED_BYTES
+
+    if distributed:
+        out = _finish_distributed(
+            new_docs, occ, dup, k, text_col, id_col, num_buckets
+        )
+    else:
+        out = _finish_broadcast(new_docs, dup, k, text_col, id_col)
+
+    batch_grams.write_parquet(run_dir)
+    return out

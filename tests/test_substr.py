@@ -125,3 +125,57 @@ def test_duckdb_twin_planted():
     pd.testing.assert_frame_equal(got, want)
     # non-vacuous: the planted passages actually got removed somewhere
     assert (want["n_removed"] > 0).any()
+
+
+def test_incremental_substring_dedup(tmp_path):
+    idx = str(tmp_path / "gram_index")
+    span = "a b c d e f g h i j"
+
+    # ingest 1: doc 1 holds the span (nothing to dedup against)
+    run1 = _run_inc(
+        [(1, span + " tail one"), (2, "unrelated words only here")],
+        idx, "r1",
+    )
+    assert run1.set_index("doc_id").loc[1, "n_removed"] == 0
+
+    # ingest 2: the span is indexed → removed from BOTH new docs (the
+    # history keeper wins, so no new occurrence survives, unlike the
+    # within-batch rule that would keep one)
+    run2 = _run_inc(
+        [(10, span + " fresh suffix"), (11, "prefix words " + span)],
+        idx, "r2",
+    )
+    by = run2.set_index("doc_id")
+    assert by.loc[10, "n_removed"] == 10
+    assert by.loc[10, "clean_text"] == "fresh suffix"
+    assert by.loc[11, "n_removed"] == 10
+    assert by.loc[11, "clean_text"] == "prefix words"
+
+    # ingest 2 re-run is idempotent (its own partition is replaced)
+    rerun = _run_inc(
+        [(10, span + " fresh suffix"), (11, "prefix words " + span)],
+        idx, "r2",
+    )
+    pd.testing.assert_frame_equal(
+        run2.reset_index(drop=True), rerun.reset_index(drop=True)
+    )
+
+    # ingest 3: a NEW span duplicated within the batch only → normal
+    # within-batch keeper semantics
+    span2 = "p q r s t u v w x y"
+    run3 = _run_inc(
+        [(20, span2), (21, span2 + " zz")], idx, "r3",
+    )
+    by3 = run3.set_index("doc_id")
+    assert by3.loc[20, "n_removed"] == 0
+    assert by3.loc[21, "n_removed"] == 10
+    assert by3.loc[21, "clean_text"] == "zz"
+
+
+def _run_inc(rows, idx, run_id):
+    from opentelemetry_collector_components_ray.stages import substr
+
+    out = substr.incremental_substring_dedup(
+        _docs(rows), idx, run_id, k=8, distributed=False
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
