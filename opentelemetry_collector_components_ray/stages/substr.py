@@ -243,7 +243,17 @@ def _apply_removals(
     n_flat = len(flat)
     # doc_id value → batch-local index
     order = np.argsort(ids, kind="stable")
-    loc = order[np.searchsorted(ids[order], rm_doc)]
+    pos_in_sorted = np.searchsorted(ids[order], rm_doc)
+    if len(pos_in_sorted) and (
+        pos_in_sorted.max() >= len(order)
+        or not (ids[order][pos_in_sorted] == rm_doc).all()
+    ):
+        missing = np.setdiff1d(rm_doc, ids)
+        raise ValueError(
+            "removal rows reference docs absent from this group "
+            f"(co-location contract violated): {missing[:5].tolist()}"
+        )
+    loc = order[pos_in_sorted]
     # covered flat indices: off[doc] + pos + j for j in [0, k)
     starts = off[loc] + rm_pos
     removed = np.zeros(n_flat, dtype=bool)
