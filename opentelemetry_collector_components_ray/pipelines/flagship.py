@@ -94,8 +94,12 @@ def _flagship_shard_fn(
         # the shard manifest alongside lineage — the metrics half of the
         # "per-partition lineage + metrics" requirement
         stats_txt = ""
+        stages: Dict = {}
         try:
             stats_txt = agg.stats()
+            from ..functions.metrics import stage_metrics
+
+            stages = stage_metrics(stats_txt)
         except Exception:
             pass
         metrics: Dict = {
@@ -103,6 +107,9 @@ def _flagship_shard_fn(
                 zip(sink_counts["sink"], sink_counts["n"].astype(int))
             ),
             "rows_in": int(sink_counts["n"].sum()),
+            # structured per-operator wall/tasks/rows (functions/metrics)
+            # plus the raw tail for eyeballing
+            "stages": stages,
             "agg_stage_stats": stats_txt[-2000:],
         }
         return metrics

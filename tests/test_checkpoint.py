@@ -258,3 +258,55 @@ def test_resume_heals_crashed_compaction_in_shard(ray_session, tmp_path):
         sorted(glob.glob(f"{out}/shard=*/data/*.parquet"))
     )
     assert back.count() == 100
+
+
+def test_stage_metrics_in_shard_manifest(ray_session, tmp_path):
+    """Shard manifests carry structured per-operator metrics (the
+    metrics half of 'per-partition lineage + metrics')."""
+    import json
+
+    from opentelemetry_collector_components_ray.functions.metrics import (
+        stage_metrics,
+    )
+
+    # parser unit: synthetic stats text
+    txt = (
+        "Operator 1 ReadParquet->MapBatches(f): 4 tasks executed, "
+        "4 blocks produced in 1.25s\n"
+        "* Output num rows per block: 10 min, 10 max, 10 mean, 40 total\n"
+        "* Output size bytes per block: 1 min, 2 max, 1 mean, 6 total\n"
+        "Operator 2 Sort: 2 tasks executed, 2 blocks produced in 0.5s\n"
+        "* Output num rows per block: 20 min, 20 max, 20 mean, 40 total\n"
+    )
+    m = stage_metrics(txt)
+    assert m["1 ReadParquet->MapBatches(f)"] == {
+        "tasks": 4, "blocks": 4, "wall_s": 1.25,
+        "rows_out": 40, "bytes_out": 6,
+    }
+    assert m["2 Sort"]["wall_s"] == 0.5
+
+    # end-to-end: the flagship shard manifest records non-empty stages
+    from opentelemetry_collector_components_ray.pipelines.flagship import (
+        run_flagship_sharded,
+    )
+    from opentelemetry_collector_components_ray.synth import (
+        materialize_transcripts,
+    )
+
+    inp = materialize_transcripts("/root/testdata/sf0.001")
+    out = str(tmp_path / "run")
+    run_flagship_sharded(inp, out, num_shards=2)
+    import glob
+
+    manifests = sorted(glob.glob(f"{out}/_manifest/*.json"))
+    assert manifests
+    # one input file → one populated shard; empty shards record {}
+    populated = [
+        m for m in (json.load(open(p)) for p in manifests)
+        if m["metrics"]
+    ]
+    assert populated
+    stages = populated[0]["metrics"]["stages"]
+    assert stages, "structured per-stage metrics missing"
+    first = next(iter(stages.values()))
+    assert {"tasks", "blocks", "wall_s"} <= set(first)
