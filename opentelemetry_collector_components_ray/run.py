@@ -27,7 +27,7 @@ def main(argv=None) -> int:
         "--job",
         default="flagship",
         choices=("flagship", "dedup", "cluster-dedup", "ndjson",
-                 "curate"),
+                 "curate", "substring-dedup"),
         help="flagship: sharded parse→enrich→route→aggregate over "
         "parquet; dedup: exact-dedup a documents parquet; "
         "cluster-dedup: MinHash near-dup cluster dedup (distributed "
@@ -38,7 +38,14 @@ def main(argv=None) -> int:
     )
     p.add_argument("--substring-k", type=int, default=0,
                    help="curate job: remove cross-doc duplicated k-word "
-                   "spans (0 = off)")
+                   "spans (0 = off); substring-dedup job: window size "
+                   "(default 8)")
+    p.add_argument("--gram-index", default=None,
+                   help="substring-dedup job: persistent gram index dir "
+                   "for incremental dedup against prior ingests")
+    p.add_argument("--run-id", default=None,
+                   help="substring-dedup job: ingest id for the gram "
+                   "index partition (idempotent re-runs)")
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--intervals", default="1h,24h")
     p.add_argument("--batch-size", type=int, default=65536)
@@ -103,6 +110,35 @@ def main(argv=None) -> int:
                 }
             )
         )
+        ray.shutdown()
+        return 0
+
+    if args.job == "substring-dedup":
+        from .sources.parquet import read_parquet_clean
+        from .stages.substr import (
+            incremental_substring_dedup,
+            substring_dedup,
+        )
+
+        src = (
+            os.path.join(args.input, "documents.parquet")
+            if os.path.isdir(args.input)
+            and os.path.exists(
+                os.path.join(args.input, "documents.parquet")
+            )
+            else args.input
+        )
+        docs = read_parquet_clean(src)
+        k = args.substring_k or 8
+        if args.gram_index:
+            out_ds = incremental_substring_dedup(
+                docs, args.gram_index, args.run_id or "r0", k=k
+            )
+        else:
+            out_ds = substring_dedup(docs, k=k)
+        out_path = f"{args.out}/substring_deduped"
+        out_ds.write_parquet(out_path)
+        print(json.dumps({"status": "ok", "deduped": out_path}))
         ray.shutdown()
         return 0
 

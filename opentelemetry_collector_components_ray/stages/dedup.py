@@ -1616,3 +1616,73 @@ WHERE len(list_intersect(a.s, b.s))
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE
       >= {threshold}
 """
+
+
+def cross_corpus_near_dups(
+    corpus_a: rd.Dataset,
+    corpus_b: rd.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_offset_b: int = 1 << 40,
+    **minhash_kwargs,
+) -> rd.Dataset:
+    """Near-duplicate pairs ACROSS two corpora (e.g. new crawl vs an
+    existing corpus, or corpus vs benchmark set — doc-level semantic
+    decontamination): union the corpora under a disjoint id space, run
+    the standard MinHash-LSH → exact-verify path once, and keep only
+    pairs that straddle the corpora.  Output ids are restored to each
+    corpus's own space plus a ``corpus_b_id`` column; within-corpus
+    duplicates are deliberately excluded (run :func:`minhash_near_dups`
+    per corpus for those).
+
+    ``id_offset_b`` must exceed every id in ``corpus_a`` (asserted per
+    batch); the composition reuses every scale property of the
+    underlying path — one shuffle of each corpus, partitioned verify.
+    """
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= id_offset_b:
+            raise ValueError(
+                f"{id_col} >= id_offset_b ({id_offset_b}); raise the "
+                "offset so the corpora stay disjoint"
+            )
+        i = t.schema.get_field_index(id_col)
+        return t.set_column(
+            i, id_col, pa.array(ids + id_offset_b, pa.int64())
+        )
+
+    def as_arrow(t: pa.Table) -> pa.Table:
+        # normalize block type: a pandas-blocked corpus unioned with
+        # the arrow-blocked shifted side trips Ray's batcher inference
+        return t
+
+    both = corpus_a.select_columns([id_col, text_col]).map_batches(
+        as_arrow, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        corpus_b.select_columns([id_col, text_col]).map_batches(
+            shift, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    pairs = minhash_near_dups(
+        both, threshold=threshold, text_col=text_col, id_col=id_col,
+        **minhash_kwargs,
+    )
+
+    def cross_only(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        # pairs are emitted (lo, hi): cross pairs have lo in corpus A
+        # and hi in corpus B's shifted space
+        cross = (a < id_offset_b) & (b >= id_offset_b)
+        out = pd.DataFrame(
+            {
+                "doc_id": a[cross],
+                "corpus_b_id": b[cross] - id_offset_b,
+                "jaccard": df["jaccard"].to_numpy()[cross],
+            }
+        )
+        return out
+
+    return pairs.map_batches(cross_only, batch_format="pandas")

@@ -426,3 +426,47 @@ def test_clusters_from_pairs_chain_and_singletons(ray_session):
     assert label[7] == label[9] == 7
     for s in (0, 4, 5, 6, 8):
         assert label[s] == s
+
+
+def test_cross_corpus_near_dups(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.dedup import (
+        cross_corpus_near_dups,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river in the warm morning sun with birds singing")
+    a = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                base,
+                base.replace("lazy", "sleepy"),  # in-corpus near dup: excluded
+                "totally unrelated content about winter snow and long "
+                "dark evenings by the fire with tea and books",
+            ],
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "doc_id": [0, 7],
+            "text": [
+                "fresh words entirely new to both corpora about sailing "
+                "boats on a green lake under tall white clouds",
+                base.replace("morning", "evening"),  # cross dup of a:0/a:1
+            ],
+        }
+    )
+    out = (
+        cross_corpus_near_dups(
+            rd.from_pandas(a), rd.from_pandas(b), threshold=0.5
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "corpus_b_id"])
+        .reset_index(drop=True)
+    )
+    # only cross pairs; b ids restored to their own space
+    assert set(zip(out["doc_id"], out["corpus_b_id"])) == {(0, 7), (1, 7)}
+    assert (out["jaccard"] >= 0.5).all()
