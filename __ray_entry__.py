@@ -1078,9 +1078,64 @@ def _q_dedup_stats(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """Tag-union (round 3 session 3): ``within`` = the standard
+    LSH→partitioned-verify near-dup pairs, and ``cross`` = the
+    cross-corpus wrapper with even-doc_id docs as corpus A vs
+    odd-doc_id docs as corpus B — only straddling pairs survive, ids
+    restored, so a disjoint-id-space or side-filter bug becomes a
+    value mismatch.  Both share the seeded-LSH detection argument
+    (qualifying pairs at j ≥ 0.9, detection 1-3e-8)."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.stages import dedup
 
-    return dedup.minhash_near_dups(_docs(sf_dir), threshold=0.8)
+    def tag_within(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array(["within"] * len(t), pa.string()),
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "jaccard": t["jaccard"],
+            }
+        )
+
+    def tag_cross(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array(["cross"] * len(t), pa.string()),
+                "id_a": t["doc_id"].cast(pa.int64()),
+                "id_b": t["corpus_b_id"].cast(pa.int64()),
+                "jaccard": t["jaccard"],
+            }
+        )
+
+    def parity(rem: int):
+        import pyarrow.compute as pc
+
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            keep = pc.equal(
+                pc.bit_wise_and(ids, pa.scalar(1, pa.int64())),
+                pa.scalar(rem, pa.int64()),
+            )
+            return t.filter(keep)
+
+        return fn
+
+    docs = _docs(sf_dir)
+    within = dedup.minhash_near_dups(docs, threshold=0.8).map_batches(
+        tag_within, batch_format="pyarrow"
+    )
+    # broadcast verify for the cross half: the straddle filter + id
+    # restoration are what this variant gates; the partitioned verify
+    # is already exercised (and gated) by the `within` half
+    cross = dedup.cross_corpus_near_dups(
+        docs.map_batches(parity(0), batch_format="pyarrow"),
+        docs.map_batches(parity(1), batch_format="pyarrow"),
+        threshold=0.8,
+        verify="broadcast",
+    ).map_batches(tag_cross, batch_format="pyarrow")
+    return within.union(cross)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -1585,7 +1640,14 @@ def oracle_sql() -> dict[str, str]:
         # sits far above the detection knee, so the brute-force SQL
         # ground truth doubles as a value-level oracle (see
         # dedup.minhash_pairs_oracle_sql).
-        "d_minhash_pairs": _dedup.minhash_pairs_oracle_sql(0.8, 3),
+        "d_minhash_pairs": (
+            "SELECT 'within' AS variant, id_a, id_b, jaccard FROM ("
+            + _dedup.minhash_pairs_oracle_sql(0.8, 3)
+            + ") UNION ALL "
+            "SELECT 'cross' AS variant, id_a, id_b, jaccard FROM ("
+            + _dedup.cross_corpus_pairs_oracle_sql(0.8, 3)
+            + ")"
+        ),
         # e_cosine_neardup: same argument — planted twins are the only
         # qualifying pairs and the driver LSH config pushes per-pair
         # detection to ≈1−1e-6, so the brute-force twin reconstruction

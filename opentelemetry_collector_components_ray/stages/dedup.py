@@ -1686,3 +1686,35 @@ def cross_corpus_near_dups(
         return out
 
     return pairs.map_batches(cross_only, batch_format="pandas")
+
+
+def cross_corpus_pairs_oracle_sql(
+    threshold: float = 0.8, k: int = 3
+) -> str:
+    """Brute-force twin of :func:`cross_corpus_near_dups` over the
+    even/odd doc_id split of ``documents`` (the driver's derived
+    two-corpus fixture): same shingle definition, pairs restricted to
+    one side each, no lo<hi constraint (sides are disjoint)."""
+    words = "regexp_extract_all(lower(text), '\\w+')"
+    gram = " || ' ' || ".join(f"{words}[i+{j}]" for j in range(k))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, len({words}) - {k - 2}),
+             i -> {gram}
+           )
+         ) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE,
+             6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+WHERE len(list_intersect(a.s, b.s))
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE
+      >= {threshold}
+"""
