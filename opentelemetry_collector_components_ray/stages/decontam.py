@@ -298,8 +298,8 @@ FROM documents d LEFT JOIN nhits nh USING (doc_id)
 # similarity brute-force at driver scale.
 # ---------------------------------------------------------------------------
 
-EMB_EVERY = 10
-EMB_OFFSET = 1_000_000
+EMB_EVERY = 20  # 20 (not 10): halves the O(corpus x benchmark)
+EMB_OFFSET = 1_000_000  # brute-force twin's cost at identical semantics
 EMB_EPS = 0.1
 EMB_THRESHOLD = 0.99
 
