@@ -1182,10 +1182,13 @@ def _q_lm_stats(sf_dir: str):
     mean log-probability scoring (broadcast model, searchsorted per
     batch) unioned with corpus top-k bigram counts — the
     perplexity-style quality signal and n-gram audit pass of public
-    training-data pipelines (stages/lm.py)."""
+    training-data pipelines (stages/lm.py) — plus the corpus data-card
+    rows (session 3): size/token/composition/distinct-text report in
+    the same (kind, key, val) long form."""
     from opentelemetry_collector_components_ray.stages import lm
 
-    return lm.lm_stats(_docs(sf_dir), k=20)
+    docs = _docs(sf_dir)
+    return lm.lm_stats(docs, k=20).union(lm.datacard(docs))
 
 
 _PII_TEXT_SQL = (
@@ -1681,7 +1684,10 @@ def oracle_sql() -> dict[str, str]:
         "d_text_profile": _packing.packing_sql(
             _text.text_profile_sql(), budget=512
         ),
-        "d_lm_stats": _lm.lm_stats_sql(k=20),
+        "d_lm_stats": (
+            "SELECT * FROM (" + _lm.lm_stats_sql(k=20) + ") "
+            "UNION ALL SELECT * FROM (" + _lm.datacard_sql() + ")"
+        ),
         "d_decontaminate": (
             "SELECT * FROM (" + _decontam.DECONTAM_REPORT_SQL + ") "
             "UNION ALL SELECT * FROM ("

@@ -360,3 +360,117 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def datacard(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Corpus data card — the one-page statistics report a training-data
+    release ships (dataset cards): corpus size, token totals, language
+    and source composition, distinct-text count.  Emitted in the same
+    ``(kind='card', key, val)`` long form as :func:`lm_stats` so both
+    fold into one driver slot.
+
+    One combiner pass: each block contributes partial sums and a
+    distinct-text-hash set; sums tree-merge, the distinct count is a
+    hash-bucketed distinct (64-bit text hash — at 10^12 docs the
+    birthday error is ~3e4 rows, fine for a report and documented).
+    """
+    from ..functions.sketches import hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        # \W+ (not text.py's lowercase class): verified split-count
+        # parity with the twin's regexp_split_to_array(text, '\W+')
+        words = pc.list_value_length(
+            pc.split_pattern_regex(txt, r"\W+")
+        )
+        keys = ["n_docs", "total_words", "total_chars"]
+        vals = [
+            float(len(t)),
+            float(
+                pc.sum(words).as_py() or 0
+            ),
+            float(pc.sum(pc.utf8_length(txt)).as_py() or 0),
+        ]
+        for col in ("lang", "source"):
+            if col in t.schema.names:
+                vc = pc.value_counts(t[col])
+                for s in vc:
+                    keys.append(f"{col}:{s['values'].as_py()}")
+                    vals.append(float(s['counts'].as_py()))
+        return pa.table(
+            {
+                "kind": pa.array(["card"] * len(keys), pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "val": pa.array(vals, pa.float64()),
+            }
+        )
+
+    sums = merge_partials(
+        docs.map_batches(
+            partial, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ),
+        ["kind", "key"],
+        [("val", "sum")],
+    )
+
+    def text_hash(t: pa.Table) -> pa.Table:
+        h = np.unique(hash64(t[text_col]))
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "_b": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        n = len(np.unique(t["h"].to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "kind": pa.array(["card"], pa.string()),
+                "key": pa.array(["distinct_texts"], pa.string()),
+                "val": pa.array([float(n)], pa.float64()),
+            }
+        )
+
+    distinct = merge_partials(
+        docs.map_batches(
+            text_hash, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .groupby("_b")
+        .map_groups(count_bucket, batch_format="pyarrow"),
+        ["kind", "key"],
+        [("val", "sum")],
+    )
+    return sums.union(distinct)
+
+
+def datacard_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`datacard` (same `\\W+`-split word count —
+    empty splits excluded exactly like Arrow's split on a non-empty
+    string produces none for ''... both sides count split pieces of
+    the same regex)."""
+    return f"""
+SELECT 'card' AS kind, 'n_docs' AS key, count(*)::DOUBLE AS val FROM {table}
+UNION ALL
+SELECT 'card', 'total_words',
+       coalesce(sum(len(regexp_split_to_array(text, '\\W+'))), 0)::DOUBLE
+FROM {table}
+UNION ALL
+SELECT 'card', 'total_chars',
+       coalesce(sum(length(text)), 0)::DOUBLE FROM {table}
+UNION ALL
+SELECT 'card', 'lang:' || lang, count(*)::DOUBLE FROM {table} GROUP BY lang
+UNION ALL
+SELECT 'card', 'source:' || source, count(*)::DOUBLE
+FROM {table} GROUP BY source
+UNION ALL
+SELECT 'card', 'distinct_texts', count(DISTINCT text)::DOUBLE FROM {table}
+"""
