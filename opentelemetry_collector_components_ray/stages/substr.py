@@ -707,3 +707,62 @@ def incremental_substring_dedup(
 
     batch_grams.write_parquet(run_dir)
     return out
+
+
+def remove_matching_spans(
+    docs: rd.Dataset,
+    bench: rd.Dataset,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    distributed: Optional[bool] = None,
+) -> rd.Dataset:
+    """Span-level decontamination: remove every k-word window of
+    ``docs`` that also occurs in ``bench`` (the benchmark/eval corpus)
+    — the surgical complement to ``decontam.decontaminate``'s
+    drop-the-whole-document policy, built from the substring-dedup
+    machinery: the benchmark's distinct grams act as an always-wins
+    history (keeper ``(-1,-1)`` matches no real occurrence, so every
+    matching doc window is removed).  Output shape matches
+    :func:`substring_dedup`.  Within-``docs`` duplication is NOT
+    touched here — compose with :func:`substring_dedup` for that."""
+    from .aggregate import AUTO_DISTRIBUTED_BYTES
+
+    bench_occ = bench.map_batches(
+        _fingerprint_fn(text_col, id_col, k),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+    def as_history(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "gram": t["gram"],
+                "keep_doc": pa.array(np.full(n, -1, dtype=np.int64)),
+                "keep_pos": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    dup = _distinct_grams(bench_occ, num_buckets).map_batches(
+        as_history, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if distributed is None:
+        dup = dup.materialize()
+        distributed = dup.count() * 24 > AUTO_DISTRIBUTED_BYTES
+
+    if distributed:
+        occ = docs.map_batches(
+            _fingerprint_fn(text_col, id_col, k),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        return _finish_distributed(
+            docs, occ, dup, k, text_col, id_col, num_buckets
+        )
+    return _finish_broadcast(docs, dup, k, text_col, id_col)

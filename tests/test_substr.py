@@ -179,3 +179,42 @@ def _run_inc(rows, idx, run_id):
         _docs(rows), idx, run_id, k=8, distributed=False
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_remove_matching_spans():
+    from opentelemetry_collector_components_ray.stages import substr
+
+    bench_span = "q w e r t y u i o p"
+    bench = _docs([(100, "some benchmark item " + bench_span)])
+    docs = _docs(
+        [
+            (1, "intro words " + bench_span + " outro words"),
+            (2, "totally unrelated text with many plain words here"),
+            # within-docs duplication is NOT removed by this op
+            (3, "a b c d e f g h"),
+            (4, "a b c d e f g h"),
+        ]
+    )
+    out = (
+        substr.remove_matching_spans(docs, bench, k=8, distributed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_removed"] == 10
+    assert out.loc[1, "clean_text"] == "intro words outro words"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "n_removed"] == 0 and out.loc[4, "n_removed"] == 0
+
+    # distributed path parity
+    out2 = (
+        substr.remove_matching_spans(
+            docs, bench, k=8, distributed=True, num_buckets=5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out.reset_index(), out2.reset_index())
