@@ -1365,13 +1365,46 @@ def _q_substring_dedup(sf_dir: str):
     twin applies the identical CASE chain, so the gate is non-vacuous
     by construction).  Every repeated k=8-word window loses all but
     its lexicographically-first occurrence; output is
-    (doc_id, n_words, n_removed, clean_text)."""
+    (doc_id, n_words, n_removed, clean_text).
+
+    Second variant (session 3): span-level DECONTAMINATION — the
+    planted corpus split into bench (doc_id % 25 == 2, PASSAGE_A
+    carriers) and corpus; corpus windows occurring anywhere in bench
+    are cut, whole docs kept."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.stages import substr
+
+    def tag(variant: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "variant", pa.array([variant] * len(t), pa.string())
+            )
+
+        return fn
+
+    def residue(mod: int, rem: int, keep: bool):
+        import numpy as np
+
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % mod) == rem
+            return t.filter(pa.array(m if keep else ~m))
+
+        return fn
 
     docs = substr.plant_passages(
         _docs(sf_dir).select_columns(["doc_id", "text"])
     )
-    return substr.substring_dedup(docs, k=8)
+    dedup_half = substr.substring_dedup(docs, k=8).map_batches(
+        tag("dedup"), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(residue(25, 2, False), batch_format="pyarrow")
+    bench = docs.map_batches(residue(25, 2, True), batch_format="pyarrow")
+    decon_half = substr.remove_matching_spans(
+        corpus, bench, k=8
+    ).map_batches(tag("decontam"), batch_format="pyarrow")
+    return dedup_half.union(decon_half)
 
 
 def _q_quantize(sf_dir: str):
@@ -1666,7 +1699,13 @@ def oracle_sql() -> dict[str, str]:
         # word-window semantics — same space split, same k, same
         # lexicographic-min keeper, same position-union removal — over
         # the identically planted corpus (stages/substr.py)
-        "d_substring_dedup": _substr.substring_dedup_sql(k=8, planted=True),
+        "d_substring_dedup": (
+            "SELECT 'dedup' AS variant, * FROM ("
+            + _substr.substring_dedup_sql(k=8, planted=True)
+            + ") UNION ALL SELECT 'decontam' AS variant, * FROM ("
+            + _substr.remove_matching_spans_sql(k=8, planted=True)
+            + ")"
+        ),
         # e_embedding_clusters (value-gated, round 3): components over
         # the planted-twin corpus are exactly the qualifying twin pairs.
         "e_embedding_clusters": _ann.embedding_clusters_sql(

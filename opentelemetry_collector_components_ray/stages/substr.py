@@ -766,3 +766,92 @@ def remove_matching_spans(
             docs, occ, dup, k, text_col, id_col, num_buckets
         )
     return _finish_broadcast(docs, dup, k, text_col, id_col)
+
+
+def remove_matching_spans_sql(
+    k: int = 8, planted: bool = True, bench_mod: int = 25,
+    bench_rem: int = 2,
+) -> str:
+    """DuckDB twin of :func:`remove_matching_spans` over the driver's
+    derived fixture: the planted corpus split into bench
+    (``doc_id % bench_mod == bench_rem`` — a subset of the PASSAGE_A
+    carriers) and corpus (the rest); every corpus window whose word
+    sequence occurs anywhere in bench is removed."""
+    src = (
+        f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3
+                    THEN '{PASSAGE_B}' || ' ' ||
+                         CASE WHEN doc_id % 5 = 2
+                              THEN text || ' ' || '{PASSAGE_A}'
+                              ELSE text END
+                    WHEN doc_id % 5 = 2
+                    THEN text || ' ' || '{PASSAGE_A}'
+                    ELSE text END AS text
+        FROM documents
+        """
+        if planted
+        else "SELECT doc_id, text FROM documents"
+    )
+    return f"""
+WITH src AS ({src}),
+corpus AS (
+  SELECT * FROM src WHERE doc_id % {bench_mod} <> {bench_rem}
+),
+bench AS (
+  SELECT * FROM src WHERE doc_id % {bench_mod} = {bench_rem}
+),
+bwords AS (SELECT string_split(text, ' ') AS w FROM bench),
+bgrams AS (
+  SELECT DISTINCT
+         array_to_string(w[i : i + {k} - 1], ' ') AS gram
+  FROM (
+    SELECT w, unnest(generate_series(1, len(w) - {k} + 1)) AS i
+    FROM bwords
+  )
+),
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+),
+occ2 AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i : i + {k} - 1], ' ') AS gram
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, len(w) - {k} + 1)) AS i
+    FROM words
+  )
+),
+removals AS (
+  SELECT o.doc_id, o.pos FROM occ2 o JOIN bgrams USING (gram)
+),
+removed_pos AS (
+  SELECT DISTINCT doc_id,
+         pos + unnest(generate_series(0, {k} - 1)) AS wpos
+  FROM removals
+),
+per_word AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w))) - 1 AS wpos,
+         w
+  FROM words
+),
+kept AS (
+  SELECT p.doc_id, p.wpos, p.w[p.wpos + 1] AS word
+  FROM per_word p
+  LEFT JOIN removed_pos r
+    ON p.doc_id = r.doc_id AND p.wpos = r.wpos
+  WHERE r.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(w.w)::BIGINT AS n_words,
+       (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM words w LEFT JOIN agg a USING (doc_id)
+"""
