@@ -311,3 +311,87 @@ def test_substring_dedup_matches_naive_reference(word_lists, k):
         .astype(want_df.dtypes.to_dict())
     )
     pd.testing.assert_frame_equal(got, want_df)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
+                 max_size=8),
+        min_size=1, max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
+                 max_size=8),
+        min_size=1, max_size=6,
+    ),
+)
+def test_incremental_substring_matches_naive(words1, words2):
+    """Two-ingest incremental substring dedup ≡ a naive reference:
+    ingest-2 windows are removed if their gram occurred anywhere in
+    ingest 1, else within-batch keeper semantics apply."""
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages import substr
+
+    k = 3
+    t1 = [" ".join(ws) for ws in words1]
+    t2 = [" ".join(ws) for ws in words2]
+    ids1 = list(range(len(t1)))
+    ids2 = [100 + i for i in range(len(t2))]
+
+    # naive: ingest-1 gram set
+    g1 = set()
+    for t in t1:
+        ws = t.split(" ")
+        for p in range(len(ws) - k + 1):
+            g1.add(tuple(ws[p : p + k]))
+    # ingest-2 reference removal
+    occ = {}
+    hist_rm = {d: set() for d in ids2}
+    for d, t in zip(ids2, t2):
+        ws = t.split(" ")
+        for p in range(len(ws) - k + 1):
+            gram = tuple(ws[p : p + k])
+            if gram in g1:
+                hist_rm[d].update(range(p, p + k))
+            else:
+                occ.setdefault(gram, []).append((d, p))
+    for gram, occs in occ.items():
+        if len({d for d, _ in occs}) < 2:
+            continue
+        keeper = min(occs)
+        for d, p in occs:
+            if (d, p) != keeper:
+                hist_rm[d].update(range(p, p + k))
+    want = []
+    for d, t in zip(ids2, t2):
+        ws = t.split(" ")
+        kept = [w for i, w in enumerate(ws) if i not in hist_rm[d]]
+        want.append((d, len(ws), len(ws) - len(kept), " ".join(kept)))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "n_words", "n_removed", "clean_text"]
+    )
+
+    with tempfile.TemporaryDirectory() as idx:
+        substr.incremental_substring_dedup(
+            rd.from_pandas(pd.DataFrame({"doc_id": ids1, "text": t1})),
+            idx, "r1", k=k, distributed=False,
+        ).materialize()
+        got = (
+            substr.incremental_substring_dedup(
+                rd.from_pandas(
+                    pd.DataFrame({"doc_id": ids2, "text": t2})
+                ),
+                idx, "r2", k=k, distributed=False,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype(want_df.dtypes.to_dict())
+        )
+    import pandas as pd2
+    pd2.testing.assert_frame_equal(got, want_df)
