@@ -298,7 +298,10 @@ def filter_join(
         est = estimate_input_bytes(right)
         broadcast = est is not None and est <= AUTO_DISTRIBUTED_BYTES
 
-    left_cols = list(left.schema().names)
+    left_schema = left.schema()
+    if left_schema is None:  # fully-empty left: semi/anti of ∅ is ∅
+        return left
+    left_cols = list(left_schema.names)
 
     if broadcast:
         keys_df = right.select_columns([on]).to_pandas()  # bounded side
