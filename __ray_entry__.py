@@ -1188,7 +1188,12 @@ def _q_lm_stats(sf_dir: str):
     from opentelemetry_collector_components_ray.stages import lm
 
     docs = _docs(sf_dir)
-    return lm.lm_stats(docs, k=20).union(lm.datacard(docs))
+    # min_count/min_df=2 ACTIVATE the vocabulary caps (round-3 review
+    # finding: the broadcast model must be bounded at corpus scale) so
+    # the gate exercises the capped/OOV path, mirrored in the twin
+    return lm.lm_stats(docs, k=20, min_count=2, min_df=2).union(
+        lm.datacard(docs)
+    )
 
 
 _PII_TEXT_SQL = (
@@ -1724,7 +1729,8 @@ def oracle_sql() -> dict[str, str]:
             _text.text_profile_sql(), budget=512
         ),
         "d_lm_stats": (
-            "SELECT * FROM (" + _lm.lm_stats_sql(k=20) + ") "
+            "SELECT * FROM ("
+            + _lm.lm_stats_sql(k=20, min_count=2, min_df=2) + ") "
             "UNION ALL SELECT * FROM (" + _lm.datacard_sql() + ")"
         ),
         "d_decontaminate": (

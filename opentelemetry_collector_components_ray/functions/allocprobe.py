@@ -81,6 +81,52 @@ def _concurrent_fill_rate(tune: bool, nproc: int) -> float:
     return sum(rates) / len(rates)
 
 
+def _quick_fill_worker(q) -> None:  # pragma: no cover - subprocess
+    """Like ``_fill_worker`` but inheriting the parent's allocator
+    state (no explicit mallopt): measures the EFFECTIVE rate the
+    workload currently sees, with a smaller buffer for speed."""
+    import time
+
+    import numpy as np
+
+    n = 32 * _MB
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a = np.empty(n, dtype=np.uint8)
+        a.fill(1)
+        del a
+    q.put(4 * n / (time.perf_counter() - t0) / 1e9)
+
+
+def effective_fill_rate(nproc: Optional[int] = None) -> float:
+    """Quick (~0.3 s healthy) concurrent fresh-alloc probe of the
+    CURRENT effective memory throughput — children inherit the
+    parent's allocator tuning, so after ``resolve_malloc_tuning`` this
+    reads the rate Ray workers actually experience.  Used by bench.py
+    to stamp a per-query-group health reading into the artifact and to
+    detect a mid-run host collapse (the round-3 artifact problem: one
+    probe at start-of-run cannot see a later degradation).
+
+    Fork-based like the main probe: call only from a driver process
+    (never inside a Ray worker)."""
+    import multiprocessing as mp
+
+    if nproc is None:
+        nproc = min(8, os.cpu_count() or 4)
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_quick_fill_worker, args=(q,))
+        for _ in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return sum(rates) / len(rates)
+
+
 def probe_malloc_tuning(
     nproc: Optional[int] = None,
     slow_gbps: float = 1.0,

@@ -346,20 +346,6 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
     raise ValueError(f"unknown editor {editor!r} in statement: {stmt!r}")
 
 
-def apply_statements(ds, statements: Sequence[str]):
-    """Compile a statement list once and apply it in order inside one
-    fused ``map_batches`` (the post-aggregation decoration hook,
-    lsmintervalprocessor processor.go:556-605)."""
-    fns = [parse_statement(s) for s in statements]
-
-    def run(t: pa.Table) -> pa.Table:
-        for fn in fns:
-            t = fn(t)
-        return t
-
-    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
-
-
 # A statement pipeline exercising every editor and converter of the
 # subset, with a hand-mirrored SQL twin (the t_ottl oracle gate):
 # sequential semantics matter — stmt 8's where reads the tool column
@@ -401,6 +387,9 @@ FROM transcripts
 def apply_statements(
     ds: rd.Dataset, statements: Sequence[str]
 ) -> rd.Dataset:
+    """Compile a statement list once and apply it in order inside one
+    fused ``map_batches`` (the post-aggregation decoration hook,
+    lsmintervalprocessor processor.go:556-605)."""
     fns = [parse_statement(s) for s in statements]
     if not fns:
         return ds

@@ -131,8 +131,14 @@ def main(argv=None) -> int:
         docs = read_parquet_clean(src)
         k = args.substring_k or 8
         if args.gram_index:
+            # an implicit shared default run id would make two
+            # different un-named ingests overwrite each other's index
+            # partition (round-3 advice finding)
+            if not args.run_id:
+                p.error("--gram-index requires an explicit --run-id "
+                        "(each ingest needs its own index partition)")
             out_ds = incremental_substring_dedup(
-                docs, args.gram_index, args.run_id or "r0", k=k
+                docs, args.gram_index, args.run_id, k=k
             )
         else:
             out_ds = substring_dedup(docs, k=k)

@@ -51,16 +51,23 @@ class CurationConfig:
     partition_chunks: int = 1024  # pack chunks per output partition
 
 
-def quality_mask(batch: pa.Table, cfg: CurationConfig) -> pa.Array:
+def quality_mask(
+    batch: pa.Table, cfg: CurationConfig, check_lang: bool = True
+) -> pa.Array:
     """The filter predicate over profile columns — one vectorized
-    boolean expression, no Python rows."""
-    m = pc.and_(
-        pc.is_in(
-            batch["lang_detected"],
-            value_set=pa.array(list(cfg.langs), pa.string()),
-        ),
-        pc.greater_equal(batch["n_tokens"], cfg.min_tokens),
-    )
+    boolean expression, no Python rows.  ``check_lang=False`` applies
+    only the numeric bounds (the post-rewrite re-check: the n-gram
+    language heuristic is unreliable on span-shortened text, and the
+    language decision was already made on the full document)."""
+    m = pc.greater_equal(batch["n_tokens"], cfg.min_tokens)
+    if check_lang:
+        m = pc.and_(
+            m,
+            pc.is_in(
+                batch["lang_detected"],
+                value_set=pa.array(list(cfg.langs), pa.string()),
+            ),
+        )
     m = pc.and_(m, pc.less_equal(batch["n_tokens"], cfg.max_tokens))
     m = pc.and_(
         m, pc.greater_equal(batch["alpha_ratio"], cfg.min_alpha_ratio)
@@ -125,6 +132,16 @@ def curate(
                 swap_text, batch_format="pyarrow", zero_copy_batch=True
             ),
             text_col,
+        )
+        # span removal can drop a doc below the quality thresholds
+        # (fewer tokens, lower alpha ratio) — re-apply the numeric
+        # bounds to the re-profiled text so packing never sees a doc
+        # the filter stage would have rejected (round-3 advice
+        # finding); the language decision stays with the full document
+        deduped = deduped.map_batches(
+            lambda t: t.filter(quality_mask(t, cfg, check_lang=False)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     packed = concat_chunk_packing(
         deduped, budget=cfg.pack_budget, value_col="n_tokens",

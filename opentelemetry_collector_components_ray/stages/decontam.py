@@ -22,6 +22,8 @@ extraction, matching, anti-join — is value-gated.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -304,16 +306,25 @@ EMB_EPS = 0.1
 EMB_THRESHOLD = 0.99
 
 
-def embedding_decontam_report(embs: rd.Dataset) -> rd.Dataset:
+def embedding_decontam_report(
+    embs: rd.Dataset, bench: Optional[rd.Dataset] = None
+) -> rd.Dataset:
     """(doc_id, mode='embedding', status, n_hits) over the embeddings
-    corpus vs the planted-twin benchmark set.
+    corpus vs a benchmark embedding set.
 
-    The benchmark matrix is broadcast once (small by definition: one
-    row per benchmark item — real decontamination benchmarks are a few
-    thousand rows, never corpus-sized); per-batch work is one
-    vectorized normalized matmul with a rounded threshold compare, the
-    exact float contract of ``ann.cosine_topk``.  No shuffle anywhere:
-    corpus → one map_batches."""
+    ``bench`` is the benchmark side and MUST be bounded small (one row
+    per benchmark item — real decontamination benchmarks are a few
+    thousand rows, never corpus-sized): its matrix is driver-collected
+    and broadcast once.  When ``bench`` is None the driver-gate FIXTURE
+    is used — every ``EMB_EVERY``-th corpus vector gets a planted
+    near-twin (``ann.plant_near_dup_twins``), which makes the derived
+    benchmark side N/EMB_EVERY rows and per-batch work O(N²/EMB_EVERY).
+    That default is for the value-gated driver query ONLY; at scale
+    always pass the real benchmark Dataset (round-3 advice finding).
+
+    Per-batch work is one vectorized normalized matmul with a rounded
+    threshold compare, the exact float contract of ``ann.cosine_topk``.
+    No shuffle anywhere: corpus → one map_batches."""
     from .ann import (
         _matrix,
         _normalize,
@@ -321,10 +332,14 @@ def embedding_decontam_report(embs: rd.Dataset) -> rd.Dataset:
         round_half_away,
     )
 
-    planted = plant_near_dup_twins(
-        embs, every=EMB_EVERY, eps=EMB_EPS, offset=EMB_OFFSET
-    )
-    bench = planted.filter(expr=f"vec_id >= {EMB_OFFSET}")
+    if bench is None:
+        planted = plant_near_dup_twins(
+            embs, every=EMB_EVERY, eps=EMB_EPS, offset=EMB_OFFSET
+        )
+        bench = planted.filter(expr=f"vec_id >= {EMB_OFFSET}")
+        corpus = planted.filter(expr=f"vec_id < {EMB_OFFSET}")
+    else:
+        corpus = embs
     bench_df = bench.to_pandas()  # benchmark side: bounded small
     bmat = _normalize(
         np.stack(bench_df["embedding"].to_numpy()).astype(np.float64)
@@ -348,7 +363,6 @@ def embedding_decontam_report(embs: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    corpus = planted.filter(expr=f"vec_id < {EMB_OFFSET}")
     return corpus.map_batches(fn, batch_format="pyarrow")
 
 

@@ -218,6 +218,20 @@ def _shingles(text: str, k: int) -> np.ndarray:
     return np.unique(hash64(np.asarray(joined, dtype=object)))
 
 
+def _as_string_array(texts) -> "pa.Array":
+    """Normalize a text batch (Python list, Arrow Array or ChunkedArray)
+    to one contiguous Arrow string array WITHOUT a Python round-trip —
+    callers pass ``batch[col]`` straight through so the hot dedup paths
+    never materialize per-row Python strings (round-3 review finding)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        if texts.type != pa.string():
+            texts = texts.cast(pa.string())
+        return texts
+    return pa.array(list(texts), pa.string())
+
+
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
@@ -257,7 +271,7 @@ class MinHasher:
         import pyarrow as _pa
         import pyarrow.compute as _pc
 
-        arr = _pa.array(texts, _pa.string())
+        arr = _as_string_array(texts)
         words_list = _pc.split_pattern_regex(
             _pc.utf8_lower(arr), r"\W+"
         )
@@ -351,8 +365,8 @@ class MinHasher:
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sigs = self.signatures(texts)
+        # Arrow column passed straight through — no to_pylist round-trip
+        sigs = self.signatures(batch[self.text_col])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -1368,8 +1382,8 @@ class SimHasher:
         import pyarrow as _pa
         import pyarrow.compute as _pc
 
-        n_docs = len(texts)
-        arr = _pa.array(list(texts), _pa.string())
+        arr = _as_string_array(texts)
+        n_docs = len(arr)
         words_list = _pc.split_pattern_regex(_pc.utf8_lower(arr), r"\W+")
         flat_arr = _pc.list_flatten(words_list)
         counts = np.asarray(
@@ -1411,8 +1425,8 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sh = self.simhash_batch(texts)
+        # Arrow column passed straight through — no to_pylist round-trip
+        sh = self.simhash_batch(batch[self.text_col])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -1655,7 +1669,16 @@ def cross_corpus_near_dups(
 
     def as_arrow(t: pa.Table) -> pa.Table:
         # normalize block type: a pandas-blocked corpus unioned with
-        # the arrow-blocked shifted side trips Ray's batcher inference
+        # the arrow-blocked shifted side trips Ray's batcher inference.
+        # Guard corpus_a's id space too: an id >= id_offset_b here
+        # would collide with corpus_b's shifted space and silently
+        # drop / misattribute cross pairs (round-3 advice finding).
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= id_offset_b:
+            raise ValueError(
+                f"corpus_a {id_col} >= id_offset_b ({id_offset_b}); "
+                "raise the offset so the corpora stay disjoint"
+            )
         return t
 
     both = corpus_a.select_columns([id_col, text_col]).map_batches(

@@ -78,7 +78,11 @@ def word_frequencies(
 
 
 def unigram_logprob(
-    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_vocab: int | None = None,
 ) -> rd.Dataset:
     """Append ``unigram_logprob``: mean over the document's words of
     ``ln(count(word) / total_words)`` under the corpus unigram model
@@ -86,25 +90,55 @@ def unigram_logprob(
 
     Model fit is one combiner pass; the fitted ``(vocab, logprob)``
     arrays are ``ray.put`` once and mapped per batch via searchsorted —
-    never re-shipped, never joined."""
-    freq = word_frequencies(ds, text_col).to_pandas()  # bounded: vocab
+    never re-shipped, never joined.
+
+    The broadcast vocabulary is CAPPED — standard LM practice, and the
+    round-3 review finding: a web corpus's ``\\w+`` token set is
+    effectively unbounded (URLs, typos, code identifiers), so an
+    uncapped model grows with the input and materializes on the driver.
+    ``min_count`` drops words rarer than the floor; ``max_vocab`` keeps
+    the top-V by (count DESC, word ASC) via a DISTRIBUTED sort+limit,
+    so the driver only ever holds V rows.  All trimmed words share one
+    OOV bucket whose probability is ``tail_count / total`` — total and
+    tail are exact (Dataset-side sums), so capping changes which words
+    share a bucket, never the mass accounting."""
+    freq_ds = word_frequencies(ds, text_col)
+    total = freq_ds.sum("c") or 0
+    if min_count > 1:
+        freq_ds = freq_ds.filter(expr=f"c >= {min_count}")
+    if max_vocab is not None:
+        freq_ds = freq_ds.sort(
+            ["c", "word"], descending=[True, False]
+        ).limit(max_vocab)
+    freq = freq_ds.to_pandas()  # bounded: min(vocab, max_vocab) rows
     vocab = freq["word"].to_numpy(dtype=object)
     order = np.argsort(vocab)
     vocab = vocab[order]
     counts = freq["c"].to_numpy(dtype=np.float64)[order]
-    lp = np.log(counts / counts.sum()) if len(counts) else counts
-    model_ref = ray.put((vocab.astype("U"), lp))
+    tail = float(total) - counts.sum()
+    lp = np.log(counts / total) if len(counts) else counts
+    # OOV bucket: trimmed words share ln(tail/total); -inf cannot arise
+    # at score time (a scored OOV word implies a nonzero trimmed tail)
+    oov = np.log(tail / total) if tail > 0 else 0.0
+    model_ref = ray.put((vocab.astype("U"), lp, oov))
 
     def fn(batch: pa.Table) -> pa.Table:
-        vocab_s, lp_s = process_cached(
+        vocab_s, lp_s, oov_s = process_cached(
             ("unigram_model", model_ref.hex()), lambda: ray.get(model_ref)
         )
         words, row, n = _tokenize(batch[text_col])
         sums = np.zeros(n, dtype=np.float64)
         nw = np.zeros(n, dtype=np.int64)
         if len(words):
-            idx = np.searchsorted(vocab_s, words.astype("U"))
-            sums = np.bincount(row, weights=lp_s[idx], minlength=n)
+            wu = words.astype("U")
+            idx = np.searchsorted(vocab_s, wu)
+            idx_c = np.minimum(idx, max(len(vocab_s) - 1, 0))
+            found = (
+                (vocab_s[idx_c] == wu) if len(vocab_s)
+                else np.zeros(len(wu), dtype=bool)
+            )
+            w_lp = np.where(found, lp_s[idx_c], oov_s)
+            sums = np.bincount(row, weights=w_lp, minlength=n)
             nw = np.bincount(row, minlength=n)
         mean = np.where(nw > 0, sums / np.maximum(nw, 1), 0.0)
         return batch.append_column(
@@ -156,11 +190,15 @@ def top_bigrams(
 
 
 def lm_stats(ds: rd.Dataset, k: int = 20,
-             tfidf_k: int = 3) -> rd.Dataset:
+             tfidf_k: int = 3, min_count: int = 1,
+             min_df: int = 1) -> rd.Dataset:
     """Tag-union of the corpus-LM ops for the driver query: rows
     ``('bigram', bigram, count)`` ∪ ``('doc_lp', doc_id, logprob)`` ∪
     ``('tfidf', doc_id#rank#term, score)`` — the rank in the key makes
-    the per-doc TF-IDF ORDERING part of the value gate."""
+    the per-doc TF-IDF ORDERING part of the value gate.  ``min_count``
+    / ``min_df`` activate the vocabulary caps (mirrored in
+    :func:`lm_stats_sql`, so the driver gate exercises the capped
+    path)."""
 
     def melt_bigrams(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -192,10 +230,10 @@ def lm_stats(ds: rd.Dataset, k: int = 20,
     bigrams = top_bigrams(ds, k).map_batches(
         melt_bigrams, batch_format="pyarrow", zero_copy_batch=True
     )
-    scored = unigram_logprob(ds).map_batches(
+    scored = unigram_logprob(ds, min_count=min_count).map_batches(
         melt_docs, batch_format="pyarrow", zero_copy_batch=True
     )
-    tfidf = tfidf_top_terms(ds, tfidf_k).map_batches(
+    tfidf = tfidf_top_terms(ds, tfidf_k, min_df=min_df).map_batches(
         melt_tfidf, batch_format="pyarrow", zero_copy_batch=True
     )
     return bigrams.union(scored).union(tfidf)
@@ -208,7 +246,11 @@ _BIGRAMS_UNNEST = (
 
 
 def lm_stats_sql(k: int = 20, table: str = "documents",
-                 tfidf_k: int = 3) -> str:
+                 tfidf_k: int = 3, min_count: int = 1,
+                 min_df: int = 1) -> str:
+    """Twin of :func:`lm_stats` — the vocabulary caps are mirrored:
+    words under ``min_count`` share the OOV bucket ``ln(tail/total)``,
+    terms under ``min_df`` are excluded from TF-IDF scoring."""
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS wd
@@ -216,9 +258,14 @@ WITH w AS (
 ),
 f AS (SELECT wd, count(*)::DOUBLE AS c FROM w GROUP BY wd),
 tot AS (SELECT sum(c) AS t FROM f),
+kept AS (SELECT wd, c FROM f WHERE c >= {min_count}),
+tail AS (SELECT coalesce(sum(c), 0) AS tc FROM f WHERE c < {min_count}),
 lp AS (
-  SELECT doc_id, avg(ln(c / t)) AS v
-  FROM w JOIN f USING (wd) CROSS JOIN tot GROUP BY doc_id
+  SELECT doc_id,
+         avg(CASE WHEN kept.wd IS NOT NULL THEN ln(kept.c / t)
+                  ELSE ln(tc / t) END) AS v
+  FROM w LEFT JOIN kept USING (wd) CROSS JOIN tot CROSS JOIN tail
+  GROUP BY doc_id
 ),
 bg AS (
   SELECT {_BIGRAMS_UNNEST} AS b
@@ -228,7 +275,8 @@ top AS (
   SELECT b, count(*) AS n FROM bg GROUP BY b
   ORDER BY n DESC, b ASC LIMIT {k}
 ),
-dfq AS (SELECT wd, count(DISTINCT doc_id)::DOUBLE AS df FROM w GROUP BY wd),
+dfq AS (SELECT wd, count(DISTINCT doc_id)::DOUBLE AS df FROM w GROUP BY wd
+        HAVING count(DISTINCT doc_id) >= {min_df}),
 nd AS (SELECT count(*)::DOUBLE AS n FROM {table}),
 tfq AS (SELECT doc_id, wd, count(*)::DOUBLE AS c FROM w GROUP BY doc_id, wd),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM w GROUP BY doc_id),
@@ -296,6 +344,8 @@ def tfidf_top_terms(
     k_per_doc: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_df: int = 1,
+    max_vocab: int | None = None,
 ) -> rd.Dataset:
     """Per-document top-k terms by TF-IDF — the classic quality /
     keyword-extraction signal: ``score = (c_term / doc_len) ·
@@ -303,12 +353,25 @@ def tfidf_top_terms(
     (score DESC, term ASC) tie-break.  Output (doc_id, term, score,
     rank).
 
-    The (word → idf) table is vocab-bounded, fit in one combiner pass
-    and broadcast once (the unigram-model discipline); scoring and the
-    per-doc top-k are one vectorized pass per batch — each document
-    lives in one row, so its top-k never crosses blocks."""
+    The (word → idf) table is fit in one combiner pass and broadcast
+    once (the unigram-model discipline) — and CAPPED like the unigram
+    model (round-3 review finding: the raw vocab grows with a web
+    corpus): ``min_df`` excludes terms in fewer than that many
+    documents (sklearn's ``min_df``; such terms are never scored —
+    they are near-unique strings, not keywords), ``max_vocab`` keeps
+    the top-V by (df DESC, word ASC) via a distributed sort+limit.
+    Scoring and the per-doc top-k are one vectorized pass per batch —
+    each document lives in one row, so its top-k never crosses
+    blocks."""
     n_docs = float(ds.count())
-    freq = doc_frequencies(ds, text_col).to_pandas()  # bounded: vocab
+    freq_ds = doc_frequencies(ds, text_col)
+    if min_df > 1:
+        freq_ds = freq_ds.filter(expr=f"df >= {min_df}")
+    if max_vocab is not None:
+        freq_ds = freq_ds.sort(
+            ["df", "word"], descending=[True, False]
+        ).limit(max_vocab)
+    freq = freq_ds.to_pandas()  # bounded: min(vocab, max_vocab) rows
     vocab = freq["word"].to_numpy(dtype=object)
     order = np.argsort(vocab)
     vocab = vocab[order]
@@ -339,9 +402,25 @@ def tfidf_top_terms(
         t_row = row_s[starts]
         t_word = wu_s[starts]
         tf = counts / dlen[t_row]
-        score = _round6_away_signed(
-            tf * idf_s[np.searchsorted(vocab_s, t_word)]
+        # membership check: terms trimmed from the idf table (min_df /
+        # max_vocab) are not scored
+        idx = np.searchsorted(vocab_s, t_word)
+        idx_c = np.minimum(idx, max(len(vocab_s) - 1, 0))
+        found = (
+            (vocab_s[idx_c] == t_word) if len(vocab_s)
+            else np.zeros(len(t_word), dtype=bool)
         )
+        t_row, t_word, tf, idx_c = (
+            t_row[found], t_word[found], tf[found], idx_c[found]
+        )
+        if not len(t_row):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        score = _round6_away_signed(tf * idf_s[idx_c])
         # per-doc rank by (score desc, term asc)
         sel = np.lexsort((t_word, -score, t_row))
         t_row, t_word, score = t_row[sel], t_word[sel], score[sel]
@@ -397,7 +476,11 @@ def datacard(
         ]
         for col in ("lang", "source"):
             if col in t.schema.names:
-                vc = pc.value_counts(t[col])
+                # nulls are dropped on BOTH sides: the SQL twin's
+                # ``'lang:' || lang`` yields a NULL key for the null
+                # group, and pandas/Arrow would hash it as 'lang:None'
+                # — a silent value mismatch (round-3 advice finding)
+                vc = pc.value_counts(pc.drop_null(t[col]))
                 for s in vc:
                     keys.append(f"{col}:{s['values'].as_py()}")
                     vals.append(float(s['counts'].as_py()))
@@ -467,10 +550,11 @@ UNION ALL
 SELECT 'card', 'total_chars',
        coalesce(sum(length(text)), 0)::DOUBLE FROM {table}
 UNION ALL
-SELECT 'card', 'lang:' || lang, count(*)::DOUBLE FROM {table} GROUP BY lang
+SELECT 'card', 'lang:' || lang, count(*)::DOUBLE FROM {table}
+WHERE lang IS NOT NULL GROUP BY lang
 UNION ALL
 SELECT 'card', 'source:' || source, count(*)::DOUBLE
-FROM {table} GROUP BY source
+FROM {table} WHERE source IS NOT NULL GROUP BY source
 UNION ALL
 SELECT 'card', 'distinct_texts', count(DISTINCT text)::DOUBLE FROM {table}
 """

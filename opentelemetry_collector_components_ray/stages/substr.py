@@ -121,6 +121,16 @@ def _window_grams(h: np.ndarray, offsets: np.ndarray, counts: np.ndarray,
     return comb[valid], d, idx[valid] - offsets[d]
 
 
+GRAM_HASH_VERSION = 2
+"""Version of the gram/window hash scheme (buffer-level word ``hash64``
+combined with splitmix64 position weights).  Bump on ANY change to
+:func:`_flat_words` / :func:`_window_grams` semantics or weights: a
+persistent gram index stores bare uint64 hashes, so mixing scheme
+versions silently compares incompatible gram spaces and dedup quietly
+degrades to a no-op (round-3 advice finding).  v2 = the
+post-palindrome-fix splitmix64 multipliers."""
+
+
 def _fingerprint_fn(text_col: str, id_col: str, k: int):
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -642,6 +652,29 @@ def incremental_substring_dedup(
 
     from ..functions.join import anti_join, semi_join
     from .aggregate import AUTO_DISTRIBUTED_BYTES
+
+    # The index stores bare uint64 gram hashes: a k or hash-scheme
+    # mismatch across ingests would compare disjoint gram spaces and
+    # silently match nothing, so the index carries its parameters and
+    # every call validates them (round-3 advice finding).
+    import json as _json
+
+    meta = {"k": k, "hash_version": GRAM_HASH_VERSION}
+    meta_path = _os.path.join(index_dir, "_meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = _json.load(f)
+        if existing != meta:
+            raise ValueError(
+                f"gram index at {index_dir} was built with {existing}; "
+                f"this call uses {meta} — incompatible gram spaces "
+                "(history would silently match nothing). Use a fresh "
+                "index_dir or matching parameters."
+            )
+    else:
+        _os.makedirs(index_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
 
     run_dir = f"{index_dir}/run={run_id}"
     if _os.path.isdir(run_dir):  # idempotent re-run

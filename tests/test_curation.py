@@ -153,3 +153,23 @@ def test_curate_substring_stage_rewrites_spans(ray_session):
     assert t1.startswith("different opening words")
     # the packing budget saw the POST-removal token counts
     assert out.loc[1, "n_tokens"] < out.loc[0, "n_tokens"]
+
+
+def test_curate_substring_reapplies_quality_mask(ray_session):
+    # doc 1 is ONLY the shared span plus two filler words: after span
+    # removal it drops below min_tokens and must be filtered out, not
+    # packed (round-3 advice finding: post-rewrite quality drift)
+    shared = ("a little boat sails down the long green valley past "
+              "the old stone mill")
+    texts = [
+        GOOD + " " + shared,     # keeper of the span
+        "um well " + shared,     # 2 tokens once the span is removed
+        "completely different content about mountains and snow and "
+        "long winter evenings by the fire with hot tea and old books",
+    ]
+    out = curate(
+        _docs(ray_session, texts),
+        cfg=CurationConfig(near_dup=False, substring_k=8, pack_budget=64,
+                           min_tokens=5),
+    ).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [0, 2]

@@ -116,3 +116,58 @@ def test_tfidf_top_terms_manual(ray_session):
     d1 = out[out.doc_id == 1].sort_values("rank")
     assert d1.term.tolist() == ["c", "a"]
     assert np.isclose(d1.score.iloc[0], round(3 / 4 * np.log(2), 6))
+
+
+def test_unigram_logprob_min_count_oov_bucket(ray_session):
+    from opentelemetry_collector_components_ray.stages.lm import (
+        unigram_logprob,
+    )
+
+    # corpus: a×3 b×2 c×1 → total 6; min_count=2 trims c into the OOV
+    # bucket, whose mass is the trimmed tail: ln(1/6)
+    out = (
+        unigram_logprob(_docs(["a a b", "a b c", ""]), min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp = {w: math.log(c / 6) for w, c in {"a": 3, "b": 2}.items()}
+    oov = math.log(1 / 6)
+    exp0 = (2 * lp["a"] + lp["b"]) / 3
+    exp1 = (lp["a"] + lp["b"] + oov) / 3
+    assert out.unigram_logprob[0] == pytest.approx(exp0, abs=1e-6)
+    assert out.unigram_logprob[1] == pytest.approx(exp1, abs=1e-6)
+
+
+def test_unigram_logprob_max_vocab_cap(ray_session):
+    from opentelemetry_collector_components_ray.stages.lm import (
+        unigram_logprob,
+    )
+
+    # corpus: a×3 b×2 c×1 → total 6; max_vocab=2 keeps {a, b} (count
+    # DESC), c shares the OOV bucket ln(1/6)
+    out = (
+        unigram_logprob(_docs(["a a b", "a b c", ""]), max_vocab=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lp = {w: math.log(c / 6) for w, c in {"a": 3, "b": 2}.items()}
+    oov = math.log(1 / 6)
+    exp1 = (lp["a"] + lp["b"] + oov) / 3
+    assert out.unigram_logprob[1] == pytest.approx(exp1, abs=1e-6)
+    assert out.unigram_logprob[2] == 0.0
+
+
+def test_tfidf_min_df_drops_rare_terms(ray_session):
+    from opentelemetry_collector_components_ray.stages.lm import (
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(
+        _docs(["common rare1", "common rare2", "common rare3"]),
+        k_per_doc=3, min_df=2,
+    ).to_pandas()
+    # every rareN appears in 1 doc < min_df → only 'common' is scored
+    assert set(out.term) == {"common"}
+    assert len(out) == 3
