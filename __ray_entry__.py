@@ -482,14 +482,44 @@ def _q_expo_histogram(sf_dir: str):
     """Flat exploded expo-histogram (one row per non-empty bucket +
     repeated group totals/min/max) so the driver can value-gate the
     base-2 merge math against a DuckDB twin — the e_quantize flat-form
-    trick (round-2 verdict item 1b)."""
+    trick (round-2 verdict item 1b).  Round 4: tag-union of the
+    non-negative latency measure and a SIGNED measure
+    (``latency_ms - 40``) whose negative bucket runs drive the
+    reference's negative-run merge branch (expo/merge.go:32) through
+    the value gate — previously only unit/property-tested."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from opentelemetry_collector_components_ray.pipelines import (
         enriched_transcripts,
     )
 
-    return _agg.expo_latency_histogram_flat(
-        enriched_transcripts(sf_dir), "24h"
+    def tag(variant: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "variant", pa.array([variant] * len(t), pa.string())
+            )
+
+        return fn
+
+    enriched = enriched_transcripts(sf_dir)
+    lat = _agg.expo_signed_histogram_flat(enriched, "24h").map_batches(
+        tag("latency"), batch_format="pyarrow"
     )
+
+    def add_delta(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "latency_delta_ms", pc.subtract(t["latency_ms"], 40)
+        )
+
+    signed = _agg.expo_signed_histogram_flat(
+        enriched.map_batches(
+            add_delta, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "24h",
+        value_col="latency_delta_ms",
+    ).map_batches(tag("signed"), batch_format="pyarrow")
+    return lat.union(signed)
 
 
 def _q_summary_merge(sf_dir: str):
@@ -1006,11 +1036,66 @@ def _q_ecs_remap(sf_dir: str):
     return remap_stage(enriched_transcripts(sf_dir))
 
 
+# --- t_cardinality_route hll_highcard fixture (round-4 item): a
+# deterministic corpus where the HLL estimate differs from the exact
+# count (50k/5k distinct combos vs 2^14 registers), value-gated
+# against an INDEPENDENT naive-Python HLL recomputation in the oracle
+# (the p_frame_metrics VALUES pattern).  At the driver corpus's ~15
+# combos the estimate provably equals the exact count, so the shared
+# exact oracle there could not catch a register-indexing bug that only
+# manifests at high cardinality (round-3 verdict finding #5).
+_HLL_HIGHCARD_KEYS = (("hot", 50_000), ("warm", 5_000), ("cool", 100))
+_HLL_HIGHCARD_COPIES = 2  # every combo appears twice, across blocks
+
+
+def _hll_highcard_rules():
+    return ((500, "low_card"), (20_000, "mid_card"), (None, "high_card"))
+
+
+def _hll_highcard_dataset():
+    import pyarrow as pa
+    import ray.data as rd
+
+    sizes = [n for _, n in _HLL_HIGHCARD_KEYS]
+    names = [k for k, _ in _HLL_HIGHCARD_KEYS]
+    bounds = []
+    acc = 0
+    for n in sizes:
+        acc += n
+        bounds.append(acc)
+    total = acc * _HLL_HIGHCARD_COPIES
+
+    def make(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        ids = batch["id"].to_numpy() % bounds[-1]
+        b = np.asarray(bounds)
+        s = np.asarray(sizes)
+        j = np.searchsorted(b, ids, side="right")
+        local = ids - (b[j] - s[j])
+        keys = np.asarray(names, dtype=object)[j].astype("U")
+        combos = np.char.add(
+            np.char.add(keys, "-combo-"), local.astype("U")
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(keys, pa.string()),
+                "combo": pa.array(combos.astype(object), pa.string()),
+            }
+        )
+
+    return rd.range(total, override_num_blocks=8).map_batches(
+        make, batch_format="pyarrow"
+    )
+
+
 def _q_cardinality_route(sf_dir: str):
-    """Both cardinality-routing variants in one tag-union result
-    (round 3 slot consolidation): the exact distributed fold and the
+    """All three cardinality-routing variants in one tag-union result
+    (round 3 slot consolidation): the exact distributed fold, the
     HLL-sketch estimator (router.go:287-297 precision-14 estimates —
     exact at driver cardinalities, so both share the exact oracle),
+    and the high-cardinality HLL fixture where estimate ≠ exact,
+    gated against a naive-Python HLL VALUES oracle (round 4) —
     distinguished by a ``variant`` column."""
     import pyarrow as pa
 
@@ -1018,6 +1103,7 @@ def _q_cardinality_route(sf_dir: str):
         enriched_transcripts,
     )
     from opentelemetry_collector_components_ray.stages.route import (
+        CardinalityRouterConfig,
         cardinality_route,
         cardinality_route_hll,
     )
@@ -1036,7 +1122,14 @@ def _q_cardinality_route(sf_dir: str):
     hll = cardinality_route_hll(enriched_transcripts(sf_dir)).map_batches(
         tag("hll"), batch_format="pyarrow"
     )
-    return exact.union(hll)
+    hc_cfg = CardinalityRouterConfig(
+        key="conv_id", measure_by=("combo",),
+        rules=_hll_highcard_rules(),
+    )
+    highcard = cardinality_route_hll(
+        _hll_highcard_dataset(), config=hc_cfg
+    ).map_batches(tag("hll_highcard"), batch_format="pyarrow")
+    return exact.union(hll).union(highcard)
 
 
 def _q_jaccard_pairs(sf_dir: str):
@@ -1548,6 +1641,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _hll_highcard_oracle_sql() -> str:
+    """VALUES twin of the ``hll_highcard`` variant: per-key estimates
+    recomputed by an INDEPENDENT naive Python HLL — per-string-loop
+    hash (the buffer-level kernel's spec: length-seeded word-chain
+    polynomial + splitmix64 finalize), per-hash register update via
+    ``bit_length``, Ertl Alg.-6 estimator transcribed from the paper
+    (arXiv:1702.01284) — over the same deterministic combo space the
+    query hashes.  A register-indexing or rank bug in the engine's
+    vectorized path cannot reproduce these numbers."""
+    import math
+
+    m64 = (1 << 64) - 1
+
+    def sm(x: int) -> int:
+        x &= m64
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m64
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m64
+        return x ^ (x >> 31)
+
+    def nhash(sv: str) -> int:
+        data = sv.encode()
+        ln = len(data)
+        acc = sm(ln ^ 0x243F6A8885A308D3)
+        if ln:
+            nw = (ln + 7) // 8
+            w_cnt = 1 << max((nw - 1).bit_length(), 0)
+            buf = data + b"\x00" * (w_cnt * 8 - ln)
+            for j in range(w_cnt):
+                word = int.from_bytes(buf[8 * j : 8 * j + 8], "little")
+                acc = (acc * 1099511628211 + word) & m64
+        return sm(acc)
+
+    def estimate(hashes, p: int = 14) -> float:
+        m = 1 << p
+        q = 64 - p
+        reg = [0] * m
+        for h in hashes:
+            idx = h >> (64 - p)
+            rest = (h << p) & m64
+            rank = (q + 1) if rest == 0 else (65 - rest.bit_length())
+            if rank > reg[idx]:
+                reg[idx] = rank
+        counts = [0.0] * (q + 2)
+        for r in reg:
+            counts[r] += 1.0
+
+        def sigma(x: float) -> float:
+            if x == 1.0:
+                return float("inf")
+            y, z = 1.0, x
+            while True:
+                x = x * x
+                zp = z
+                z = z + x * y
+                y = 2.0 * y
+                if z == zp:
+                    return z
+
+        def tau(x: float) -> float:
+            if x == 0.0 or x == 1.0:
+                return 0.0
+            y, z = 1.0, 1.0 - x
+            while True:
+                x = math.sqrt(x)
+                zp = z
+                y = 0.5 * y
+                z = z - (1.0 - x) ** 2 * y
+                if z == zp:
+                    return z / 3.0
+
+        mf = float(m)
+        z = mf * tau(1.0 - counts[q + 1] / mf)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + counts[k])
+        z += mf * sigma(counts[0] / mf)
+        return mf * mf / (2.0 * math.log(2.0)) / z
+
+    rules = _hll_highcard_rules()
+
+    def sink_for(card: int) -> str:
+        for t, sk in rules:
+            if t is None or card <= t:
+                return sk
+        raise AssertionError("unreachable")
+
+    rows = []
+    for name, n in _HLL_HIGHCARD_KEYS:
+        hs = [nhash(f"{name}\x1f{name}-combo-{i}") for i in range(n)]
+        est = int(round(estimate(hs)))
+        rows.append(f"('{name}', {est}, '{sink_for(est)}')")
+    return (
+        "SELECT conv_id, CAST(combo_card AS BIGINT) AS combo_card, sink "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(conv_id, combo_card, sink)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "t_transcripts": f"{_CTE} SELECT * FROM transcripts",
@@ -1614,35 +1804,50 @@ def oracle_sql() -> dict[str, str]:
         # t_approx_convs: HLL estimate (±1%) cannot hash-match an exact
         # oracle → rows-only; accuracy asserted in tests/test_conversation.py
         "t_ecs_remap": f"{_CTE} {_remap.RemapSpec().sql_select('enriched')}",
-        # t_cardinality_route: tag-union of the exact fold and the HLL
-        # sketch variant.  The sketch estimate is a deterministic,
-        # order-insensitive function of the distinct-combo hash set
-        # (register = max over hashes), and at driver cardinalities
-        # (~15 combos vs 2^14 registers) it equals the exact count for
-        # every key on the seeded corpus (verified; register-index
-        # collisions, the only ±1 source, do not occur) — so both
-        # variants share the exact-count oracle.  Accuracy at large
-        # cardinalities asserted in tests/test_cardinality_route.py.
+        # t_cardinality_route: tag-union of the exact fold, the HLL
+        # sketch variant, and the high-cardinality HLL fixture.  The
+        # sketch estimate is a deterministic, order-insensitive
+        # function of the distinct-combo hash set (register = max over
+        # hashes); at driver cardinalities (~15 combos vs 2^14
+        # registers) it equals the exact count for every key on the
+        # seeded corpus (verified), so the 'hll' variant shares the
+        # exact-count oracle — and the 'hll_highcard' variant (50k/5k
+        # combos, estimate ≠ exact) is gated against an independent
+        # naive-Python HLL VALUES recomputation (round-4 item; see
+        # _hll_highcard_oracle_sql).  Accuracy across 10^2-10^6 also
+        # asserted in tests/test_cardinality_route.py.
         "t_cardinality_route": (
             f"{_CTE} SELECT v.*, 'exact' AS variant FROM "
             f"({_route_mod.cardinality_route_sql()}) v "
             "UNION ALL "
             f"SELECT v.*, 'hll' AS variant FROM "
-            f"({_route_mod.cardinality_route_sql()}) v"
+            f"({_route_mod.cardinality_route_sql()}) v "
+            "UNION ALL "
+            "SELECT v.*, 'hll_highcard' AS variant FROM "
+            f"({_hll_highcard_oracle_sql()}) v"
         ),
         "d_jaccard_pairs": _dedup.word_jaccard_pairs_sql(0.5, 400),
         "t_latency_histogram": (
             f"{_CTE} {_agg.latency_histogram_sql(('24h',))}"
         ),
         "t_summary_merge": f"{_CTE} {_agg.summary_merge_sql('24h')}",
-        # t_expo_histogram (value-gated, round 3): flat exploded form —
-        # bucket_idx = ceil(log2(latency)*2^scale)-1 with the 160-cap's
-        # final scale recomputed from the merged span (a pure function
-        # of min/max index, hence batching-independent); min/max merge
-        # parity columns included.  Negative-run merge math stays
-        # unit/property-tested (synthetic latencies are non-negative).
+        # t_expo_histogram (value-gated, round 3; signed round 4):
+        # flat exploded form — bucket_idx = ceil(log2(|v|)*2^scale)-1
+        # per sign with the 160-cap's final scale recomputed from BOTH
+        # runs' merged spans (pure functions of per-sign min/max index,
+        # hence batching-independent); min/max merge parity columns
+        # included.  The 'signed' variant (latency_ms - 40) populates
+        # real negative bucket runs, driver-gating the negative-run
+        # merge branch (expo/merge.go:32).
         "t_expo_histogram": (
-            f"{_CTE} {_agg.expo_histogram_flat_sql('24h')}"
+            f"{_CTE} SELECT v.*, 'latency' AS variant FROM "
+            f"({_agg.expo_signed_histogram_flat_sql('24h')}) v "
+            "UNION ALL SELECT v.*, 'signed' AS variant FROM "
+            + "("
+            + _agg.expo_signed_histogram_flat_sql(
+                "24h", value_expr="latency_ms - 40"
+            )
+            + ") v"
         ),
         # t_latency_quantiles (value-gated, round 3): quantiles are a
         # deterministic CDF walk over the same flat histogram, so the

@@ -26,11 +26,55 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "120"))
 OUT = os.environ.get("GRAFT_BENCH_OUT", "/tmp/occr_bench_out")
 
+# Round-4 artifact-trust protocol (the round-3 verdict's top item): the
+# shared host's memory throughput swings ~10x over minutes, so (a)
+# EVERY cross-round-comparable query is min-of-N (default 3), and (b)
+# an allocator-probe health reading is stamped immediately before each
+# query GROUP — when it reads degraded the run sleeps and retries the
+# probe instead of recording garbage, and the per-group readings land
+# in the JSON so any residual outlier is explainable in-artifact.
+MIN_RUNS = int(os.environ.get("GRAFT_BENCH_MIN_RUNS", "3"))
+PROBE_MIN_GBPS = float(os.environ.get("GRAFT_BENCH_PROBE_MIN", "0.8"))
+PROBE_RETRIES = int(os.environ.get("GRAFT_BENCH_PROBE_RETRIES", "4"))
+PROBE_SLEEP_S = float(os.environ.get("GRAFT_BENCH_PROBE_SLEEP", "20"))
+
+probes: dict = {}  # group -> {"gbps": x, "retries": n}
+
 
 def _timed(fn):
     t0 = time.perf_counter()
     r = fn()
     return time.perf_counter() - t0, r
+
+
+def _timed_min(fn, n: int | None = None):
+    """Min-of-N timing (host-noise damping): returns (min_sec, result
+    of the last run)."""
+    n = MIN_RUNS if n is None else n
+    best, res = float("inf"), None
+    for _ in range(max(n, 1)):
+        sec, res = _timed(fn)
+        best = min(best, sec)
+    return best, res
+
+
+def group_probe(name: str) -> float:
+    """Stamp the current effective memory throughput for a query group
+    into ``probes[name]``; sleep+retry while the host window is
+    degraded (below PROBE_MIN_GBPS) so the group's numbers aren't
+    recorded in a collapsed window."""
+    from opentelemetry_collector_components_ray.functions.allocprobe import (
+        effective_fill_rate,
+    )
+
+    gbps = 0.0
+    for attempt in range(PROBE_RETRIES + 1):
+        gbps = effective_fill_rate()
+        if gbps >= PROBE_MIN_GBPS or attempt == PROBE_RETRIES:
+            probes[name] = {"gbps": round(gbps, 3), "retries": attempt}
+            return gbps
+        time.sleep(PROBE_SLEEP_S)
+    return gbps
 
 
 def main() -> None:
@@ -116,6 +160,7 @@ def main() -> None:
                 f"{OUT}/service_summary"
             )
 
+    group_probe("flagship")
     cold, _ = _timed(headline)
     # min-of-3 warm runs: this shared host's memory throughput swings
     # ~10x over minutes (see BASELINE.md host-noise advisory), so a
@@ -149,22 +194,25 @@ def main() -> None:
                     "num_cpus": NUM_CPUS,
                     "n_turns": n_turns,
                     "turns_per_sec": round(n_turns / val, 1),
+                    "group_probes_gbps": probes,
+                    "malloc_tuning": malloc_tuning,
                 }
             )
         )
         ray.shutdown()
         return
 
-    queries["parse_count"], _ = _timed(
+    group_probe("counts")
+    queries["parse_count"], _ = _timed_min(
         lambda: parse_stage(read_transcripts(inp)).count()
     )
-    queries["enrich_count"], _ = _timed(
+    queries["enrich_count"], _ = _timed_min(
         lambda: enriched_transcripts(inp).count()
     )
-    queries["service_summary"], _ = _timed(
+    queries["service_summary"], _ = _timed_min(
         lambda: flagship_aggregate(inp, ("1h", "24h")).count()
     )
-    queries["latest_state"], _ = _timed(
+    queries["latest_state"], _ = _timed_min(
         lambda: agg.latest_state(enriched_transcripts(inp)).count()
     )
 
@@ -179,7 +227,8 @@ def main() -> None:
             inp, f"{OUT}_sharded", num_shards=16, max_concurrent=4
         )
 
-    queries["flagship_sharded"], _ = _timed(sharded)
+    group_probe("sharded")
+    queries["flagship_sharded"], _ = _timed_min(sharded)
 
     # training-data ops over the documents/embeddings tables (sf-sized)
     import ray.data as rd
@@ -196,10 +245,11 @@ def main() -> None:
 
     docs = read_parquet_clean(f"{SF_DIR}/documents.parquet")
     embs = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
-    queries["doc_token_counts"], _ = _timed(
+    group_probe("docs")
+    queries["doc_token_counts"], _ = _timed_min(
         lambda: text_mod.token_counts(docs).count()
     )
-    queries["doc_exact_dedup"], _ = _timed(
+    queries["doc_exact_dedup"], _ = _timed_min(
         lambda: dedup_mod.exact_dedup(docs).count()
     )
 
@@ -223,12 +273,13 @@ def main() -> None:
         substr as substr_mod,
     )
 
-    queries["doc_substring_dedup_500k"], _ = _timed(
+    group_probe("substr")
+    queries["doc_substring_dedup_500k"], _ = _timed_min(
         lambda: substr_mod.substring_dedup(
             sub_docs, k=8, distributed=False
         ).count()
     )
-    queries["doc_substring_dedup_500k_distributed"], _ = _timed(
+    queries["doc_substring_dedup_500k_distributed"], _ = _timed_min(
         lambda: substr_mod.substring_dedup(
             sub_docs, k=8, distributed=True, num_buckets=256
         ).count()
@@ -241,14 +292,16 @@ def main() -> None:
         snips = decontam.benchmark_snippets(docs)
         return decontam.decontaminate(docs, snips).count()
 
-    queries["doc_decontaminate"], _ = _timed(decontam_run)
+    group_probe("decontam_lm")
+    queries["doc_decontaminate"], _ = _timed_min(decontam_run)
 
     def lm_run():
         from opentelemetry_collector_components_ray.stages import lm
 
-        return lm.lm_stats(docs, k=20).count()
+        # caps active, as in the driver gate (bounded broadcast model)
+        return lm.lm_stats(docs, k=20, min_count=2, min_df=2).count()
 
-    queries["doc_lm_stats"], _ = _timed(lm_run)
+    queries["doc_lm_stats"], _ = _timed_min(lm_run)
     # full curation composition: profile → quality filter → exact +
     # near-dup dedup → prefix-scan packing, one streaming pipeline
     def curation_run():
@@ -261,12 +314,13 @@ def main() -> None:
             docs, cfg=CurationConfig(pack_budget=2048)
         ).count()
 
-    queries["docs_curation_e2e"], _ = _timed(curation_run)
+    queries["docs_curation_e2e"], _ = _timed_min(curation_run)
 
-    queries["doc_minhash_pairs"], _ = _timed(
+    group_probe("minhash")
+    queries["doc_minhash_pairs"], _ = _timed_min(
         lambda: dedup_mod.minhash_near_dups(docs, threshold=0.8).count()
     )
-    queries["doc_minhash_pairs_broadcast"], _ = _timed(
+    queries["doc_minhash_pairs_broadcast"], _ = _timed_min(
         lambda: dedup_mod.minhash_near_dups(
             docs, threshold=0.8, verify="broadcast"
         ).count()
@@ -307,7 +361,8 @@ def main() -> None:
             big, distributed=True, coarse_buckets=256
         ).count()
 
-    queries["doc_cluster_dedup_5m"], _ = _timed(cluster_5m)
+    group_probe("cluster_5m")
+    queries["doc_cluster_dedup_5m"], _ = _timed_min(cluster_5m)
 
     # bloom-prefiltered vs bucketed anti-join over the 12M-turn input
     # (decontamination shape: small dirty-id right side, huge left) —
@@ -336,19 +391,21 @@ def main() -> None:
         filter_join,
     )
 
-    queries["turns_anti_join_bucketed"], _ = _timed(
+    group_probe("anti_join")
+    queries["turns_anti_join_bucketed"], _ = _timed_min(
         lambda: filter_join(
             left, dirty, on="key", mode="anti", broadcast=False
         ).count()
     )
-    queries["turns_anti_join_bloom"], _ = _timed(
+    queries["turns_anti_join_bloom"], _ = _timed_min(
         lambda: filter_join(
             left, dirty, on="key", mode="anti", broadcast=False,
             prefilter="bloom",
         ).count()
     )
 
-    queries["emb_cosine_topk"], _ = _timed(
+    group_probe("ann")
+    queries["emb_cosine_topk"], _ = _timed_min(
         lambda: ann_mod.cosine_topk(
             embs, embs.filter(expr="vec_id < 5"), k=10
         ).count()
@@ -385,7 +442,7 @@ def main() -> None:
     n_embs = embs.count()
     big_embs = _embs_500k()
     pq_cb = ann_mod.pq_train_codebook(embs, m=8, n_codes=256)
-    queries["emb_pq_encode_500k"], _ = _timed(
+    queries["emb_pq_encode_500k"], _ = _timed_min(
         lambda: ann_mod.pq_encode(big_embs, pq_cb).count()
     )
     import tempfile as _tf
@@ -393,12 +450,12 @@ def main() -> None:
     ivfpq_dir = _tf.mkdtemp(prefix="occr_bench_ivfpq_")
     # n_centroids pinned (the √N rule would train 707 driver-side and
     # dominate the timing; centroid-training scale is ivf_build's story)
-    queries["emb_ivfpq_build_500k"], _ = _timed(
+    queries["emb_ivfpq_build_500k"], _ = _timed_min(
         lambda: ann_mod.ivfpq_build_index(
             big_embs, ivfpq_dir, n_centroids=64, codebook=pq_cb
         )
     )
-    queries["emb_ivfpq_search_pruned"], _ = _timed(
+    queries["emb_ivfpq_search_pruned"], _ = _timed_min(
         lambda: ann_mod.ivfpq_search_index(
             ivfpq_dir, embs.filter(expr="vec_id < 3"), k=10, nprobe=8
         ).count()
@@ -414,13 +471,13 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="occr_bench_ivf_")
     n_cent = ann_mod.auto_n_centroids(embs)
     nprobe = max(1, n_cent // 8)
-    queries["emb_ivf_build"], _ = _timed(
+    queries["emb_ivf_build"], _ = _timed_min(
         lambda: ann_mod.ivf_build_index(embs, idx_dir, n_centroids=n_cent)
     )
     # few queries = the point-lookup shape where probing prunes;
     # a 50-query batch's probe union covers most partitions
     qset = embs.filter(expr="vec_id < 3")
-    queries["emb_ivf_search_pruned"], _ = _timed(
+    queries["emb_ivf_search_pruned"], _ = _timed_min(
         lambda: ann_mod.ivf_search_index(
             idx_dir, qset, k=10, nprobe=nprobe
         ).count()
@@ -432,8 +489,8 @@ def main() -> None:
     qdf = qset.to_pandas().sort_values("vec_id", kind="mergesort")
     qm = _np.stack(qdf["embedding"].to_numpy()).astype(_np.float64)
     qm = qm / _np.linalg.norm(qm, axis=1, keepdims=True)
-    probes = _np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
-    needed = {int(c) for row in probes for c in row}
+    probe_rows = _np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    needed = {int(c) for row in probe_rows for c in row}
 
     def _dir_bytes(paths):
         return sum(os.path.getsize(p) for p in paths)
@@ -450,6 +507,52 @@ def main() -> None:
 
     _shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # --- skew stress (round-4 item): one conv_id holds 1/10 of all
+    # turns; the combiner-first aggregate and the hash-bucketed
+    # sessionize must stay ~flat vs the unskewed input (the
+    # reference's cardinality-overflow concern,
+    # merger/limits/tracker.go:68-84).  Same row count / text / ts as
+    # the unskewed input, so the pair isolates key distribution.
+    from opentelemetry_collector_components_ray.stages.conversation import (
+        sessionize,
+    )
+    from opentelemetry_collector_components_ray.synth import (
+        materialize_skewed_transcripts,
+    )
+
+    group_probe("skew")
+    skew_inp = materialize_skewed_transcripts(SF_DIR, REPEAT)
+    read_transcripts(skew_inp).count()  # warm page cache like inp
+    queries["service_summary_skew"], _ = _timed_min(
+        lambda: flagship_aggregate(skew_inp, ("1h", "24h")).count()
+    )
+    queries["sessionize"], _ = _timed_min(
+        lambda: sessionize(read_transcripts(inp)).count()
+    )
+    queries["sessionize_skew"], _ = _timed_min(
+        lambda: sessionize(read_transcripts(skew_inp)).count()
+    )
+
+    # --- object-store-pressure artifact (round-4 item): a fresh
+    # process with the store pinned to ~25% of the routed set's
+    # decoded size runs the full flagship — the closest single-node
+    # proxy for multi-node object movement.  The auto mode selector
+    # must pick the disk-backed shape and complete; spill counters
+    # land in the artifact.
+    group_probe("pressure")
+    pressure_info = None
+    try:
+        penv = dict(os.environ, GRAFT_BENCH_PRESSURE_INPUT=inp,
+                    RAY_GRAFT_CPUS=str(NUM_CPUS))
+        pout = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pressure"],
+            env=penv, capture_output=True, text=True, check=True,
+        ).stdout
+        pressure_info = json.loads(pout.strip().splitlines()[-1])
+        queries["flagship_e2e_pressure"] = pressure_info["sec"]
+    except Exception as exc:  # record the failure, don't lose the run
+        pressure_info = {"error": str(exc)[-500:]}
+
     val = queries["flagship_e2e"]
     print(
         json.dumps(
@@ -462,10 +565,97 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "n_turns": n_turns,
                 "turns_per_sec": round(n_turns / val, 1),
+                "min_runs": MIN_RUNS,
+                "group_probes_gbps": probes,
+                "pressure": pressure_info,
                 "ivf_n_centroids": n_cent,
                 "ivf_nprobe": nprobe,
                 "ivf_pruned_read_fraction": ivf_read_fraction,
                 "malloc_tuning": malloc_tuning,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def pressure() -> None:
+    """Fresh-process flagship run with the object store pinned to ~25%
+    of the routed set's decoded size (``GRAFT_BENCH_PRESSURE_INPUT``
+    names the input dir).  Proves the store-aware mode selection and
+    the disk-backed path under memory starvation; prints one JSON line
+    with the runtime, the chosen mode and the plasma spill counters."""
+    import re
+    import shutil
+
+    import ray
+
+    from opentelemetry_collector_components_ray.functions.allocprobe import (
+        resolve_malloc_tuning,
+    )
+
+    resolve_malloc_tuning()
+    inp = os.environ["GRAFT_BENCH_PRESSURE_INPUT"]
+    from opentelemetry_collector_components_ray.pipelines.flagship import (
+        _estimate_input_bytes,
+        _should_materialize,
+        run_flagship,
+    )
+
+    est_decoded = _estimate_input_bytes(inp) * 3
+    store = max(int(est_decoded * 0.25), 512 * 1024 * 1024)
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        object_store_memory=store,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    auto_materialize = _should_materialize(inp)
+    out = OUT + "_pressure"
+    shutil.rmtree(out, ignore_errors=True)
+    sec, _ = _timed(lambda: run_flagship(inp, out))
+    # spill accounting: grpc (memory_summary) is absent in this
+    # container, so read the session's spill artifacts directly —
+    # spilled objects land as files under <session>/ray_spilled_objects
+    # and the raylet log records the cumulative "Spilled N MiB" line
+    spilled_mib, spilled_objects = 0, 0
+    try:
+        import glob as _glob
+
+        sess = ray._private.worker._global_node.get_session_dir_path()
+        spill_files = _glob.glob(
+            os.path.join(sess, "ray_spilled_objects*", "*")
+        )
+        spilled_objects = len(spill_files)
+        spilled_mib = sum(os.path.getsize(p) for p in spill_files) // (
+            1 << 20
+        )
+        raylet_log = os.path.join(sess, "logs", "raylet.out")
+        if os.path.exists(raylet_log):
+            with open(raylet_log, errors="replace") as f:
+                hits = re.findall(r"Spilled (\d+) MiB, (\d+) objects",
+                                  f.read())
+            if hits:
+                spilled_mib = max(spilled_mib, int(hits[-1][0]))
+                spilled_objects = max(spilled_objects, int(hits[-1][1]))
+    except Exception:
+        spilled_mib, spilled_objects = -1, -1
+    print(
+        json.dumps(
+            {
+                "sec": round(sec, 3),
+                "object_store_mb": store // (1 << 20),
+                "est_routed_decoded_mb": est_decoded // (1 << 20),
+                "auto_materialize": auto_materialize,
+                "spilled_mib": spilled_mib,
+                "spilled_objects": spilled_objects,
             }
         )
     )
@@ -551,5 +741,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--pressure" in sys.argv:
+        pressure()
     else:
         main()

@@ -866,6 +866,7 @@ def expo_latency_histogram(
     interval: str = "24h",
     scale: int = 4,
     batch_size: int = 131072,
+    value_col: str = "latency_ms",
 ) -> rd.Dataset:
     """Merged base-2 exponential histogram of latency_ms per
     (window_start, role).  Partial = one serialized sketch per (batch,
@@ -882,7 +883,7 @@ def expo_latency_histogram(
     us = INTERVALS_US[interval]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["latency_ms"].notna()].copy()
+        df = df[df[value_col].notna()].copy()
         if df.empty:
             return pd.DataFrame(
                 {
@@ -891,6 +892,8 @@ def expo_latency_histogram(
                     "scale": pd.Series([], dtype="int64"),
                     "offset": pd.Series([], dtype="int64"),
                     "counts": pd.Series([], dtype=object),
+                    "neg_offset": pd.Series([], dtype="int64"),
+                    "neg_counts": pd.Series([], dtype=object),
                     "count": pd.Series([], dtype="int64"),
                     "hsum": pd.Series([], dtype="float64"),
                     "zero_count": pd.Series([], dtype="int64"),
@@ -903,16 +906,18 @@ def expo_latency_histogram(
         rows = []
         for (w, r), g in df.groupby(["window_start", "role"], sort=False):
             h = ExpoHist.from_values(
-                g["latency_ms"].to_numpy(dtype=np.float64), scale
+                g[value_col].to_numpy(dtype=np.float64), scale
             )
             rows.append(
-                (w, r, h.scale, h.offset, h.counts.tolist(), h.count,
+                (w, r, h.scale, h.offset, h.counts.tolist(),
+                 h.neg_offset, h.neg_counts.tolist(), h.count,
                  h.sum, h.zero_count, h.hmin, h.hmax)
             )
         return pd.DataFrame(
             rows,
             columns=[
                 "window_start", "role", "scale", "offset", "counts",
+                "neg_offset", "neg_counts",
                 "count", "hsum", "zero_count", "hmin", "hmax",
             ],
         )
@@ -927,18 +932,24 @@ def expo_latency_histogram(
                     np.asarray(row["counts"], dtype=np.int64),
                     int(row["count"]), float(row["hsum"]),
                     int(row["zero_count"]),
+                    neg_offset=int(row["neg_offset"]),
+                    neg_counts=np.asarray(
+                        row["neg_counts"], dtype=np.int64
+                    ),
                     hmin=float(row["hmin"]), hmax=float(row["hmax"]),
                 )
                 h = nxt if h is None else h.merge(nxt)
             rows.append(
                 (interval, w, r, h.scale, h.offset, h.counts.tolist(),
+                 h.neg_offset, h.neg_counts.tolist(),
                  h.count, round(h.sum, 6), h.zero_count, h.hmin, h.hmax)
             )
         out = pd.DataFrame(
             rows,
             columns=[
                 "interval", "window_start", "role", "scale", "offset",
-                "counts", "count", "hsum", "zero_count", "hmin", "hmax",
+                "counts", "neg_offset", "neg_counts",
+                "count", "hsum", "zero_count", "hmin", "hmax",
             ],
         )
         # Timestamp tuples materialize as ns; downstream speaks us
@@ -1066,6 +1077,138 @@ GROUP BY b.window_start, b.role, g.fscale, bucket_idx
 """
 
 
+def expo_signed_histogram_flat(
+    ds: rd.Dataset,
+    interval: str = "24h",
+    scale: int = 4,
+    batch_size: int = 131072,
+    value_col: str = "latency_ms",
+) -> rd.Dataset:
+    """Signed flat exploded expo histogram — the round-4 item that
+    drives the NEGATIVE bucket-run merge path through the value gate
+    (the reference merges Positive() and Negative() runs identically,
+    expo/merge.go:32; until now only unit/property tests exercised the
+    negative branch).  One row per non-empty bucket of BOTH runs with
+    a ``sign`` column (+1 positive run, -1 negative run; bucket_idx
+    indexes the run over |v|), plus per-group totals repeated per row.
+    SQL twin: :func:`expo_signed_histogram_flat_sql`."""
+    import numpy as np
+
+    hist = expo_latency_histogram(
+        ds, interval, scale, batch_size, value_col
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            runs = (
+                (1, int(row["offset"]),
+                 np.asarray(row["counts"], dtype=np.int64)),
+                (-1, int(row["neg_offset"]),
+                 np.asarray(row["neg_counts"], dtype=np.int64)),
+            )
+            for sign, off, counts in runs:
+                for i in np.flatnonzero(counts):
+                    rows.append(
+                        (
+                            row["interval"], row["window_start"],
+                            row["role"], int(row["scale"]), sign,
+                            off + int(i), int(counts[i]),
+                            int(row["count"]), float(row["hsum"]),
+                            int(row["zero_count"]),
+                            float(row["hmin"]), float(row["hmax"]),
+                        )
+                    )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "interval", "window_start", "role", "scale", "sign",
+                "bucket_idx", "bucket_count", "total_count", "hsum",
+                "zero_count", "hmin", "hmax",
+            ],
+        )
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    return hist.map_batches(explode, batch_format="pandas",
+                            batch_size=None)
+
+
+def expo_signed_histogram_flat_sql(
+    interval: str = "24h",
+    scale: int = 4,
+    max_buckets: int = 160,
+    value_expr: str = "latency_ms",
+) -> str:
+    """DuckDB twin of :func:`expo_signed_histogram_flat`: per-row sign
+    + magnitude bucket index, final scale = largest s ≤ ``scale``
+    whose POSITIVE AND NEGATIVE merged index spans BOTH fit
+    ``max_buckets`` (the engine downscales while either run exceeds
+    the cap), bucket indices floor-divided per sign.  The same
+    batching-independence argument as ``expo_histogram_flat_sql``
+    applies per sign."""
+    w = window_start_sql(interval)
+    pow2 = 1 << scale
+    v = f"({value_expr})"
+    idx_expr = (
+        f"CASE WHEN {v} <> 0 THEN "
+        f"CAST(ceil(log2(abs(CAST({v} AS DOUBLE))) * {pow2}) AS BIGINT)"
+        f" - 1 END"
+    )
+    sign_expr = (
+        f"CASE WHEN {v} > 0 THEN 1 WHEN {v} < 0 THEN -1 END"
+    )
+    rows_sub = f"""
+    SELECT {w} AS window_start, role, {v} AS val,
+           {sign_expr} AS sgn, {idx_expr} AS idx4
+    FROM enriched WHERE {v} IS NOT NULL"""
+    cases = []
+    for s in range(scale, -1, -1):
+        d = 1 << (scale - s)
+
+        def span(sgn: int) -> str:
+            return (
+                f"coalesce(floor(CAST(MAX(idx4) FILTER (WHERE sgn = {sgn})"
+                f" AS DOUBLE) / {d})"
+                f" - floor(CAST(MIN(idx4) FILTER (WHERE sgn = {sgn})"
+                f" AS DOUBLE) / {d}) + 1, 0)"
+            )
+
+        cases.append(
+            f"WHEN GREATEST({span(1)}, {span(-1)}) <= {max_buckets}"
+            f" THEN {s}"
+        )
+    scale_case = "CASE " + " ".join(cases) + " ELSE -1 END"
+    return f"""
+SELECT '{interval}' AS interval,
+       b.window_start, b.role,
+       CAST(g.fscale AS BIGINT) AS scale,
+       CAST(b.sgn AS BIGINT) AS sign,
+       CAST(floor(CAST(b.idx4 AS DOUBLE)
+                  / CAST(power(2, {scale} - g.fscale) AS DOUBLE))
+            AS BIGINT) AS bucket_idx,
+       CAST(COUNT(*) AS BIGINT) AS bucket_count,
+       CAST(MAX(g.total) AS BIGINT) AS total_count,
+       round(MAX(g.val_sum), 6) AS hsum,
+       CAST(MAX(g.zeros) AS BIGINT) AS zero_count,
+       MAX(g.val_min) AS hmin,
+       MAX(g.val_max) AS hmax
+FROM ({rows_sub}) b
+JOIN (
+  SELECT window_start, role, {scale_case} AS fscale,
+         SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS zeros,
+         COUNT(*) AS total,
+         SUM(CAST(val AS DOUBLE)) AS val_sum,
+         MIN(CAST(val AS DOUBLE)) AS val_min,
+         MAX(CAST(val AS DOUBLE)) AS val_max
+  FROM ({rows_sub})
+  GROUP BY window_start, role
+) g ON b.window_start = g.window_start AND b.role = g.role
+WHERE b.idx4 IS NOT NULL
+GROUP BY b.window_start, b.role, g.fscale, b.sgn, bucket_idx
+"""
+
+
 def latency_quantiles_sql(
     interval: str = "24h",
     qs: Sequence[float] = (0.5, 0.95, 0.99),
@@ -1140,10 +1283,17 @@ def latency_quantiles(
                     np.asarray(row["counts"], dtype=np.int64),
                     int(row["count"]), float(row["hsum"]),
                     int(row["zero_count"]),
+                    neg_offset=int(row["neg_offset"]),
+                    neg_counts=np.asarray(
+                        row["neg_counts"], dtype=np.int64
+                    ),
                 )
                 col.append(round(expo_quantile(h, q), 6))
             df[f"p{int(q * 100)}"] = col
-        return df.drop(columns=["counts"])
+        # the run columns are internal state; neg_offset likewise (the
+        # latency measure is non-negative, and the quantile columns
+        # already carry the negative-range walk when one exists)
+        return df.drop(columns=["counts", "neg_counts", "neg_offset"])
 
     return hist.map_batches(
         add_quantiles, batch_format="pandas", batch_size=None

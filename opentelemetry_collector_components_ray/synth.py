@@ -213,6 +213,59 @@ def materialize_scaled_transcripts(
     return out_dir
 
 
+def materialize_skewed_transcripts(
+    sf_dir: str, repeat: int, hot_every: int = 10, force: bool = False,
+    chunks: int = 2,
+) -> str:
+    """Skew-stress variant of :func:`materialize_scaled_transcripts`:
+    a deterministic 1/``hot_every`` of ALL rows are relabeled to the
+    single conversation ``conv-hot`` (the reference's cardinality
+    overflow concern, merger/limits/tracker.go:68-84) — at the default
+    this makes one conv_id hold 10% of the corpus.  Row count, text,
+    ts and every other column are identical to the scaled input, so a
+    skewed-vs-unskewed bench pair isolates the key-distribution
+    effect."""
+    import duckdb
+    import shutil
+
+    out_dir = scaled_transcripts_path(sf_dir, repeat) + f"_hot{hot_every}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        with open(done) as f:
+            if f.read().strip() == f"{repeat}x{chunks}":
+                return out_dir
+    base = materialize_transcripts(sf_dir)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE TEMP TABLE base AS SELECT * FROM read_parquet('{base}')"
+        )
+        for k in range(repeat):
+            for c in range(chunks):
+                part = os.path.join(
+                    out_dir, f"part-{k:05d}-{c:03d}.parquet"
+                )
+                tmp = part + ".tmp"
+                con.execute(
+                    f"COPY (SELECT CASE WHEN "
+                    f"hash(conv_id || '#' || turn_idx || '#' || {k}) "
+                    f"% {hot_every} = 0 THEN 'conv-hot' "
+                    f"ELSE conv_id || '-r{k}' END AS conv_id, turn_idx, "
+                    f"role, text, tool, ts FROM base "
+                    f"WHERE hash(conv_id) % {chunks} = {c}) "
+                    f"TO '{tmp}' (FORMAT PARQUET)"
+                )
+                os.replace(tmp, part)
+        with open(done, "w") as f:
+            f.write(f"{repeat}x{chunks}")
+    finally:
+        con.close()
+    return out_dir
+
+
 # ---------------------------------------------------------------------------
 # Multi-event-type intake NDJSON synthesis (round-3 ndjson parity item).
 # Deterministic event → intake-v2-style line mapping so the decoded
