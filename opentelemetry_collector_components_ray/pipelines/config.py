@@ -49,14 +49,18 @@ from ..stages.route import RouterConfig
 #
 #   statement := editor [ "where" condition ]
 #   editor    := set(col, value) | concat(col, [col, ...], "sep")
-#              | delete_key(col) | keep_keys([col, ...])
+#              | delete_key(col) | delete_matching_keys("re")
+#              | keep_keys([col, ...]) | limit(n [, [col, ...]])
 #              | truncate_all(n) | replace_pattern(col, "re", "repl")
 #   value     := "string" | 123 | 1.5 | col
 #              | Concat([value, ...], "sep") | Substring(value, i, n)
-#              | Int(value) | Double(value)
+#              | Int(value) | Double(value) | Len(value)
+#              | IsMatch(value, "re")
 #   condition := cmp { ("and" | "or") cmp }
-#   cmp       := col ("==" | "!=" | ">" | ">=" | "<" | "<=")
-#                ("string" | number | col)
+#   cmp       := value [ ("==" | "!=" | ">" | ">=" | "<" | "<=")
+#                ("string" | number | col) ]
+#                (a bare boolean converter, e.g. IsMatch, is a
+#                complete comparison)
 #
 # ``where`` masks the statement per row (pc.if_else against the
 # original column).  Everything else in real OTTL (map/slice values,
@@ -159,6 +163,25 @@ class _Parser:
             self.next(expect_val=")")
             typ = pa.int64() if name == "Int" else pa.float64()
             return lambda t: pc.cast(v(t), typ)
+        if name == "Len":
+            # ottlfuncs Len: length of a string value (codepoints)
+            v = self.value()
+            self.next(expect_val=")")
+            return lambda t: pc.cast(
+                pc.utf8_length(pc.cast(v(t), pa.string())), pa.int64()
+            )
+        if name == "IsMatch":
+            # ottlfuncs IsMatch(target, pattern): RE2 search semantics
+            # (Go regexp.MatchString); usable standalone in a where
+            # condition or compared like any value
+            v = self.value()
+            self.next(expect_val=",")
+            _, pat = self.next(expect_kind="str")
+            self.next(expect_val=")")
+            pat_s = pat[1:-1]
+            return lambda t: pc.match_substring_regex(
+                pc.cast(v(t), pa.string()), pat_s
+            )
         raise ValueError(f"unknown converter {name!r}")
 
     # condition := cmp {and/or cmp}
@@ -178,10 +201,14 @@ class _Parser:
         return left
 
     def cmp(self):
-        _, col = self.next(expect_kind="name")
-        _, op = self.next()
+        # lhs is any value (column, literal, converter — Len enables
+        # length predicates); a bare boolean converter (IsMatch) with
+        # no comparison operator IS the comparison
+        lhs = self.value()
+        _, op = self.peek()
         if op not in ("==", "!=", ">", ">=", "<", "<="):
-            raise ValueError(f"bad comparison operator {op!r}")
+            return lambda t: pc.cast(lhs(t), pa.bool_())
+        self.next()
         k, rv = self.next()
         if k == "str":
             rhs = rv[1:-1]
@@ -198,7 +225,7 @@ class _Parser:
 
         def ev(t: pa.Table):
             r = t[rhs[1]] if isinstance(rhs, tuple) else rhs
-            return fn(t[col], r)
+            return fn(lhs(t), r)
 
         return ev
 
@@ -287,6 +314,59 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
             t.drop_columns([col]) if col in t.column_names else t
         )
 
+    if editor == "delete_matching_keys":
+        # ottlfuncs delete_matching_keys(target, pattern): drop every
+        # column whose NAME matches the RE2 pattern (search semantics)
+        p.next(expect_val="(")
+        _, pat = p.next(expect_kind="str")
+        p.next(expect_val=")")
+        tail_condition()
+        if cond is not None:
+            raise ValueError(
+                "delete_matching_keys does not support where clauses"
+            )
+        rx = re.compile(pat[1:-1])
+        return lambda t: t.drop_columns(
+            [c for c in t.column_names if rx.search(c)]
+        )
+
+    if editor == "limit":
+        # ottlfuncs limit(target, n, priority_keys): keep at most n
+        # columns — priority keys first, then schema order (the
+        # deterministic columnar reading of Go's unspecified map
+        # iteration)
+        p.next(expect_val="(")
+        _, n = p.next(expect_kind="num")
+        prio: List[str] = []
+        if p.peek()[1] == ",":
+            p.next()
+            p.next(expect_val="[")
+            _, first = p.next(expect_kind="name")
+            prio.append(first)
+            while p.peek()[1] == ",":
+                p.next()
+                _, nxt = p.next(expect_kind="name")
+                prio.append(nxt)
+            p.next(expect_val="]")
+        p.next(expect_val=")")
+        tail_condition()
+        if cond is not None:
+            raise ValueError("limit does not support where clauses")
+        keep_n = int(n)
+
+        def apply_limit(t: pa.Table) -> pa.Table:
+            keep = [c for c in prio if c in t.column_names]
+            for c in t.column_names:
+                if len(keep) >= keep_n:
+                    break
+                if c not in keep:
+                    keep.append(c)
+            return t.select(
+                [c for c in t.column_names if c in keep[:keep_n]]
+            )
+
+        return apply_limit
+
     if editor == "keep_keys":
         p.next(expect_val="(")
         p.next(expect_val="[")
@@ -359,14 +439,27 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     'set(half_turn, Int(turn_d)) where turn_idx >= 10',
     'replace_pattern(tool, "^$", "none")',
     'set(label, Concat([role, tool], ":")) where tool != "none"',
+    # round-4 tier: Len converter, bare-IsMatch condition,
+    # delete_matching_keys, limit with priority keys
+    'set(text_len, Len(text))',
+    'set(tool_kind, "compute") where IsMatch(tool, "^(calc|python|shell)")',
+    'set(tmp_scratch, "x")',
+    'delete_matching_keys("^tmp_")',
     "truncate_all(40)",
+    'set(extra_junk, "zzz")',
     "keep_keys([conv_id, turn_idx, role, tool, text, tier, conv_turn,"
-    " role3, turn_d, half_turn, label])",
+    " role3, turn_d, half_turn, label, text_len, tool_kind, extra_junk])",
+    # 14 kept columns -> limit to 13 drops the lowest-priority one
+    # (extra_junk, last in schema order)
+    "limit(13, [conv_id, turn_idx])",
 )
 
 # The DuckDB mirror of DEMO_STATEMENTS over the transcripts CTE.  Only
 # `text` can exceed the 40-codeunit truncation (every other string
-# column is provably shorter), so the twin truncates just it.
+# column is provably shorter), so the twin truncates just it;
+# text_len reads the PRE-truncation length (the statement runs before
+# truncate_all); tmp_scratch / extra_junk are deleted by
+# delete_matching_keys / limit, so the twin never selects them.
 DEMO_STATEMENTS_SQL = """
 SELECT
   conv_id, turn_idx, role,
@@ -379,7 +472,11 @@ SELECT
   CASE WHEN turn_idx >= 10 THEN CAST(turn_idx AS BIGINT) END AS half_turn,
   CASE WHEN regexp_replace(tool, '^$', 'none') <> 'none'
        THEN role || ':' || regexp_replace(tool, '^$', 'none')
-  END AS label
+  END AS label,
+  CAST(length(text) AS BIGINT) AS text_len,
+  CASE WHEN regexp_matches(regexp_replace(tool, '^$', 'none'),
+                           '^(calc|python|shell)')
+       THEN 'compute' END AS tool_kind
 FROM transcripts
 """
 
@@ -533,3 +630,75 @@ class PipelineSpec:
 
         out = service_summary(ds, self.intervals, self.batch_size * 2)
         return apply_statements(out, self.statements)
+
+
+# ---------------------------------------------------------------------------
+# YAML front end (round-4 item): the integration receiver's
+# templated-YAML instantiation (receiver/integrationreceiver/
+# README.md:17-25, pkg/integrations/integrations.go) over the existing
+# PipelineSpec/registry mechanism.
+# ---------------------------------------------------------------------------
+
+
+def render_template(text: str, variables: Dict[str, str]) -> str:
+    """``{{var}}`` substitution over a template string, mirroring the
+    integration templates' parameter resolve (pkg/integrations):
+    whitespace inside the braces is tolerated; an unreferenced
+    variable is fine, an unresolved placeholder raises (the reference
+    fails the template render loudly)."""
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1).strip()
+        if name not in variables:
+            raise ValueError(
+                f"template variable {name!r} not provided "
+                f"(have: {sorted(variables)})"
+            )
+        return str(variables[name])
+
+    return re.sub(r"\{\{([^{}]+)\}\}", sub, text)
+
+
+def load_pipeline_yaml(
+    path: str, variables: Dict[str, str] | None = None
+) -> PipelineSpec:
+    """Load a :class:`PipelineSpec` from a templated YAML file.
+
+    Layout (both top-level keys optional except ``pipeline``)::
+
+        parameters:        # template defaults, overridable by caller
+          tier_interval: 1h
+        pipeline:
+          stages: [parse, enrich, route]
+          intervals: ["{{tier_interval}}", 24h]
+          statements:
+            - set(tier, "gold") where role == "assistant"
+          batch_size: 65536
+
+    Resolution order mirrors the reference's two-phase template
+    instantiation: the ``parameters`` block supplies defaults, caller
+    ``variables`` override them, then the WHOLE document is
+    re-rendered with the merged set and parsed again — so templates
+    may appear anywhere in the pipeline block (quote them where YAML
+    needs it).  Validation is PipelineSpec's own (__post_init__), so a
+    bad stage name / interval / statement fails at load time."""
+    import yaml
+
+    with open(path) as f:
+        raw = f.read()
+    defaults: Dict[str, str] = {}
+    try:
+        pre = yaml.safe_load(raw)
+        if isinstance(pre, dict) and isinstance(
+            pre.get("parameters"), dict
+        ):
+            defaults = dict(pre["parameters"])
+    except yaml.YAMLError:
+        # templates outside quoted scalars can make the raw document
+        # unparseable — then ALL variables must come from the caller
+        pass
+    merged = {**defaults, **(variables or {})}
+    doc = yaml.safe_load(render_template(raw, merged))
+    if not isinstance(doc, dict) or "pipeline" not in doc:
+        raise ValueError(f"{path}: expected a top-level 'pipeline' key")
+    return PipelineSpec.from_dict(doc["pipeline"])

@@ -27,7 +27,7 @@ def main(argv=None) -> int:
         "--job",
         default="flagship",
         choices=("flagship", "dedup", "cluster-dedup", "ndjson",
-                 "curate", "substring-dedup"),
+                 "curate", "substring-dedup", "from-config"),
         help="flagship: sharded parse→enrich→route→aggregate over "
         "parquet; dedup: exact-dedup a documents parquet; "
         "cluster-dedup: MinHash near-dup cluster dedup (distributed "
@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default=None,
                    help="substring-dedup job: ingest id for the gram "
                    "index partition (idempotent re-runs)")
+    p.add_argument("--config", default=None,
+                   help="from-config job: templated pipeline YAML file")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="VAR=VALUE", dest="template_vars",
+                   help="from-config job: template variable override "
+                   "(repeatable)")
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--intervals", default="1h,24h")
     p.add_argument("--batch-size", type=int, default=65536)
@@ -81,6 +87,41 @@ def main(argv=None) -> int:
         os.path.join(inp, "events.parquet")
     ):
         inp = materialize_transcripts(inp)
+
+    if args.job == "from-config":
+        # pipeline-from-YAML (integrationreceiver README.md:17-25
+        # templating over the PipelineSpec/stage registry)
+        from .pipelines.config import load_pipeline_yaml
+        from .sources import read_transcripts
+        from .stages.route import write_fanout
+
+        if not args.config:
+            p.error("--job from-config requires --config pipeline.yaml")
+        overrides = {}
+        for kv in args.template_vars:
+            if "=" not in kv:
+                p.error(f"--set expects VAR=VALUE, got {kv!r}")
+            k, _, v = kv.partition("=")
+            overrides[k] = v
+        spec = load_pipeline_yaml(args.config, overrides)
+        routed = spec.build(read_transcripts(inp))
+        write_fanout(routed, f"{args.out}/sinks")
+        from .sources.parquet import read_parquet_clean
+
+        spec.aggregate(
+            read_parquet_clean(f"{args.out}/sinks")
+        ).write_parquet(f"{args.out}/service_summary")
+        print(
+            json.dumps(
+                {
+                    "status": "ok",
+                    "config": args.config,
+                    "aggregate": f"{args.out}/service_summary",
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
 
     if args.job == "cluster-dedup":
         from .sources.parquet import read_parquet_clean

@@ -257,3 +257,89 @@ def test_demo_statements_sequential_semantics():
     assert d["text"][0] == "x" * 40                  # truncate_all
     assert d["conv_turn"] == ["c1-5", "c2-12"]
     assert "ts" not in d                             # keep_keys dropped it
+
+
+def test_parse_len_converter():
+    fn = parse_statement("set(n, Len(text))")
+    t = fn(pa.table({"text": ["abc", "", "hello"]}))
+    assert t["n"].to_pylist() == [3, 0, 5]
+
+
+def test_parse_ismatch_condition():
+    fn = parse_statement(
+        'set(kind, "compute") where IsMatch(tool, "^(calc|py)")'
+    )
+    t = fn(pa.table({"tool": ["calculator", "search", "python"]}))
+    assert t["kind"].to_pylist() == ["compute", None, "compute"]
+
+
+def test_parse_len_comparison_condition():
+    fn = parse_statement('set(long, "y") where Len(text) > 3')
+    t = fn(pa.table({"text": ["ab", "abcd"]}))
+    assert t["long"].to_pylist() == [None, "y"]
+
+
+def test_parse_delete_matching_keys():
+    fn = parse_statement('delete_matching_keys("^tmp_")')
+    t = fn(pa.table({"a": [1], "tmp_x": [2], "tmp_y": [3]}))
+    assert t.column_names == ["a"]
+
+
+def test_parse_limit_priority_keys():
+    fn = parse_statement("limit(2, [c])")
+    t = fn(pa.table({"a": [1], "b": [2], "c": [3]}))
+    # priority key c survives; then schema order fills to n=2
+    assert t.column_names == ["a", "c"]
+
+
+def test_limit_where_rejected():
+    with pytest.raises(ValueError):
+        parse_statement('limit(2, [a]) where x == "y"')
+
+
+def test_render_template_substitution_and_unknown():
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        render_template,
+    )
+
+    assert render_template("a {{x}} b {{ y }}", {"x": "1", "y": "2"}) \
+        == "a 1 b 2"
+    with pytest.raises(ValueError):
+        render_template("{{missing}}", {})
+
+
+def test_load_pipeline_yaml_defaults_and_overrides(tmp_path):
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        load_pipeline_yaml,
+    )
+
+    yml = tmp_path / "p.yaml"
+    yml.write_text(
+        "parameters:\n"
+        "  short: 1h\n"
+        "pipeline:\n"
+        "  stages: [parse, enrich, route]\n"
+        '  intervals: ["{{short}}", 24h]\n'
+        "  statements:\n"
+        "    - 'set(tier, \"gold\") where role == \"assistant\"'\n"
+        "  batch_size: 1024\n"
+    )
+    spec = load_pipeline_yaml(str(yml))
+    assert spec.intervals == ("1h", "24h")
+    assert spec.batch_size == 1024
+    spec2 = load_pipeline_yaml(str(yml), {"short": "1m"})
+    assert spec2.intervals == ("1m", "24h")
+
+
+def test_load_pipeline_yaml_rejects_bad_statement(tmp_path):
+    from opentelemetry_collector_components_ray.pipelines.config import (
+        load_pipeline_yaml,
+    )
+
+    yml = tmp_path / "bad.yaml"
+    yml.write_text(
+        "pipeline:\n"
+        "  statements: ['drop_everything()']\n"
+    )
+    with pytest.raises(ValueError):
+        load_pipeline_yaml(str(yml))
