@@ -364,6 +364,48 @@ def main() -> None:
     group_probe("cluster_5m")
     queries["doc_cluster_dedup_5m"], _ = _timed_min(cluster_5m)
 
+    # capped unigram-LM scoring at 5M docs (round-4 item: the broadcast
+    # model is BOUNDED — min_count floor + top-V cap, trimmed tail in
+    # one OOV bucket — so driver RSS stays flat no matter the corpus);
+    # the driver max-RSS high-water mark lands in the artifact
+    def lm_5m():
+        import numpy as np
+        import pyarrow as pa
+
+        from opentelemetry_collector_components_ray.stages import lm
+
+        n_docs = docs.count()
+        reps = -(-5_000_000 // n_docs)
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "doc_id": pa.array(ids + r * 10_000_000),
+                            "text": batch["text"],
+                        }
+                    )
+                    for r in range(reps)
+                ]
+            )
+
+        big = docs.map_batches(replicate, batch_format="pyarrow")
+        return lm.unigram_logprob(
+            big, min_count=5, max_vocab=200_000
+        ).count()
+
+    group_probe("lm_5m")
+    queries["doc_unigram_5m"], _ = _timed_min(lm_5m, n=1)
+    import resource as _resource
+
+    driver_max_rss_mb = (
+        _resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss // 1024
+    )
+
     # bloom-prefiltered vs bucketed anti-join over the 12M-turn input
     # (decontamination shape: small dirty-id right side, huge left) —
     # the bloom path settles definite misses from the broadcast filter
@@ -450,11 +492,15 @@ def main() -> None:
     ivfpq_dir = _tf.mkdtemp(prefix="occr_bench_ivfpq_")
     # n_centroids pinned (the √N rule would train 707 driver-side and
     # dominate the timing; centroid-training scale is ivf_build's story)
-    queries["emb_ivfpq_build_500k"], _ = _timed_min(
-        lambda: ann_mod.ivfpq_build_index(
+    def build_ivfpq():
+        # write_parquet appends: min-of-N reruns must start from an
+        # empty dir or the index doubles per run
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
+        return ann_mod.ivfpq_build_index(
             big_embs, ivfpq_dir, n_centroids=64, codebook=pq_cb
         )
-    )
+
+    queries["emb_ivfpq_build_500k"], _ = _timed_min(build_ivfpq)
     queries["emb_ivfpq_search_pruned"], _ = _timed_min(
         lambda: ann_mod.ivfpq_search_index(
             ivfpq_dir, embs.filter(expr="vec_id < 3"), k=10, nprobe=8
@@ -471,9 +517,11 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="occr_bench_ivf_")
     n_cent = ann_mod.auto_n_centroids(embs)
     nprobe = max(1, n_cent // 8)
-    queries["emb_ivf_build"], _ = _timed_min(
-        lambda: ann_mod.ivf_build_index(embs, idx_dir, n_centroids=n_cent)
-    )
+    def build_ivf():
+        shutil.rmtree(idx_dir, ignore_errors=True)  # append-safe rerun
+        return ann_mod.ivf_build_index(embs, idx_dir, n_centroids=n_cent)
+
+    queries["emb_ivf_build"], _ = _timed_min(build_ivf)
     # few queries = the point-lookup shape where probing prunes;
     # a 50-query batch's probe union covers most partitions
     qset = embs.filter(expr="vec_id < 3")
@@ -568,6 +616,7 @@ def main() -> None:
                 "min_runs": MIN_RUNS,
                 "group_probes_gbps": probes,
                 "pressure": pressure_info,
+                "driver_max_rss_mb": driver_max_rss_mb,
                 "ivf_n_centroids": n_cent,
                 "ivf_nprobe": nprobe,
                 "ivf_pruned_read_fraction": ivf_read_fraction,
