@@ -218,6 +218,27 @@ def _shingles(text: str, k: int) -> np.ndarray:
     return np.unique(hash64(np.asarray(joined, dtype=object)))
 
 
+def _sig_list_array(sigs: np.ndarray) -> "pa.ListArray":
+    """(n, k) signature matrix → list<int64> column without building n
+    per-row Python ndarray objects (one flat values buffer + arithmetic
+    offsets)."""
+    n, k = sigs.shape
+    vals = pa.array(sigs.astype(np.int64).reshape(-1))
+    offsets = pa.array(
+        np.arange(0, (n + 1) * k, k, dtype=np.int32), pa.int32()
+    )
+    return pa.ListArray.from_arrays(offsets, vals)
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """list<int64> signature column → (n, k) uint64 matrix via the flat
+    values buffer (no per-row object materialization)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.uint64)
+
+
 def _as_string_array(texts) -> "pa.Array":
     """Normalize a text batch (Python list, Arrow Array or ChunkedArray)
     to one contiguous Arrow string array WITHOUT a Python round-trip —
@@ -370,7 +391,7 @@ class MinHasher:
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "sig": pa.array(list(sigs.astype(np.int64))),
+                "sig": _sig_list_array(sigs),
             }
         )
 
@@ -438,9 +459,7 @@ def lsh_candidate_pairs(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(
-            np.uint64
-        )
+        sigs = _sig_matrix(batch["sig"])
         n = len(ids)
         out_band, out_hash, out_id = [], [], []
         for bnd in range(bands):
@@ -842,9 +861,7 @@ def minhash_clusters(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        s = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(
-            np.uint64
-        )
+        s = _sig_matrix(batch["sig"])
         n = len(ids)
         outb, outi = [], []
         for bnd in range(bands):
