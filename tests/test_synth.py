@@ -46,3 +46,30 @@ def test_idempotent_cache(sf_dir):
     p1 = materialize_transcripts(sf_dir)
     p2 = materialize_transcripts(sf_dir)
     assert p1 == p2
+
+
+def test_skewed_transcripts_hot_fraction(sf_dir):
+    import duckdb
+
+    from opentelemetry_collector_components_ray.synth import (
+        materialize_scaled_transcripts,
+        materialize_skewed_transcripts,
+    )
+
+    plain = materialize_scaled_transcripts(sf_dir, 2)
+    skew = materialize_skewed_transcripts(sf_dir, 2, hot_every=10)
+    con = duckdb.connect()
+    n_plain, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{plain}/*.parquet')"
+    ).fetchone()
+    n_skew, hot = con.execute(
+        "SELECT count(*), "
+        "sum(CASE WHEN conv_id = 'conv-hot' THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{skew}/*.parquet')"
+    ).fetchone()
+    con.close()
+    # same corpus size; the hot conversation holds ~1/10 of all rows
+    assert n_skew == n_plain
+    assert 0.08 <= hot / n_skew <= 0.12
+    # deterministic: a re-materialization is byte-identical in content
+    assert materialize_skewed_transcripts(sf_dir, 2, hot_every=10) == skew
