@@ -571,6 +571,12 @@ def main() -> None:
     group_probe("skew")
     skew_inp = materialize_skewed_transcripts(SF_DIR, REPEAT)
     read_transcripts(skew_inp).count()  # warm page cache like inp
+    # the skew claim is a RATIO, so the unskewed base is re-measured
+    # INSIDE this group — comparing against a base from an earlier
+    # group would compare across host windows, not key distributions
+    queries["service_summary_skew_base"], _ = _timed_min(
+        lambda: flagship_aggregate(inp, ("1h", "24h")).count()
+    )
     queries["service_summary_skew"], _ = _timed_min(
         lambda: flagship_aggregate(skew_inp, ("1h", "24h")).count()
     )
@@ -579,6 +585,13 @@ def main() -> None:
     )
     queries["sessionize_skew"], _ = _timed_min(
         lambda: sessionize(read_transcripts(skew_inp)).count()
+    )
+    queries["service_summary_skew_ratio"] = round(
+        queries["service_summary_skew"]
+        / max(queries["service_summary_skew_base"], 1e-9), 3,
+    )
+    queries["sessionize_skew_ratio"] = round(
+        queries["sessionize_skew"] / max(queries["sessionize"], 1e-9), 3
     )
 
     # --- object-store-pressure artifact (round-4 item): a fresh
@@ -590,11 +603,12 @@ def main() -> None:
     group_probe("pressure")
     pressure_info = None
     try:
-        penv = dict(os.environ, GRAFT_BENCH_PRESSURE_INPUT=inp,
-                    RAY_GRAFT_CPUS=str(NUM_CPUS))
+        penv = dict(os.environ, RAY_GRAFT_CPUS=str(NUM_CPUS))
         pout = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pressure"],
             env=penv, capture_output=True, text=True, check=True,
+            timeout=int(os.environ.get("GRAFT_BENCH_PRESSURE_TIMEOUT",
+                                       "1800")),
         ).stdout
         pressure_info = json.loads(pout.strip().splitlines()[-1])
         queries["flagship_e2e_pressure"] = pressure_info["sec"]
@@ -629,10 +643,18 @@ def main() -> None:
 
 def pressure() -> None:
     """Fresh-process flagship run with the object store pinned to ~25%
-    of the routed set's decoded size (``GRAFT_BENCH_PRESSURE_INPUT``
-    names the input dir).  Proves the store-aware mode selection and
-    the disk-backed path under memory starvation; prints one JSON line
-    with the runtime, the chosen mode and the plasma spill counters."""
+    of the routed set's decoded size — the single-node proxy for
+    multi-node object movement.  Proves the store-aware mode selection
+    (disk-backed under starvation) and that execution completes by
+    streaming instead of thrashing; prints one JSON line with the
+    runtime, the chosen mode and the spill counters.
+
+    Uses 4× the full-bench input (48M turns by default) so the 25%
+    store is a meaningful few-GB figure, and shrinks the block-size
+    target so ``concurrency × block`` fits the starved store — with
+    the default 128 MB blocks a starved store holds fewer blocks than
+    there are workers and backpressure degenerates to thrash (measured:
+    a 512 MB store at 32 CPUs churned for 15+ minutes)."""
     import re
     import shutil
 
@@ -643,15 +665,20 @@ def pressure() -> None:
     )
 
     resolve_malloc_tuning()
-    inp = os.environ["GRAFT_BENCH_PRESSURE_INPUT"]
     from opentelemetry_collector_components_ray.pipelines.flagship import (
         _estimate_input_bytes,
         _should_materialize,
         run_flagship,
     )
+    from opentelemetry_collector_components_ray.synth import (
+        materialize_scaled_transcripts,
+    )
 
+    repeat = int(os.environ.get("GRAFT_BENCH_PRESSURE_REPEAT",
+                                str(REPEAT * 4)))
+    inp = materialize_scaled_transcripts(SF_DIR, repeat)
     est_decoded = _estimate_input_bytes(inp) * 3
-    store = max(int(est_decoded * 0.25), 512 * 1024 * 1024)
+    store = max(int(est_decoded * 0.25), 1 << 30)
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -663,7 +690,10 @@ def pressure() -> None:
 
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # keep concurrency × block well inside the starved store
+    ctx.target_max_block_size = 16 * 1024 * 1024
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     auto_materialize = _should_materialize(inp)
@@ -700,6 +730,7 @@ def pressure() -> None:
         json.dumps(
             {
                 "sec": round(sec, 3),
+                "repeat": repeat,
                 "object_store_mb": store // (1 << 20),
                 "est_routed_decoded_mb": est_decoded // (1 << 20),
                 "auto_materialize": auto_materialize,

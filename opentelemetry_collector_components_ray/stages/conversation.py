@@ -137,11 +137,30 @@ def sessionize(
         return df[["conv_id", "turn_idx", "ts"]]
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["conv_id", "ts", "turn_idx"], kind="mergesort"
-        ).reset_index(drop=True)
-        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        conv = df["conv_id"].to_numpy()
+        # numpy lexsort over factorized conv codes instead of a pandas
+        # string sort: the bucket holding a hot conversation (skew
+        # stress) is dominated by this sort, and integer lexsort keeps
+        # the skewed bucket within ~1.2x of its fair-share cost.
+        # factorize codes follow first-appearance order, so codes are
+        # sorted as a proxy for conv_id only alongside an explicit
+        # conv grouping — session_idx never compares ACROSS convs, so
+        # any total order that keeps each conv contiguous and (ts,
+        # turn_idx)-sorted within is correct.
+        codes, _ = pd.factorize(df["conv_id"], sort=True)
+        ts_np = df["ts"].to_numpy().astype("datetime64[us]")
+        ts_all = ts_np.astype(np.int64)
+        # pandas sort_values puts NaT LAST (the gate-validated order);
+        # int64-cast NaT is i64 min, so the SORT key maps it to +max
+        # while the gap computation keeps the original cast value
+        ts_sort = np.where(
+            np.isnat(ts_np), np.iinfo(np.int64).max, ts_all
+        )
+        order = np.lexsort(
+            (df["turn_idx"].to_numpy(), ts_sort, codes)
+        )
+        df = df.iloc[order].reset_index(drop=True)
+        ts_us = ts_all[order]
+        conv = codes[order]
         new_conv = np.empty(len(df), dtype=bool)
         new_conv[0:1] = True
         new_conv[1:] = conv[1:] != conv[:-1]
