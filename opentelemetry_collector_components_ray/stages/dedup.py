@@ -235,6 +235,8 @@ def _sig_matrix(col) -> np.ndarray:
     values buffer (no per-row object materialization)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.uint64)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(len(col), -1).astype(np.uint64)
 
@@ -459,8 +461,14 @@ def lsh_candidate_pairs(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sigs = _sig_matrix(batch["sig"])
         n = len(ids)
+        if n == 0:  # empty block: (0, 0) sig matrix has no band cols
+            return pa.table(
+                {"band": pa.array([], pa.int64()),
+                 "bhash": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        sigs = _sig_matrix(batch["sig"])
         out_band, out_hash, out_id = [], [], []
         for bnd in range(bands):
             chunk = sigs[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
@@ -861,8 +869,13 @@ def minhash_clusters(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        s = _sig_matrix(batch["sig"])
         n = len(ids)
+        if n == 0:  # empty block: (0, 0) sig matrix has no band cols
+            return pa.table(
+                {"bkey": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        s = _sig_matrix(batch["sig"])
         outb, outi = [], []
         for bnd in range(bands):
             chunk = s[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]

@@ -177,3 +177,20 @@ def test_round2_ops_on_empty_datasets(ray_session):
     ).filter(expr="vec_id > 5")
     assert range_join_broadcast(emb_empty, bands, value_col="v").count() == 0
     assert quantize_embeddings(emb_empty).count() == 0
+
+
+def test_minhash_lsh_explode_empty_block(ray_session):
+    """An all-empty-blocks sig dataset flows through the LSH candidate
+    explode (the (0,0) sig-matrix guard)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.dedup import (
+        minhash_near_dups,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]})
+    ).repartition(8)  # most blocks empty
+    out = minhash_near_dups(docs, threshold=0.9).to_pandas()
+    assert len(out) == 1  # the twin pair survives the empty blocks
