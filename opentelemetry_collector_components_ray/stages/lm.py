@@ -41,17 +41,36 @@ def _round6_away_signed(x: np.ndarray) -> np.ndarray:
 
 
 def _tokenize(col: pa.ChunkedArray | pa.Array) -> Tuple[np.ndarray, np.ndarray, int]:
-    """(words, row_id, n_rows): lowercased ``[a-z0-9]+`` tokens with
-    their row index, empties dropped — one regex split per batch."""
+    """(words, row_id, n_rows) as NUMPY object strings — legacy helper
+    for callers that genuinely need Python-level words.  Hot paths use
+    :func:`_tokenize_arrow` (no per-word Python objects)."""
+    flat, row, n = _tokenize_arrow(col)
+    return (
+        flat.to_numpy(zero_copy_only=False).astype(object), row, n
+    )
+
+
+def _tokenize_arrow(
+    col: pa.ChunkedArray | pa.Array,
+) -> Tuple[pa.Array, np.ndarray, int]:
+    """(flat_words_arrow, row_id, n_rows): lowercased ``[a-z0-9]+``
+    tokens with their row index, empties dropped — one regex split per
+    batch, the flat word array staying an Arrow string array end to
+    end (round-4: the per-word ``astype(object)`` round-trip made the
+    LM family the slowest vectorized ops in the bench)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     lists = pc.split_pattern_regex(pc.utf8_lower(col), _WORD_SPLIT_RE)
     counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(object)
+    flat = pc.list_flatten(lists)
     row = np.repeat(np.arange(n, dtype=np.int64), counts)
-    keep = flat != ""
-    return flat[keep], row[keep], n
+    keep = pc.not_equal(flat, "")
+    return (
+        flat.filter(keep),
+        row[keep.to_numpy(zero_copy_only=False)],
+        n,
+    )
 
 
 def word_frequencies(
@@ -63,11 +82,11 @@ def word_frequencies(
     groupby when the estimator says the input is large)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        words, _, _ = _tokenize(batch[text_col])
-        uniq, cnt = np.unique(words, return_counts=True)
+        flat, _, _ = _tokenize_arrow(batch[text_col])
+        vc = pc.value_counts(flat)
         return pa.table(
-            {"word": pa.array(uniq, pa.string()),
-             "c": pa.array(cnt, pa.int64())}
+            {"word": vc.field("values"),
+             "c": pc.cast(vc.field("counts"), pa.int64())}
         )
 
     partials = ds.map_batches(
@@ -112,32 +131,32 @@ def unigram_logprob(
         ).limit(max_vocab)
     freq = freq_ds.to_pandas()  # bounded: min(vocab, max_vocab) rows
     vocab = freq["word"].to_numpy(dtype=object)
-    order = np.argsort(vocab)
-    vocab = vocab[order]
-    counts = freq["c"].to_numpy(dtype=np.float64)[order]
+    counts = freq["c"].to_numpy(dtype=np.float64)
     tail = float(total) - counts.sum()
     lp = np.log(counts / total) if len(counts) else counts
     # OOV bucket: trimmed words share ln(tail/total); -inf cannot arise
     # at score time (a scored OOV word implies a nonzero trimmed tail)
     oov = np.log(tail / total) if tail > 0 else 0.0
-    model_ref = ray.put((vocab.astype("U"), lp, oov))
+    # vocab ships as an Arrow array; scoring is one hash-table
+    # index_in per batch (no Python word objects, round 4)
+    model_ref = ray.put((pa.array(vocab, pa.string()), lp, oov))
 
     def fn(batch: pa.Table) -> pa.Table:
-        vocab_s, lp_s, oov_s = process_cached(
+        vocab_a, lp_s, oov_s = process_cached(
             ("unigram_model", model_ref.hex()), lambda: ray.get(model_ref)
         )
-        words, row, n = _tokenize(batch[text_col])
+        flat, row, n = _tokenize_arrow(batch[text_col])
         sums = np.zeros(n, dtype=np.float64)
         nw = np.zeros(n, dtype=np.int64)
-        if len(words):
-            wu = words.astype("U")
-            idx = np.searchsorted(vocab_s, wu)
-            idx_c = np.minimum(idx, max(len(vocab_s) - 1, 0))
-            found = (
-                (vocab_s[idx_c] == wu) if len(vocab_s)
-                else np.zeros(len(wu), dtype=bool)
+        if len(flat):
+            idx = pc.index_in(flat, value_set=vocab_a)
+            found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False)
+            w_lp = (
+                np.where(found, lp_s[idx_np.astype(np.int64)], oov_s)
+                if len(lp_s)
+                else np.full(len(flat), oov_s)
             )
-            w_lp = np.where(found, lp_s[idx_c], oov_s)
             sums = np.bincount(row, weights=w_lp, minlength=n)
             nw = np.bincount(row, minlength=n)
         mean = np.where(nw > 0, sums / np.maximum(nw, 1), 0.0)
@@ -159,21 +178,23 @@ def top_bigrams(
     ASC)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        words, row, _ = _tokenize(batch[text_col])
+        flat, row, _ = _tokenize_arrow(batch[text_col])
         adj = row[1:] == row[:-1] if len(row) else np.zeros(0, bool)
         if not adj.any():
             return pa.table(
                 {"bigram": pa.array([], pa.string()),
                  "n": pa.array([], pa.int64())}
             )
-        bg = np.char.add(
-            np.char.add(words[:-1][adj].astype("U"), " "),
-            words[1:][adj].astype("U"),
+        mask = pa.array(adj)
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1).filter(mask),
+            flat.slice(1).filter(mask),
+            " ",
         )
-        uniq, cnt = np.unique(bg, return_counts=True)
+        vc = pc.value_counts(bg)
         return pa.table(
-            {"bigram": pa.array(uniq.astype(object), pa.string()),
-             "n": pa.array(cnt, pa.int64())}
+            {"bigram": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
     partials = ds.map_batches(
@@ -315,21 +336,19 @@ def doc_frequencies(
     :func:`word_frequencies`."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        words, row, _ = _tokenize(batch[text_col])
-        if not len(words):
+        flat, row, _ = _tokenize_arrow(batch[text_col])
+        if not len(flat):
             return pa.table(
                 {"word": pa.array([], pa.string()),
                  "df": pa.array([], pa.int64())}
             )
-        wu = words.astype("U")
-        order = np.lexsort((wu, row))
-        wu, row = wu[order], row[order]
-        first = np.ones(len(wu), dtype=bool)
-        first[1:] = (row[1:] != row[:-1]) | (wu[1:] != wu[:-1])
-        uniq, cnt = np.unique(wu[first], return_counts=True)
+        pairs = pa.table(
+            {"row": pa.array(row), "word": flat}
+        ).group_by(["row", "word"]).aggregate([])  # distinct pairs
+        vc = pc.value_counts(pairs["word"])
         return pa.table(
-            {"word": pa.array(uniq.astype(object), pa.string()),
-             "df": pa.array(cnt, pa.int64())}
+            {"word": vc.field("values"),
+             "df": pc.cast(vc.field("counts"), pa.int64())}
         )
 
     partials = ds.map_batches(
@@ -373,57 +392,65 @@ def tfidf_top_terms(
         ).limit(max_vocab)
     freq = freq_ds.to_pandas()  # bounded: min(vocab, max_vocab) rows
     vocab = freq["word"].to_numpy(dtype=object)
-    order = np.argsort(vocab)
-    vocab = vocab[order]
-    idf = np.log(n_docs / freq["df"].to_numpy(dtype=np.float64)[order])
-    model_ref = ray.put((vocab.astype("U"), idf))
+    idf = np.log(n_docs / freq["df"].to_numpy(dtype=np.float64))
+    # vocab ships as an Arrow array; per-batch membership + idf lookup
+    # is one hash-table index_in (no Python word objects, round 4)
+    model_ref = ray.put((pa.array(vocab, pa.string()), idf))
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "term": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
 
     def fn(batch: pa.Table) -> pa.Table:
-        vocab_s, idf_s = process_cached(
+        vocab_a, idf_s = process_cached(
             ("tfidf_model", model_ref.hex()), lambda: ray.get(model_ref)
         )
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        words, row, n = _tokenize(batch[text_col])
-        if not len(words):
-            return pa.table(
-                {id_col: pa.array([], pa.int64()),
-                 "term": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float64()),
-                 "rank": pa.array([], pa.int64())}
-            )
-        wu = words.astype("U")
+        flat, row, n = _tokenize_arrow(batch[text_col])
+        if not len(flat):
+            return _empty()
         dlen = np.bincount(row, minlength=n).astype(np.float64)
-        order_ = np.lexsort((wu, row))
-        wu_s, row_s = wu[order_], row[order_]
-        first = np.ones(len(wu_s), dtype=bool)
-        first[1:] = (row_s[1:] != row_s[:-1]) | (wu_s[1:] != wu_s[:-1])
-        starts = np.flatnonzero(first)
-        counts = np.diff(np.append(starts, len(wu_s)))
-        t_row = row_s[starts]
-        t_word = wu_s[starts]
+        # per-(row, word) term counts via one Arrow hash group-by
+        ones = np.ones(len(row), dtype=np.int64)
+        grouped = (
+            pa.table({"row": pa.array(row), "word": flat,
+                      "one": pa.array(ones)})
+            .group_by(["row", "word"])
+            .aggregate([("one", "sum")])
+        )
+        t_row = grouped["row"].to_numpy(zero_copy_only=False)
+        counts = grouped["one_sum"].to_numpy(zero_copy_only=False)
+        words_g = grouped["word"]
+        if isinstance(words_g, pa.ChunkedArray):
+            words_g = words_g.combine_chunks()
         tf = counts / dlen[t_row]
         # membership check: terms trimmed from the idf table (min_df /
         # max_vocab) are not scored
-        idx = np.searchsorted(vocab_s, t_word)
-        idx_c = np.minimum(idx, max(len(vocab_s) - 1, 0))
-        found = (
-            (vocab_s[idx_c] == t_word) if len(vocab_s)
-            else np.zeros(len(t_word), dtype=bool)
+        idx = pc.index_in(words_g, value_set=vocab_a)
+        found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        if not found.any():
+            return _empty()
+        idx_np = (
+            idx.fill_null(0).to_numpy(zero_copy_only=False)
+            .astype(np.int64)[found]
         )
-        t_row, t_word, tf, idx_c = (
-            t_row[found], t_word[found], tf[found], idx_c[found]
-        )
-        if not len(t_row):
-            return pa.table(
-                {id_col: pa.array([], pa.int64()),
-                 "term": pa.array([], pa.string()),
-                 "score": pa.array([], pa.float64()),
-                 "rank": pa.array([], pa.int64())}
-            )
-        score = _round6_away_signed(tf * idf_s[idx_c])
-        # per-doc rank by (score desc, term asc)
-        sel = np.lexsort((t_word, -score, t_row))
-        t_row, t_word, score = t_row[sel], t_word[sel], score[sel]
+        t_row, tf = t_row[found], tf[found]
+        words_g = words_g.filter(pa.array(found))
+        score = _round6_away_signed(tf * idf_s[idx_np])
+        # per-doc rank by (score desc, term asc): Arrow sort keeps the
+        # term strings out of numpy; (row, word) is unique so the key
+        # is total and the order deterministic
+        sel = pc.sort_indices(
+            pa.table({"row": pa.array(t_row),
+                      "score": pa.array(score), "word": words_g}),
+            sort_keys=[("row", "ascending"), ("score", "descending"),
+                       ("word", "ascending")],
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        t_row, score = t_row[sel], score[sel]
         doc_first = np.ones(len(t_row), dtype=bool)
         doc_first[1:] = t_row[1:] != t_row[:-1]
         pos = np.arange(len(t_row))
@@ -431,9 +458,10 @@ def tfidf_top_terms(
             np.where(doc_first, pos, 0)
         ) + 1
         keep = rank <= k_per_doc
+        keep_idx = sel[keep]
         return pa.table(
             {id_col: pa.array(ids[t_row[keep]]),
-             "term": pa.array(t_word[keep].astype(object), pa.string()),
+             "term": words_g.take(pa.array(keep_idx)),
              "score": pa.array(score[keep], pa.float64()),
              "rank": pa.array(rank[keep], pa.int64())}
         )
