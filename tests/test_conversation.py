@@ -101,3 +101,58 @@ def test_approx_distinct_convs_within_error(transcripts_ds, oracle, cte_prefix):
     for role in exact.index:
         e, a = exact.loc[role, "n"], got.loc[role, "approx_convs"]
         assert abs(a - e) / max(e, 1) < 0.05, (role, e, a)
+
+
+def test_sessionize_hot_conversation_correct(ray_session):
+    """Skew shape: one conversation holds most rows (with duplicate
+    turn_idx values, as the skewed bench corpus has) — the factorized
+    lexsort path must match a naive per-conversation recomputation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.conversation import (
+        sessionize,
+    )
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        ("conv-hot", i % 37,
+         base + pd.Timedelta(seconds=int(rng.randint(0, 200_000))))
+        for i in range(2000)
+    ] + [
+        (f"c{c}", i, base + pd.Timedelta(seconds=i * 2000))
+        for c in range(20)
+        for i in range(10)
+    ]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    got = (
+        sessionize(rd.from_pandas(df).repartition(5), gap_seconds=1800)
+        .to_pandas()
+        .sort_values(["conv_id", "ts", "turn_idx", "session_idx"])
+        .reset_index(drop=True)
+    )
+    exp_parts = []
+    for _, g in df.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.zeros(len(g), dtype=bool)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > 1800 * 1_000_000
+        g["session_idx"] = np.cumsum(gap)
+        exp_parts.append(g)
+    exp = (
+        pd.concat(exp_parts)
+        .sort_values(["conv_id", "ts", "turn_idx", "session_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "ts", "session_idx"]].astype(
+            {"session_idx": "int64"}
+        ),
+        exp[["conv_id", "turn_idx", "ts", "session_idx"]].astype(
+            {"session_idx": "int64"}
+        ),
+    )
