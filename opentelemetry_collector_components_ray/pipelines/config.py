@@ -55,7 +55,8 @@ from ..stages.route import RouterConfig
 #   value     := "string" | 123 | 1.5 | col
 #              | Concat([value, ...], "sep") | Substring(value, i, n)
 #              | Int(value) | Double(value) | Len(value)
-#              | IsMatch(value, "re")
+#              | IsMatch(value, "re") | ConvertCase(value, "upper"|"lower")
+#              | Trim(value)
 #   condition := cmp { ("and" | "or") cmp }
 #   cmp       := value [ ("==" | "!=" | ">" | ">=" | "<" | "<=")
 #                ("string" | number | col) ]
@@ -169,6 +170,26 @@ class _Parser:
             self.next(expect_val=")")
             return lambda t: pc.cast(
                 pc.utf8_length(pc.cast(v(t), pa.string())), pa.int64()
+            )
+        if name == "ConvertCase":
+            # ottlfuncs ConvertCase(target, "upper"|"lower")
+            v = self.value()
+            self.next(expect_val=",")
+            _, mode = self.next(expect_kind="str")
+            self.next(expect_val=")")
+            mode_s = mode[1:-1]
+            if mode_s not in ("upper", "lower"):
+                raise ValueError(
+                    f"ConvertCase supports upper/lower, got {mode_s!r}"
+                )
+            kern = pc.utf8_upper if mode_s == "upper" else pc.utf8_lower
+            return lambda t: kern(pc.cast(v(t), pa.string()))
+        if name == "Trim":
+            # ottlfuncs Trim(target): strip leading/trailing whitespace
+            v = self.value()
+            self.next(expect_val=")")
+            return lambda t: pc.utf8_trim_whitespace(
+                pc.cast(v(t), pa.string())
             )
         if name == "IsMatch":
             # ottlfuncs IsMatch(target, pattern): RE2 search semantics
@@ -443,15 +464,17 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     # delete_matching_keys, limit with priority keys
     'set(text_len, Len(text))',
     'set(tool_kind, "compute") where IsMatch(tool, "^(calc|python|shell)")',
+    'set(role_up, ConvertCase(role, "upper"))',
     'set(tmp_scratch, "x")',
     'delete_matching_keys("^tmp_")',
     "truncate_all(40)",
     'set(extra_junk, "zzz")',
     "keep_keys([conv_id, turn_idx, role, tool, text, tier, conv_turn,"
-    " role3, turn_d, half_turn, label, text_len, tool_kind, extra_junk])",
-    # 14 kept columns -> limit to 13 drops the lowest-priority one
+    " role3, turn_d, half_turn, label, text_len, tool_kind, role_up,"
+    " extra_junk])",
+    # 15 kept columns -> limit to 14 drops the lowest-priority one
     # (extra_junk, last in schema order)
-    "limit(13, [conv_id, turn_idx])",
+    "limit(14, [conv_id, turn_idx])",
 )
 
 # The DuckDB mirror of DEMO_STATEMENTS over the transcripts CTE.  Only
@@ -476,7 +499,8 @@ SELECT
   CAST(length(text) AS BIGINT) AS text_len,
   CASE WHEN regexp_matches(regexp_replace(tool, '^$', 'none'),
                            '^(calc|python|shell)')
-       THEN 'compute' END AS tool_kind
+       THEN 'compute' END AS tool_kind,
+  upper(role) AS role_up
 FROM transcripts
 """
 

@@ -343,3 +343,14 @@ def test_load_pipeline_yaml_rejects_bad_statement(tmp_path):
     )
     with pytest.raises(ValueError):
         load_pipeline_yaml(str(yml))
+
+
+def test_parse_convertcase_and_trim():
+    fn = parse_statement('set(up, ConvertCase(role, "upper"))')
+    t = fn(pa.table({"role": ["user", "tool"]}))
+    assert t["up"].to_pylist() == ["USER", "TOOL"]
+    fn2 = parse_statement("set(clean, Trim(txt))")
+    t2 = fn2(pa.table({"txt": ["  a b  ", "c"]}))
+    assert t2["clean"].to_pylist() == ["a b", "c"]
+    with pytest.raises(ValueError):
+        parse_statement('set(x, ConvertCase(role, "snake"))')
