@@ -1270,6 +1270,16 @@ def _q_text_profile(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Fixed-window document chunking with overlap (round 4) — the
+    long-document preprocessing step for embedding/RAG pipelines,
+    vectorized per chunk index (stages/text.py chunk_documents); exact
+    substr twin in SQL."""
+    from opentelemetry_collector_components_ray.stages import text
+
+    return text.chunk_documents(_docs(sf_dir), size=200, overlap=40)
+
+
 def _q_lm_stats(sf_dir: str):
     """Corpus LM statistics (round 3): unigram model fit + per-doc
     mean log-probability scoring (broadcast model, searchsorted per
@@ -1622,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_substring_dedup": _q_substring_dedup,
         "d_text_profile": _q_text_profile,
         "d_lm_stats": _q_lm_stats,
+        "d_chunk_documents": _q_chunk_documents,
         "d_decontaminate": _q_decontaminate,
         "d_redact": _q_redact,
         "p_frame_metrics": _q_frame_metrics,
@@ -1933,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "d_text_profile": _packing.packing_sql(
             _text.text_profile_sql(), budget=512
         ),
+        "d_chunk_documents": _text.chunk_documents_sql(200, 40),
         "d_lm_stats": (
             "SELECT * FROM ("
             + _lm.lm_stats_sql(k=20, min_count=2, min_df=2) + ") "

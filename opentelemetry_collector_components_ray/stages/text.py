@@ -454,3 +454,99 @@ def text_profile_sql() -> str:
         "SELECT documents.*,\n  " + ",\n  ".join(parts)
         + "\nFROM documents"
     )
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    size: int = 200,
+    overlap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Split documents into fixed-size character windows with overlap —
+    the standard long-document preprocessing step for embedding / RAG
+    pipelines (each chunk embeds independently; overlap preserves
+    cross-boundary context).  Output one row per chunk:
+    ``(doc_id, chunk_idx, chunk_text, n_chars)``.
+
+    Vectorized per CHUNK INDEX, not per document: chunk ``k`` of every
+    document in the batch is one ``utf8_slice_codeunits`` call over the
+    rows that have a k-th chunk, so the inner loop runs
+    ``max_chunks_in_batch`` times over column vectors — never once per
+    row.  An empty document still yields its single empty chunk (chunk
+    count ``1 + max(ceil((len - size)/stride), 0)``), matching the SQL
+    twin's ``substr`` semantics exactly."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_chunks = 1 + np.maximum(
+            np.ceil((n - size) / float(stride)).astype(np.int64), 0
+        )
+        out_id, out_idx, out_txt = [], [], []
+        max_chunks = int(n_chunks.max()) if len(n_chunks) else 0
+        for k in range(max_chunks):
+            has = n_chunks > k
+            mask = pa.array(has)
+            sliced = pc.utf8_slice_codeunits(
+                txt.filter(mask), k * stride, k * stride + size
+            )
+            out_id.append(ids[has])
+            out_idx.append(np.full(int(has.sum()), k, dtype=np.int64))
+            out_txt.append(sliced)
+        if not out_id:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64()),
+                 "chunk_text": pa.array([], pa.string()),
+                 "n_chars": pa.array([], pa.int64())}
+            )
+        chunk_text = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_txt]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "chunk_idx": pa.array(np.concatenate(out_idx)),
+                "chunk_text": chunk_text,
+                "n_chars": pc.cast(
+                    pc.utf8_length(chunk_text), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def chunk_documents_sql(
+    size: int = 200, overlap: int = 40, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based substr)."""
+    stride = size - overlap
+    return f"""
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       substr(text, CAST(k * {stride} + 1 AS BIGINT), {size})
+         AS chunk_text,
+       CAST(length(substr(text, CAST(k * {stride} + 1 AS BIGINT), {size}))
+            AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0,
+           1 + greatest(CAST(ceil((length(text) - {size})
+                             / CAST({stride} AS DOUBLE)) AS BIGINT), 0)
+         )) AS k
+  FROM {table}
+)
+"""

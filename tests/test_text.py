@@ -219,3 +219,47 @@ def test_redact_pii_sql_twin_matches(ray_session):
     )
     assert got.n_pii.astype("int64").tolist() == exp.n_pii.tolist()
     assert got.text_redacted.tolist() == exp.text_redacted.tolist()
+
+
+def test_chunk_documents_windows_and_overlap(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        chunk_documents,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["abcdefghij", "xy", ""]}
+        )
+    )
+    out = (
+        chunk_documents(docs, size=6, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: len 10, stride 4 -> chunks at 0,4 ("abcdef", "efghij")
+    got1 = out[out.doc_id == 1]
+    assert got1.chunk_text.tolist() == ["abcdef", "efghij"]
+    assert got1.n_chars.tolist() == [6, 6]
+    # short and empty docs yield their single (possibly empty) chunk
+    assert out[out.doc_id == 2].chunk_text.tolist() == ["xy"]
+    assert out[out.doc_id == 3].chunk_text.tolist() == [""]
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        chunk_documents,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=10, overlap=10)
