@@ -156,3 +156,68 @@ def test_sessionize_hot_conversation_correct(ray_session):
             {"session_idx": "int64"}
         ),
     )
+
+
+def test_sessionize_hot_path_forced_matches_naive(ray_session):
+    """Force the round-5 two-phase hot path (tiny hot_threshold →
+    the hot conversation is ts-range-sharded and stitched) and check
+    it matches a naive per-conversation recomputation exactly,
+    including the cold/hot union covering every row once."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.conversation import (
+        sessionize,
+    )
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2026-02-01")
+    rows = [
+        ("conv-hot", i % 53,
+         base + pd.Timedelta(seconds=int(rng.randint(0, 20_000_000))))
+        for i in range(3000)
+    ] + [
+        (f"c{c}", i, base + pd.Timedelta(seconds=i * 2500))
+        for c in range(15)
+        for i in range(12)
+    ]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    got = (
+        sessionize(
+            rd.from_pandas(df).repartition(7),
+            gap_seconds=1800,
+            hot_threshold=500,
+            hot_shard_rows=256,
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "ts", "turn_idx", "session_idx"])
+        .reset_index(drop=True)
+    )
+    exp_parts = []
+    for _, g in df.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.zeros(len(g), dtype=bool)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > 1800 * 1_000_000
+        g["session_idx"] = np.cumsum(gap)
+        exp_parts.append(g)
+    exp = (
+        pd.concat(exp_parts)
+        .sort_values(["conv_id", "ts", "turn_idx", "session_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "ts", "session_idx"]].astype(
+            {"session_idx": "int64"}
+        ),
+        exp[["conv_id", "turn_idx", "ts", "session_idx"]].astype(
+            {"session_idx": "int64"}
+        ),
+    )
+    # multiple sessions must actually exist in the hot conv for the
+    # stitch to have been exercised
+    hot_sessions = exp[exp.conv_id == "conv-hot"].session_idx.max()
+    assert hot_sessions >= 1
