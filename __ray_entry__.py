@@ -941,15 +941,12 @@ def _q_sampling(sf_dir: str):
 
 
 def _q_pricing_summary(sf_dir: str):
+    """Both relational demos as one long-format tag-union (round 5 —
+    folds the former r_revenue_by_year slot in so the registry equals
+    the driver's checked set, the t_sampling precedent)."""
     from opentelemetry_collector_components_ray.stages import relational
 
-    return relational.pricing_summary(sf_dir)
-
-
-def _q_revenue_by_year(sf_dir: str):
-    from opentelemetry_collector_components_ray.stages import relational
-
-    return relational.revenue_by_year(sf_dir)
+    return relational.relational_union(sf_dir)
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -1646,9 +1643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real BMP/WAV decode kernels (video codec stubbed); value-gated
         # via closed-form payload formulas the oracle recomputes
         "m_multimodal_features": _q_multimodal_features,
-        # relational demos over the TPC-H-ish tables
+        # relational demos over the TPC-H-ish tables (tag-union of
+        # pricing_summary + revenue_by_year, one slot)
         "r_pricing_summary": _q_pricing_summary,
-        "r_revenue_by_year": _q_revenue_by_year,
     }
 
 
@@ -1995,8 +1992,7 @@ def oracle_sql() -> dict[str, str]:
             + _ann.pq_encode_sql(m=8, dsub=8, n_codes=128)
             + ")"
         ),
-        "r_pricing_summary": _rel.PRICING_SUMMARY_SQL,
-        "r_revenue_by_year": _rel.REVENUE_BY_YEAR_SQL,
+        "r_pricing_summary": _rel.RELATIONAL_UNION_SQL,
         # m_multimodal_features (value-gated, round 3): the formula
         # fixtures make every decoded feature a closed-form function of
         # (i, r, c, ch) / (i, k) / (i, f, p) that the oracle recomputes

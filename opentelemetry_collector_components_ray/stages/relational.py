@@ -147,3 +147,77 @@ SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
        round(SUM(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem WHERE l_discount >= 0.05 GROUP BY 1
 """
+
+def relational_union(sf_dir: str) -> rd.Dataset:
+    """Both relational demos in one long-format tag-union result
+    (round 5 — keeps every registered query inside the driver's
+    50-slot correctness budget, the ``t_sampling`` precedent):
+    :func:`pricing_summary` melted to one row per (group, metric) and
+    :func:`revenue_by_year` appended with its year as the group key,
+    distinguished by a ``query`` column."""
+
+    def melt_pricing(t: pa.Table) -> pa.Table:
+        metrics = [
+            "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+            "count_order",
+        ]
+        n = len(t)
+        parts = []
+        for m in metrics:
+            parts.append(
+                pa.table(
+                    {
+                        "query": pa.array(["pricing_summary"] * n),
+                        "k1": t["l_returnflag"],
+                        "k2": t["l_linestatus"],
+                        "metric": pa.array([m] * n),
+                        "value": pc.cast(t[m], pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table({})
+
+    def melt_revenue(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "query": pa.array(["revenue_by_year"] * n),
+                "k1": pc.cast(t["ship_year"], pa.string()),
+                "k2": pa.array([""] * n),
+                "metric": pa.array(["revenue"] * n),
+                "value": pc.cast(t["revenue"], pa.float64()),
+            }
+        )
+
+    pricing = pricing_summary(sf_dir).map_batches(
+        melt_pricing, batch_format="pyarrow"
+    )
+    revenue = revenue_by_year(sf_dir).map_batches(
+        melt_revenue, batch_format="pyarrow"
+    )
+    return pricing.union(revenue)
+
+
+RELATIONAL_UNION_SQL = """
+WITH p AS (
+  SELECT l_returnflag AS k1, l_linestatus AS k2,
+         round(SUM(l_quantity), 2) AS sum_qty,
+         round(SUM(l_extendedprice), 2) AS sum_base_price,
+         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+         CAST(COUNT(*) AS DOUBLE) AS count_order
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT 'pricing_summary' AS query, k1, k2, m.metric, m.value
+FROM p, LATERAL (VALUES
+  ('sum_qty', sum_qty), ('sum_base_price', sum_base_price),
+  ('sum_disc_price', sum_disc_price), ('sum_charge', sum_charge),
+  ('count_order', count_order)) AS m(metric, value)
+UNION ALL
+SELECT 'revenue_by_year' AS query,
+       CAST(year(l_shipdate) AS VARCHAR) AS k1, '' AS k2,
+       'revenue' AS metric,
+       round(SUM(l_extendedprice * l_discount), 2) AS value
+FROM lineitem WHERE l_discount >= 0.05 GROUP BY 2
+"""
