@@ -233,9 +233,16 @@ def run_flagship(
         agg = service_summary(routed, intervals, batch_size * 2)
     else:
         from ..sources.parquet import read_parquet_clean
+        from ..stages.aggregate import SERVICE_SUMMARY_INPUT_COLUMNS
 
+        # prune the re-read to the aggregate's input columns — the
+        # sink parquet carries ~25 enriched columns (text included)
+        # and this disk-backed shape IS the multi-TB path
         agg = service_summary(
-            read_parquet_clean(f"{out_dir}/sinks"), intervals,
+            read_parquet_clean(
+                f"{out_dir}/sinks", columns=SERVICE_SUMMARY_INPUT_COLUMNS
+            ),
+            intervals,
             batch_size * 2,
         )
     agg_path = f"{out_dir}/service_summary"

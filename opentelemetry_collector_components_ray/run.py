@@ -253,8 +253,13 @@ def main(argv=None) -> int:
 
         from .sources.parquet import read_parquet_clean
 
+        from .stages.aggregate import SERVICE_SUMMARY_INPUT_COLUMNS
+
         service_summary(
-            read_parquet_clean(f"{args.out}/sinks"),
+            read_parquet_clean(
+                f"{args.out}/sinks",
+                columns=SERVICE_SUMMARY_INPUT_COLUMNS,
+            ),
             tuple(args.intervals.split(",")),
         ).write_parquet(f"{args.out}/service_summary")
         print(

@@ -158,6 +158,13 @@ def _partial_service_summary(intervals: Sequence[str]):
 
 
 SERVICE_SUMMARY_KEYS = ["interval", "dataset", "window_start", "role", "tool"]
+# exactly the input columns the service_summary combiner touches —
+# disk-backed re-reads of the routed sinks must prune to THESE so the
+# scale-representative path never decodes text/enrichment columns the
+# aggregate ignores (round-4 verdict item #4)
+SERVICE_SUMMARY_INPUT_COLUMNS = [
+    "ts", "role", "tool", "event_outcome", "weight", "latency_ms",
+]
 SERVICE_SUMMARY_MERGE: List[Tuple[str, str]] = [
     ("turn_count", "sum"),
     ("failure_count", "sum"),
