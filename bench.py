@@ -1,8 +1,14 @@
 """Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+The LAST stdout line is ONE compact JSON object (kept under the
+driver's 2000-char tail-capture budget — round 4's artifact outgrew
+it and recorded ``parsed: null``):
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+Everything that doesn't fit that budget (per-query sample arrays,
+group allocator probes, pressure/spill info, malloc tuning, RSS
+high-water marks) goes to ``BENCH_DETAIL.json`` next to this file and
+is also printed as an earlier stdout line.
 
 ``--scaling`` runs the headline pipeline in two fresh processes at
 RAY_GRAFT_CPUS=8 and 32 on the same input and reports both throughputs
@@ -26,19 +32,29 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "120"))
 OUT = os.environ.get("GRAFT_BENCH_OUT", "/tmp/occr_bench_out")
 
-# Round-4 artifact-trust protocol (the round-3 verdict's top item): the
+# Round-4/5 artifact-trust protocol (rounds 3-4 verdict items): the
 # shared host's memory throughput swings ~10x over minutes, so (a)
-# EVERY cross-round-comparable query is min-of-N (default 3), and (b)
+# EVERY cross-round-comparable query is min-of-N (default 3), (b)
 # an allocator-probe health reading is stamped immediately before each
 # query GROUP — when it reads degraded the run sleeps and retries the
 # probe instead of recording garbage, and the per-group readings land
-# in the JSON so any residual outlier is explainable in-artifact.
+# in the artifact so any residual outlier is explainable, and (c) the
+# sampling policy is UNIFORM (round-4 item #3 closed): every query —
+# headline included — gets the same min-of-N plus the same
+# spread-triggered top-up (while max/min of samples > TOPUP_SPREAD,
+# buy up to TOPUP_MAX extra samples after a short sleep), and ALL raw
+# samples land in BENCH_DETAIL.json so a reader can re-derive any
+# statistic.  No query's protocol differs from its neighbors'.
 MIN_RUNS = int(os.environ.get("GRAFT_BENCH_MIN_RUNS", "3"))
+TOPUP_SPREAD = float(os.environ.get("GRAFT_BENCH_TOPUP_SPREAD", "1.5"))
+TOPUP_MAX = int(os.environ.get("GRAFT_BENCH_TOPUP_MAX", "2"))
+TOPUP_SLEEP_S = float(os.environ.get("GRAFT_BENCH_TOPUP_SLEEP", "10"))
 PROBE_MIN_GBPS = float(os.environ.get("GRAFT_BENCH_PROBE_MIN", "0.8"))
 PROBE_RETRIES = int(os.environ.get("GRAFT_BENCH_PROBE_RETRIES", "4"))
 PROBE_SLEEP_S = float(os.environ.get("GRAFT_BENCH_PROBE_SLEEP", "20"))
 
 probes: dict = {}  # group -> {"gbps": x, "retries": n}
+samples: dict = {}  # query -> [sec, sec, ...] (every raw sample)
 
 
 def _timed(fn):
@@ -47,15 +63,68 @@ def _timed(fn):
     return time.perf_counter() - t0, r
 
 
-def _timed_min(fn, n: int | None = None):
-    """Min-of-N timing (host-noise damping): returns (min_sec, result
-    of the last run)."""
+def _timed_min(name, fn, n: int | None = None):
+    """Uniform-policy timing: min-of-N plus a spread-triggered top-up
+    applied identically to EVERY query (round-4 verdict item #3 — the
+    headline-only adaptive re-sampling was selection-biased).  All raw
+    samples are recorded in ``samples[name]``.  Returns (min_sec,
+    result of the last run)."""
     n = MIN_RUNS if n is None else n
-    best, res = float("inf"), None
+    runs, res = [], None
     for _ in range(max(n, 1)):
         sec, res = _timed(fn)
-        best = min(best, sec)
-    return best, res
+        runs.append(sec)
+    extra = 0
+    while (
+        len(runs) >= 2
+        and max(runs) / max(min(runs), 1e-9) > TOPUP_SPREAD
+        and extra < TOPUP_MAX
+    ):
+        time.sleep(TOPUP_SLEEP_S)
+        sec, res = _timed(fn)
+        runs.append(sec)
+        extra += 1
+    samples[name] = [round(s, 3) for s in runs]
+    return min(runs), res
+
+
+def emit_artifact(head: dict, detail: dict) -> None:
+    """Emit the bench artifact in two parts (round-4 verdict item #1 —
+    the r4 JSON outgrew the driver's 2000-char tail capture and graded
+    as ``parsed: null``):
+
+    1. the FULL artifact (head + detail: sample arrays, group probes,
+       pressure info, malloc tuning, RSS) written to
+       ``BENCH_DETAIL.json`` next to this file and printed as an
+       earlier stdout line, and
+    2. the compact headline object printed as the LAST stdout line,
+       shedding optional fields if it ever nears the capture budget —
+       the driver parses the tail's last line, so this line is the
+       grade line and must always be complete JSON."""
+    full = dict(head)
+    full.update(detail)
+    print(json.dumps(full, separators=(",", ":")))
+    # headline-only children (the --scaling levels) must not clobber
+    # the full run's detail file
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        try:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            )
+            with open(detail_path, "w") as f:
+                f.write(json.dumps(full, indent=1))
+            head = dict(head, detail="BENCH_DETAIL.json")
+        except OSError:
+            pass
+    line = json.dumps(head, separators=(",", ":"))
+    if len(line) > 1900:
+        for drop in ("detail", "min_runs", "unit", "metric"):
+            head.pop(drop, None)
+            line = json.dumps(head, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 def group_probe(name: str) -> float:
@@ -144,10 +213,17 @@ def main() -> None:
                 read_parquet_clean,
             )
 
+            from opentelemetry_collector_components_ray.stages.aggregate import (
+                SERVICE_SUMMARY_INPUT_COLUMNS,
+            )
+
             routed = routed_transcripts(inp)
             write_fanout(routed, f"{OUT}/sinks")
             service_summary(
-                read_parquet_clean(f"{OUT}/sinks"), ("1h", "24h")
+                read_parquet_clean(
+                    f"{OUT}/sinks", columns=SERVICE_SUMMARY_INPUT_COLUMNS
+                ),
+                ("1h", "24h"),
             ).write_parquet(f"{OUT}/service_summary")
         else:
             # single-node latency mode: materialize once; both
@@ -161,37 +237,14 @@ def main() -> None:
             )
 
     group_probe("flagship")
+    # cold run recorded separately (page-cache + codegen effects),
+    # then the SAME min-of-N + spread-top-up policy as every other
+    # query — the round-4 headline-only floor-based re-sampling was
+    # asymmetric and is gone (verdict item #3)
     cold, _ = _timed(headline)
-    # min-of-3 warm runs: this shared host's memory throughput swings
-    # ~10x over minutes (see BASELINE.md host-noise advisory), so a
-    # single sample measures the host, not the code
-    warms = [_timed(headline)[0] for _ in range(3)]
-    best = min([cold] + warms)
-    # adaptive top-up: the headline is THE grade line, and a window
-    # can collapse right after a healthy probe (observed: probe 4.9
-    # GB/s, then 4 samples all ≥ 8.6 s).  While the best sample is
-    # still below the known-achievable throughput (≥2.2M turns/s in
-    # any healthy window, BASELINE.md rounds 2-4), buy up to 3 more
-    # samples after short sleeps.
-    # (the throughput floor only means anything at bench scale —
-    # small smoke inputs are fixed-overhead-dominated — and NEVER in
-    # headline-only mode: the scaling runner uses that mode at both
-    # CPU levels, and a floor that only the small level trips would
-    # top-up its samples asymmetrically and bias the efficiency
-    # statistic)
-    extra = 0
-    while (n_turns >= 6_000_000
-           and not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
-           and n_turns / best < 1_800_000
-           and extra < 3):
-        time.sleep(20)
-        sec, _ = _timed(headline)
-        best = min(best, sec)
-        extra += 1
     queries["flagship_e2e_cold"] = cold
-    queries["flagship_e2e"] = best
-    if extra:
-        queries["flagship_e2e_extra_runs"] = extra
+    samples["flagship_e2e_cold"] = [round(cold, 3)]
+    queries["flagship_e2e"], _ = _timed_min("flagship_e2e", headline)
 
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") and not os.environ.get(
         "GRAFT_BENCH_DISKBACK"
@@ -200,43 +253,49 @@ def main() -> None:
         # shape --scaling measures; see headline() for the trade)
         os.environ["GRAFT_BENCH_DISKBACK"] = "1"
         try:
-            db, _ = _timed(headline)
-            queries["flagship_e2e_diskback"] = db
+            queries["flagship_e2e_diskback"], _ = _timed_min(
+                "flagship_e2e_diskback", headline
+            )
         finally:
             del os.environ["GRAFT_BENCH_DISKBACK"]
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         val = queries["flagship_e2e"]
-        print(
-            json.dumps(
-                {
-                    "metric": "flagship parse→enrich→route→aggregate e2e",
-                    "value": round(val, 3),
-                    "unit": "sec",
-                    "queries": {k: round(v, 3) for k, v in queries.items()},
-                    "sf": SF_DIR,
-                    "num_cpus": NUM_CPUS,
-                    "n_turns": n_turns,
-                    "turns_per_sec": round(n_turns / val, 1),
-                    "group_probes_gbps": probes,
-                    "malloc_tuning": malloc_tuning,
-                }
-            )
+        emit_artifact(
+            {
+                "metric": "flagship parse→enrich→route→aggregate e2e",
+                "value": round(val, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in queries.items()},
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "n_turns": n_turns,
+                "turns_per_sec": round(n_turns / val, 1),
+            },
+            {
+                "samples": samples,
+                "group_probes_gbps": probes,
+                "malloc_tuning": malloc_tuning,
+            },
         )
         ray.shutdown()
         return
 
     group_probe("counts")
     queries["parse_count"], _ = _timed_min(
+        "parse_count",
         lambda: parse_stage(read_transcripts(inp)).count()
     )
     queries["enrich_count"], _ = _timed_min(
+        "enrich_count",
         lambda: enriched_transcripts(inp).count()
     )
     queries["service_summary"], _ = _timed_min(
+        "service_summary",
         lambda: flagship_aggregate(inp, ("1h", "24h")).count()
     )
     queries["latest_state"], _ = _timed_min(
+        "latest_state",
         lambda: agg.latest_state(enriched_transcripts(inp)).count()
     )
 
@@ -252,7 +311,7 @@ def main() -> None:
         )
 
     group_probe("sharded")
-    queries["flagship_sharded"], _ = _timed_min(sharded)
+    queries["flagship_sharded"], _ = _timed_min("flagship_sharded", sharded)
 
     # training-data ops over the documents/embeddings tables (sf-sized)
     import ray.data as rd
@@ -271,9 +330,11 @@ def main() -> None:
     embs = read_parquet_clean(f"{SF_DIR}/embeddings.parquet")
     group_probe("docs")
     queries["doc_token_counts"], _ = _timed_min(
+        "doc_token_counts",
         lambda: text_mod.token_counts(docs).count()
     )
     queries["doc_exact_dedup"], _ = _timed_min(
+        "doc_exact_dedup",
         lambda: dedup_mod.exact_dedup(docs).count()
     )
 
@@ -299,11 +360,13 @@ def main() -> None:
 
     group_probe("substr")
     queries["doc_substring_dedup_500k"], _ = _timed_min(
+        "doc_substring_dedup_500k",
         lambda: substr_mod.substring_dedup(
             sub_docs, k=8, distributed=False
         ).count()
     )
     queries["doc_substring_dedup_500k_distributed"], _ = _timed_min(
+        "doc_substring_dedup_500k_distributed",
         lambda: substr_mod.substring_dedup(
             sub_docs, k=8, distributed=True, num_buckets=256
         ).count()
@@ -317,7 +380,7 @@ def main() -> None:
         return decontam.decontaminate(docs, snips).count()
 
     group_probe("decontam_lm")
-    queries["doc_decontaminate"], _ = _timed_min(decontam_run)
+    queries["doc_decontaminate"], _ = _timed_min("doc_decontaminate", decontam_run)
 
     def lm_run():
         from opentelemetry_collector_components_ray.stages import lm
@@ -325,7 +388,7 @@ def main() -> None:
         # caps active, as in the driver gate (bounded broadcast model)
         return lm.lm_stats(docs, k=20, min_count=2, min_df=2).count()
 
-    queries["doc_lm_stats"], _ = _timed_min(lm_run)
+    queries["doc_lm_stats"], _ = _timed_min("doc_lm_stats", lm_run)
     # full curation composition: profile → quality filter → exact +
     # near-dup dedup → prefix-scan packing, one streaming pipeline
     def curation_run():
@@ -338,13 +401,15 @@ def main() -> None:
             docs, cfg=CurationConfig(pack_budget=2048)
         ).count()
 
-    queries["docs_curation_e2e"], _ = _timed_min(curation_run)
+    queries["docs_curation_e2e"], _ = _timed_min("docs_curation_e2e", curation_run)
 
     group_probe("minhash")
     queries["doc_minhash_pairs"], _ = _timed_min(
+        "doc_minhash_pairs",
         lambda: dedup_mod.minhash_near_dups(docs, threshold=0.8).count()
     )
     queries["doc_minhash_pairs_broadcast"], _ = _timed_min(
+        "doc_minhash_pairs_broadcast",
         lambda: dedup_mod.minhash_near_dups(
             docs, threshold=0.8, verify="broadcast"
         ).count()
@@ -386,7 +451,7 @@ def main() -> None:
         ).count()
 
     group_probe("cluster_5m")
-    queries["doc_cluster_dedup_5m"], _ = _timed_min(cluster_5m)
+    queries["doc_cluster_dedup_5m"], _ = _timed_min("doc_cluster_dedup_5m", cluster_5m)
 
     # capped unigram-LM scoring at 5M docs (round-4 item: the broadcast
     # model is BOUNDED — min_count floor + top-V cap, trimmed tail in
@@ -423,7 +488,7 @@ def main() -> None:
         ).count()
 
     group_probe("lm_5m")
-    queries["doc_unigram_5m"], _ = _timed_min(lm_5m, n=1)
+    queries["doc_unigram_5m"], _ = _timed_min("doc_unigram_5m", lm_5m, n=1)
     import resource as _resource
 
     driver_max_rss_mb = (
@@ -459,11 +524,13 @@ def main() -> None:
 
     group_probe("anti_join")
     queries["turns_anti_join_bucketed"], _ = _timed_min(
+        "turns_anti_join_bucketed",
         lambda: filter_join(
             left, dirty, on="key", mode="anti", broadcast=False
         ).count()
     )
     queries["turns_anti_join_bloom"], _ = _timed_min(
+        "turns_anti_join_bloom",
         lambda: filter_join(
             left, dirty, on="key", mode="anti", broadcast=False,
             prefilter="bloom",
@@ -472,6 +539,7 @@ def main() -> None:
 
     group_probe("ann")
     queries["emb_cosine_topk"], _ = _timed_min(
+        "emb_cosine_topk",
         lambda: ann_mod.cosine_topk(
             embs, embs.filter(expr="vec_id < 5"), k=10
         ).count()
@@ -509,6 +577,7 @@ def main() -> None:
     big_embs = _embs_500k()
     pq_cb = ann_mod.pq_train_codebook(embs, m=8, n_codes=256)
     queries["emb_pq_encode_500k"], _ = _timed_min(
+        "emb_pq_encode_500k",
         lambda: ann_mod.pq_encode(big_embs, pq_cb).count()
     )
     import tempfile as _tf
@@ -524,8 +593,9 @@ def main() -> None:
             big_embs, ivfpq_dir, n_centroids=64, codebook=pq_cb
         )
 
-    queries["emb_ivfpq_build_500k"], _ = _timed_min(build_ivfpq)
+    queries["emb_ivfpq_build_500k"], _ = _timed_min("emb_ivfpq_build_500k", build_ivfpq)
     queries["emb_ivfpq_search_pruned"], _ = _timed_min(
+        "emb_ivfpq_search_pruned",
         lambda: ann_mod.ivfpq_search_index(
             ivfpq_dir, embs.filter(expr="vec_id < 3"), k=10, nprobe=8
         ).count()
@@ -545,11 +615,12 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)  # append-safe rerun
         return ann_mod.ivf_build_index(embs, idx_dir, n_centroids=n_cent)
 
-    queries["emb_ivf_build"], _ = _timed_min(build_ivf)
+    queries["emb_ivf_build"], _ = _timed_min("emb_ivf_build", build_ivf)
     # few queries = the point-lookup shape where probing prunes;
     # a 50-query batch's probe union covers most partitions
     qset = embs.filter(expr="vec_id < 3")
     queries["emb_ivf_search_pruned"], _ = _timed_min(
+        "emb_ivf_search_pruned",
         lambda: ann_mod.ivf_search_index(
             idx_dir, qset, k=10, nprobe=nprobe
         ).count()
@@ -599,15 +670,19 @@ def main() -> None:
     # INSIDE this group — comparing against a base from an earlier
     # group would compare across host windows, not key distributions
     queries["service_summary_skew_base"], _ = _timed_min(
+        "service_summary_skew_base",
         lambda: flagship_aggregate(inp, ("1h", "24h")).count()
     )
     queries["service_summary_skew"], _ = _timed_min(
+        "service_summary_skew",
         lambda: flagship_aggregate(skew_inp, ("1h", "24h")).count()
     )
     queries["sessionize"], _ = _timed_min(
+        "sessionize",
         lambda: sessionize(read_transcripts(inp)).count()
     )
     queries["sessionize_skew"], _ = _timed_min(
+        "sessionize_skew",
         lambda: sessionize(read_transcripts(skew_inp)).count()
     )
     queries["service_summary_skew_ratio"] = round(
@@ -617,6 +692,24 @@ def main() -> None:
     queries["sessionize_skew_ratio"] = round(
         queries["sessionize_skew"] / max(queries["sessionize"], 1e-9), 3
     )
+
+    # --- block-size envelope (round-4 item #8): the disk-backed
+    # flagship swept across target_max_block_size ∈ {16,64,128} MiB —
+    # the knob a 100 TB cluster tunes first (block = the unit of
+    # scheduling, shuffle granularity and spill).  Same uniform
+    # min-of-N policy; default restored afterwards.
+    group_probe("blocksweep")
+    default_block = ctx.target_max_block_size
+    os.environ["GRAFT_BENCH_DISKBACK"] = "1"
+    try:
+        for mib in (16, 64, 128):
+            ctx.target_max_block_size = mib * 1024 * 1024
+            queries[f"flagship_block_{mib}m"], _ = _timed_min(
+                f"flagship_block_{mib}m", headline
+            )
+    finally:
+        del os.environ["GRAFT_BENCH_DISKBACK"]
+        ctx.target_max_block_size = default_block
 
     # --- object-store-pressure artifact (round-4 item): a fresh
     # process with the store pinned to ~25% of the routed set's
@@ -640,27 +733,28 @@ def main() -> None:
         pressure_info = {"error": str(exc)[-500:]}
 
     val = queries["flagship_e2e"]
-    print(
-        json.dumps(
-            {
-                "metric": "flagship parse→enrich→route→aggregate e2e",
-                "value": round(val, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in queries.items()},
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "n_turns": n_turns,
-                "turns_per_sec": round(n_turns / val, 1),
-                "min_runs": MIN_RUNS,
-                "group_probes_gbps": probes,
-                "pressure": pressure_info,
-                "driver_max_rss_mb": driver_max_rss_mb,
-                "ivf_n_centroids": n_cent,
-                "ivf_nprobe": nprobe,
-                "ivf_pruned_read_fraction": ivf_read_fraction,
-                "malloc_tuning": malloc_tuning,
-            }
-        )
+    emit_artifact(
+        {
+            "metric": "flagship parse→enrich→route→aggregate e2e",
+            "value": round(val, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / val, 1),
+            "min_runs": MIN_RUNS,
+        },
+        {
+            "samples": samples,
+            "group_probes_gbps": probes,
+            "pressure": pressure_info,
+            "driver_max_rss_mb": driver_max_rss_mb,
+            "ivf_n_centroids": n_cent,
+            "ivf_nprobe": nprobe,
+            "ivf_pruned_read_fraction": ivf_read_fraction,
+            "malloc_tuning": malloc_tuning,
+        },
     )
     ray.shutdown()
 

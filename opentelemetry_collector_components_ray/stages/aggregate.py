@@ -874,6 +874,8 @@ def expo_latency_histogram(
     scale: int = 4,
     batch_size: int = 131072,
     value_col: str = "latency_ms",
+    distributed: bool | None = None,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
     """Merged base-2 exponential histogram of latency_ms per
     (window_start, role).  Partial = one serialized sketch per (batch,
@@ -881,10 +883,26 @@ def expo_latency_histogram(
     Output keeps the bucket run as a list<int64> column — not
     SQL-expressible, so the driver records a rows-only check; the merge
     math is unit-tested against the reference semantics in
-    tests/test_histograms.py."""
+    tests/test_histograms.py.
+
+    The finish follows the ``latest_state`` pattern (round-4 verdict
+    item): partials grow with n_batches × groups, so the default scale
+    path hash-buckets (window_start, role) groups across workers and
+    merges each bucket with ONE grouped numpy pass (concatenate every
+    partial's run indices at the group's common target scale, one
+    ``np.add.at`` per sign, downscale-to-cap on the merged span — the
+    span-halving argument in ``expo_latency_histogram_flat``'s
+    docstring makes this equal to sequential pairwise merges).
+    ``distributed=False`` coalesces to one worker (lower fixed cost
+    when groups are known-few); ``None`` lets the input-size estimator
+    pick, like every other aggregate finish here."""
     import numpy as np
 
-    from ..functions.histograms import ExpoHist
+    from ..functions.histograms import (
+        DEFAULT_MAX_EXPO_BUCKETS,
+        ExpoHist,
+        _downscale_run as _hist_downscale_run,
+    )
 
     validate_intervals([interval])
     us = INTERVALS_US[interval]
@@ -929,27 +947,68 @@ def expo_latency_histogram(
             ],
         )
 
-    def reduce_all(df: pd.DataFrame) -> pd.DataFrame:
+    def _merge_group(g: pd.DataFrame):
+        """One grouped numpy merge of every partial sketch in a
+        (window_start, role) group — no pairwise ExpoHist.merge chain.
+        Returns the merged run tuple (scale, offset, counts,
+        neg_offset, neg_counts, count, sum, zero, hmin, hmax)."""
+        scales = g["scale"].to_numpy(dtype=np.int64)
+        target = int(scales.min())
+
+        def merged_run(off_col: str, cnt_col: str):
+            idx_parts = []
+            cnt_parts = []
+            for s, off, counts in zip(
+                scales, g[off_col].to_numpy(), g[cnt_col]
+            ):
+                c = np.asarray(counts, dtype=np.int64)
+                if c.size == 0:
+                    continue
+                d = int(s) - target
+                idx_parts.append((int(off) + np.arange(c.size)) >> d)
+                cnt_parts.append(c)
+            if not idx_parts:
+                return target, 0, np.zeros(0, dtype=np.int64)
+            idx = np.concatenate(idx_parts)
+            cnt = np.concatenate(cnt_parts)
+            lo, hi = int(idx.min()), int(idx.max())
+            out = np.zeros(hi - lo + 1, dtype=np.int64)
+            np.add.at(out, idx - lo, cnt)
+            return target, lo, out
+
+        _, off, cnt = merged_run("offset", "counts")
+        _, noff, ncnt = merged_run("neg_offset", "neg_counts")
+        t = target
+        # cap over BOTH signs, like ExpoHist.merge (add.go:123-127);
+        # span halves per downscale, so the final scale matches the
+        # sequential pairwise chain exactly
+        while max(cnt.size, ncnt.size) > DEFAULT_MAX_EXPO_BUCKETS:
+            off, cnt = _hist_downscale_run(off, cnt, 1)
+            noff, ncnt = _hist_downscale_run(noff, ncnt, 1)
+            t -= 1
+        hmins = g["hmin"].to_numpy(dtype=np.float64)
+        hmaxs = g["hmax"].to_numpy(dtype=np.float64)
+        with np.errstate(all="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                hmin = float(np.nanmin(hmins))
+                hmax = float(np.nanmax(hmaxs))
+        return (
+            t, off, cnt.tolist(), noff, ncnt.tolist(),
+            int(g["count"].sum()), round(float(g["hsum"].sum()), 6),
+            int(g["zero_count"].sum()), hmin, hmax,
+        )
+
+    def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for (w, r), g in df.groupby(["window_start", "role"], sort=True):
-            h = None
-            for _, row in g.iterrows():
-                nxt = ExpoHist(
-                    int(row["scale"]), int(row["offset"]),
-                    np.asarray(row["counts"], dtype=np.int64),
-                    int(row["count"]), float(row["hsum"]),
-                    int(row["zero_count"]),
-                    neg_offset=int(row["neg_offset"]),
-                    neg_counts=np.asarray(
-                        row["neg_counts"], dtype=np.int64
-                    ),
-                    hmin=float(row["hmin"]), hmax=float(row["hmax"]),
-                )
-                h = nxt if h is None else h.merge(nxt)
+            (t, off, cnt, noff, ncnt, count, hsum, zero, hmin,
+             hmax) = _merge_group(g)
             rows.append(
-                (interval, w, r, h.scale, h.offset, h.counts.tolist(),
-                 h.neg_offset, h.neg_counts.tolist(),
-                 h.count, round(h.sum, 6), h.zero_count, h.hmin, h.hmax)
+                (interval, w, r, t, off, cnt, noff, ncnt,
+                 count, hsum, zero, hmin, hmax)
             )
         out = pd.DataFrame(
             rows,
@@ -966,8 +1025,33 @@ def expo_latency_histogram(
     partials = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
     )
+    if resolve_distributed(ds, distributed):
+        from ..functions.blocks import to_clean_arrow
+        from ..functions.sketches import hash64
+
+        def bucketize(df: pd.DataFrame):
+            df = df.copy()
+            key = (
+                df["window_start"].astype("int64").astype(str)
+                + "|"
+                + df["role"].astype(str)
+            )
+            df["_bucket"] = (
+                hash64(key.to_numpy(dtype=object))
+                % np.uint64(num_buckets)
+            ).astype(np.int64)
+            return to_clean_arrow(df)
+
+        def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            return reduce_frame(df.drop(columns=["_bucket"]))
+
+        return (
+            partials.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        )
     return partials.repartition(1).map_batches(
-        reduce_all, batch_format="pandas", batch_size=None
+        reduce_frame, batch_format="pandas", batch_size=None
     )
 
 

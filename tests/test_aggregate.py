@@ -207,3 +207,37 @@ def test_capped_tool_summary_distributed_equals_driver(enriched_ds):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(dist, drv)
+
+
+def test_expo_histogram_distributed_equals_coalesced(enriched_ds):
+    """The bucketed grouped-numpy finish must produce byte-identical
+    merged sketches to the single-reducer pairwise-merge path (the
+    span-halving cap argument makes them equal by construction; this
+    pins it), including negative runs exercised via a signed measure."""
+    import pyarrow.compute as pc
+
+    signed = enriched_ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("latency_ms"),
+            "latency_ms",
+            pc.subtract(t["latency_ms"], 200),
+        ),
+        batch_format="pyarrow",
+    )
+    kw = dict(interval="1h", scale=4, batch_size=512)
+    keys = ["window_start", "role"]
+    dist = (
+        agg.expo_latency_histogram(
+            signed, distributed=True, num_buckets=5, **kw
+        )
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    coal = (
+        agg.expo_latency_histogram(signed, distributed=False, **kw)
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, coal)
