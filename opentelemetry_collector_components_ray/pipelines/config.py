@@ -52,11 +52,23 @@ from ..stages.route import RouterConfig
 #              | delete_key(col) | delete_matching_keys("re")
 #              | keep_keys([col, ...]) | limit(n [, [col, ...]])
 #              | truncate_all(n) | replace_pattern(col, "re", "repl")
+#              | replace_all_patterns("key"|"value", "re", "repl")
+#              | merge_maps("dst_prefix", "src_prefix",
+#                           "insert"|"update"|"upsert")
 #   value     := "string" | 123 | 1.5 | col
 #              | Concat([value, ...], "sep") | Substring(value, i, n)
-#              | Int(value) | Double(value) | Len(value)
+#              | Int(value) | Double(value) | String(value) | Len(value)
 #              | IsMatch(value, "re") | ConvertCase(value, "upper"|"lower")
-#              | Trim(value)
+#              | Trim(value) | MD5(value)
+#
+# merge_maps is the columnar reading of ottlfuncs merge_maps: a "map"
+# is a column-name prefix group, a per-row missing key is a NULL —
+# insert fills only null dst cells (and creates missing dst columns),
+# update overwrites only non-null dst cells and creates nothing,
+# upsert does both (ottlfuncs/func_merge_maps.go strategies).
+# replace_all_patterns mirrors ottlfuncs replace_all_patterns: mode
+# "value" regex-rewrites every string column's values, mode "key"
+# renames matching column names.
 #   condition := cmp { ("and" | "or") cmp }
 #   cmp       := value [ ("==" | "!=" | ">" | ">=" | "<" | "<=")
 #                ("string" | number | col) ]
@@ -156,14 +168,41 @@ class _Parser:
             _, length = self.next(expect_kind="num")
             self.next(expect_val=")")
             start_i, len_i = int(start), int(length)
+            # ottlfuncs func_substring.go:30-36 rejects negative
+            # start/length at call time; our build-time equivalent
+            # (short values clamp instead of erroring per row — the
+            # columnar trade, documented)
+            if start_i < 0 or len_i < 0:
+                raise ValueError(
+                    "Substring start/length must be non-negative"
+                )
             return lambda t: pc.utf8_slice_codeunits(
                 pc.cast(v(t), pa.string()), start_i, start_i + len_i
             )
-        if name in ("Int", "Double"):
+        if name in ("Int", "Double", "String"):
             v = self.value()
             self.next(expect_val=")")
-            typ = pa.int64() if name == "Int" else pa.float64()
+            typ = {
+                "Int": pa.int64(),
+                "Double": pa.float64(),
+                "String": pa.string(),
+            }[name]
             return lambda t: pc.cast(v(t), typ)
+        if name == "MD5":
+            # ottlfuncs MD5(target): lowercase hex digest (the same
+            # vectorized core as the error-grouping key, md5vec.py)
+            v = self.value()
+            self.next(expect_val=")")
+
+            def md5_val(t: pa.Table):
+                from ..functions.md5vec import md5_hex
+
+                arr = pc.cast(v(t), pa.string())
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                return md5_hex(arr)
+
+            return md5_val
         if name == "Len":
             # ottlfuncs Len: length of a string value (codepoints)
             v = self.value()
@@ -444,6 +483,94 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
 
         return apply_repl
 
+    if editor == "replace_all_patterns":
+        # ottlfuncs replace_all_patterns(target, mode, regex, repl):
+        # mode "value" rewrites every string column's values (Go
+        # ReplaceAllString = replace every non-overlapping match);
+        # mode "key" renames matching column names.  Value mode honors
+        # ``where`` per row; key mode is schema-level, so a row
+        # condition is rejected like the other schema editors.
+        p.next(expect_val="(")
+        _, mode = p.next(expect_kind="str")
+        p.next(expect_val=",")
+        _, pat = p.next(expect_kind="str")
+        p.next(expect_val=",")
+        _, repl = p.next(expect_kind="str")
+        p.next(expect_val=")")
+        tail_condition()
+        mode_s, pat_s, repl_s = mode[1:-1], pat[1:-1], repl[1:-1]
+        if mode_s not in ("key", "value"):
+            raise ValueError(
+                f"replace_all_patterns mode must be key|value, got {mode_s!r}"
+            )
+        if mode_s == "key":
+            if cond is not None:
+                raise ValueError(
+                    "replace_all_patterns(key) does not support where"
+                )
+            rx = re.compile(pat_s)
+            return lambda t: t.rename_columns(
+                [rx.sub(repl_s, c) for c in t.column_names]
+            )
+
+        def apply_all_values(t: pa.Table) -> pa.Table:
+            for f in t.schema:
+                if pa.types.is_string(f.type):
+                    arr = pc.replace_substring_regex(
+                        t[f.name], pat_s, repl_s
+                    )
+                    t = masked(t, f.name, arr)
+            return t
+
+        return apply_all_values
+
+    if editor == "merge_maps":
+        # columnar merge_maps (ottlfuncs func_merge_maps.go): maps are
+        # column-name prefix groups, per-row missing key = NULL.
+        # insert fills only null dst cells + creates missing dst
+        # columns; update overwrites only non-null dst cells, creates
+        # nothing; upsert overwrites and creates.
+        p.next(expect_val="(")
+        _, dst = p.next(expect_kind="str")
+        p.next(expect_val=",")
+        _, src = p.next(expect_kind="str")
+        p.next(expect_val=",")
+        _, strat = p.next(expect_kind="str")
+        p.next(expect_val=")")
+        tail_condition()
+        dst_p, src_p, strat_s = dst[1:-1], src[1:-1], strat[1:-1]
+        if strat_s not in ("insert", "update", "upsert"):
+            raise ValueError(
+                "merge_maps strategy must be insert|update|upsert, "
+                f"got {strat_s!r}"
+            )
+
+        def apply_merge(t: pa.Table) -> pa.Table:
+            for sc in t.column_names:
+                if not sc.startswith(src_p):
+                    continue
+                key = sc[len(src_p):]
+                dc = dst_p + key
+                sarr = t[sc]
+                if isinstance(sarr, pa.ChunkedArray):
+                    sarr = sarr.combine_chunks()
+                if dc in t.column_names:
+                    darr = t[dc]
+                    if strat_s == "insert":
+                        merged = pc.coalesce(darr, sarr)
+                    elif strat_s == "update":
+                        merged = pc.if_else(
+                            pc.is_valid(darr), sarr, darr
+                        )
+                    else:  # upsert
+                        merged = sarr
+                    t = masked(t, dc, merged)
+                elif strat_s in ("insert", "upsert"):
+                    t = masked(t, dc, sarr)
+            return t
+
+        return apply_merge
+
     raise ValueError(f"unknown editor {editor!r} in statement: {stmt!r}")
 
 
@@ -475,6 +602,20 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     # 15 kept columns -> limit to 14 drops the lowest-priority one
     # (extra_junk, last in schema order)
     "limit(14, [conv_id, turn_idx])",
+    # round-5 tier: merge_maps strategies (prefix-as-map, null =
+    # per-row missing key), replace_all_patterns in both modes,
+    # String/MD5 converters
+    'set(m1_a, "keep") where role == "user"',
+    'set(m2_a, "fill")',
+    'set(m2_b, "new")',
+    'merge_maps("m1_", "m2_", "insert")',
+    'set(m3_a, "old")',
+    'merge_maps("m3_", "m2_", "update")',
+    'set(probe, "vzzz")',
+    'replace_all_patterns("value", "zzz$", "qqq")',
+    'replace_all_patterns("key", "^probe$", "probe2")',
+    'set(text_md5, MD5(text))',
+    'set(turn_s, String(turn_idx))',
 )
 
 # The DuckDB mirror of DEMO_STATEMENTS over the transcripts CTE.  Only
@@ -483,24 +624,43 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
 # text_len reads the PRE-truncation length (the statement runs before
 # truncate_all); tmp_scratch / extra_junk are deleted by
 # delete_matching_keys / limit, so the twin never selects them.
+# replace_all_patterns("value", "zzz$", "qqq") rewrites every string
+# column live at that point: the twin wraps each DATA-DEPENDENT string
+# expression in the same regexp_replace (constants that provably never
+# match — the tier/m*/merge outputs — are left bare); text_md5 hashes
+# the post-truncation post-replace text, exactly the statement order.
 DEMO_STATEMENTS_SQL = """
 SELECT
-  conv_id, turn_idx, role,
-  regexp_replace(tool, '^$', 'none') AS tool,
-  left(text, 40) AS text,
+  regexp_replace(conv_id, 'zzz$', 'qqq', 'g') AS conv_id,
+  turn_idx,
+  regexp_replace(role, 'zzz$', 'qqq', 'g') AS role,
+  regexp_replace(regexp_replace(tool, '^$', 'none'),
+                 'zzz$', 'qqq', 'g') AS tool,
+  regexp_replace(left(text, 40), 'zzz$', 'qqq', 'g') AS text,
   CASE WHEN role = 'assistant' THEN 'gold' ELSE 'std' END AS tier,
-  conv_id || '-' || CAST(turn_idx AS VARCHAR) AS conv_turn,
-  substr(role, 1, 3) AS role3,
+  regexp_replace(conv_id || '-' || CAST(turn_idx AS VARCHAR),
+                 'zzz$', 'qqq', 'g') AS conv_turn,
+  regexp_replace(substr(role, 1, 3), 'zzz$', 'qqq', 'g') AS role3,
   CAST(turn_idx AS DOUBLE) AS turn_d,
   CASE WHEN turn_idx >= 10 THEN CAST(turn_idx AS BIGINT) END AS half_turn,
-  CASE WHEN regexp_replace(tool, '^$', 'none') <> 'none'
-       THEN role || ':' || regexp_replace(tool, '^$', 'none')
-  END AS label,
+  regexp_replace(
+    CASE WHEN regexp_replace(tool, '^$', 'none') <> 'none'
+         THEN role || ':' || regexp_replace(tool, '^$', 'none')
+    END, 'zzz$', 'qqq', 'g') AS label,
   CAST(length(text) AS BIGINT) AS text_len,
-  CASE WHEN regexp_matches(regexp_replace(tool, '^$', 'none'),
-                           '^(calc|python|shell)')
-       THEN 'compute' END AS tool_kind,
-  upper(role) AS role_up
+  regexp_replace(
+    CASE WHEN regexp_matches(regexp_replace(tool, '^$', 'none'),
+                             '^(calc|python|shell)')
+         THEN 'compute' END, 'zzz$', 'qqq', 'g') AS tool_kind,
+  regexp_replace(upper(role), 'zzz$', 'qqq', 'g') AS role_up,
+  CASE WHEN role = 'user' THEN 'keep' ELSE 'fill' END AS m1_a,
+  'new' AS m1_b,
+  'fill' AS m2_a,
+  'new' AS m2_b,
+  'fill' AS m3_a,
+  'vqqq' AS probe2,
+  md5(regexp_replace(left(text, 40), 'zzz$', 'qqq', 'g')) AS text_md5,
+  CAST(turn_idx AS VARCHAR) AS turn_s
 FROM transcripts
 """
 

@@ -354,3 +354,117 @@ def test_parse_convertcase_and_trim():
     assert t2["clean"].to_pylist() == ["a b", "c"]
     with pytest.raises(ValueError):
         parse_statement('set(x, ConvertCase(role, "snake"))')
+
+
+# --- round-5 OTTL tier: merge_maps / replace_all_patterns / String / MD5
+
+
+def test_merge_maps_insert_fills_nulls_and_creates():
+    fn = parse_statement('merge_maps("m1_", "m2_", "insert")')
+    t = fn(
+        pa.table(
+            {
+                "m1_a": ["keep", None],
+                "m2_a": ["fill", "fill"],
+                "m2_b": ["new", "new"],
+            }
+        )
+    )
+    assert t["m1_a"].to_pylist() == ["keep", "fill"]
+    assert t["m1_b"].to_pylist() == ["new", "new"]
+    # source map untouched (func_merge_maps.go mutates only target)
+    assert t["m2_a"].to_pylist() == ["fill", "fill"]
+
+
+def test_merge_maps_update_overwrites_existing_only():
+    fn = parse_statement('merge_maps("m1_", "m2_", "update")')
+    t = fn(
+        pa.table(
+            {
+                "m1_a": ["old", None],
+                "m2_a": ["src", "src"],
+                "m2_b": ["never", "never"],
+            }
+        )
+    )
+    # non-null dst cells overwritten, null cells (missing key) kept
+    assert t["m1_a"].to_pylist() == ["src", None]
+    # update never creates keys
+    assert "m1_b" not in t.column_names
+
+
+def test_merge_maps_upsert_overwrites_and_creates():
+    fn = parse_statement('merge_maps("m1_", "m2_", "upsert")')
+    t = fn(pa.table({"m1_a": ["old", None], "m2_a": ["s", "s"]}))
+    assert t["m1_a"].to_pylist() == ["s", "s"]
+
+
+def test_merge_maps_respects_where():
+    fn = parse_statement(
+        'merge_maps("m1_", "m2_", "upsert") where flag == "y"'
+    )
+    t = fn(
+        pa.table(
+            {
+                "flag": ["y", "n"],
+                "m1_a": ["old", "old"],
+                "m2_a": ["s", "s"],
+            }
+        )
+    )
+    assert t["m1_a"].to_pylist() == ["s", "old"]
+
+
+def test_merge_maps_rejects_bad_strategy():
+    with pytest.raises(ValueError):
+        parse_statement('merge_maps("a_", "b_", "replace")')
+
+
+def test_replace_all_patterns_value_mode():
+    fn = parse_statement('replace_all_patterns("value", "zz+", "Q")')
+    t = fn(pa.table({"s": ["azz", "bzzz"], "n": [1, 2], "u": ["x", "y"]}))
+    assert t["s"].to_pylist() == ["aQ", "bQ"]
+    assert t["u"].to_pylist() == ["x", "y"]
+    assert t["n"].to_pylist() == [1, 2]  # non-string columns untouched
+
+
+def test_replace_all_patterns_key_mode_renames():
+    fn = parse_statement('replace_all_patterns("key", "^tmp_", "p_")')
+    t = fn(pa.table({"tmp_a": [1], "keep": [2]}))
+    assert t.column_names == ["p_a", "keep"]
+
+
+def test_replace_all_patterns_key_mode_rejects_where():
+    with pytest.raises(ValueError):
+        parse_statement(
+            'replace_all_patterns("key", "a", "b") where x == "y"'
+        )
+
+
+def test_replace_all_patterns_rejects_bad_mode():
+    with pytest.raises(ValueError):
+        parse_statement('replace_all_patterns("both", "a", "b")')
+
+
+def test_substring_rejects_negative_args():
+    with pytest.raises(ValueError):
+        parse_statement("set(x, Substring(y, -1, 3))")
+    with pytest.raises(ValueError):
+        parse_statement("set(x, Substring(y, 0, -3))")
+
+
+def test_md5_converter_matches_hashlib():
+    import hashlib
+
+    fn = parse_statement("set(h, MD5(s))")
+    vals = ["hello", "", "ray data"]
+    t = fn(pa.table({"s": vals}))
+    assert t["h"].to_pylist() == [
+        hashlib.md5(v.encode()).hexdigest() for v in vals
+    ]
+
+
+def test_string_converter_casts():
+    fn = parse_statement("set(s, String(n))")
+    t = fn(pa.table({"n": [1, 42]}))
+    assert t["s"].to_pylist() == ["1", "42"]
