@@ -1268,13 +1268,36 @@ def _q_text_profile(sf_dir: str):
 
 
 def _q_chunk_documents(sf_dir: str):
-    """Fixed-window document chunking with overlap (round 4) — the
-    long-document preprocessing step for embedding/RAG pipelines,
-    vectorized per chunk index (stages/text.py chunk_documents); exact
-    substr twin in SQL."""
+    """Document chunking tag-union (rounds 4+5): char-window chunks
+    (mode='chars', 200 chars / 40 overlap) unioned with token-aware
+    chunks (mode='tokens', 32 tokens / 8 overlap — windows bounded in
+    the unit a model context budget is stated in).  Both vectorized
+    per chunk index (stages/text.py); exact substr / string_split
+    twins in SQL; ``n_units`` counts chars or tokens per mode."""
+    import pyarrow as pa
+
     from opentelemetry_collector_components_ray.stages import text
 
-    return text.chunk_documents(_docs(sf_dir), size=200, overlap=40)
+    def tag(mode: str, unit_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.append_column(
+                "mode", pa.array([mode] * len(batch), pa.string())
+            )
+            return batch.rename_columns(
+                [("n_units" if c == unit_col else c)
+                 for c in batch.column_names]
+            ).select(["mode", "doc_id", "chunk_idx", "chunk_text",
+                      "n_units"])
+
+        return fn
+
+    chars = text.chunk_documents(
+        _docs(sf_dir), size=200, overlap=40
+    ).map_batches(tag("chars", "n_chars"), batch_format="pyarrow")
+    toks = text.chunk_documents_tokens(
+        _docs(sf_dir), size=32, overlap=8
+    ).map_batches(tag("tokens", "n_tokens"), batch_format="pyarrow")
+    return chars.union(toks)
 
 
 def _q_lm_stats(sf_dir: str):
@@ -1941,7 +1964,15 @@ def oracle_sql() -> dict[str, str]:
         "d_text_profile": _packing.packing_sql(
             _text.text_profile_sql(), budget=512
         ),
-        "d_chunk_documents": _text.chunk_documents_sql(200, 40),
+        "d_chunk_documents": (
+            "SELECT 'chars' AS mode, doc_id, chunk_idx, chunk_text, "
+            "n_chars AS n_units FROM ("
+            + _text.chunk_documents_sql(200, 40) + ") "
+            "UNION ALL "
+            "SELECT 'tokens' AS mode, doc_id, chunk_idx, chunk_text, "
+            "n_tokens AS n_units FROM ("
+            + _text.chunk_documents_tokens_sql(32, 8) + ")"
+        ),
         "d_lm_stats": (
             "SELECT * FROM ("
             + _lm.lm_stats_sql(k=20, min_count=2, min_df=2) + ") "

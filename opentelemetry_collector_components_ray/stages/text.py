@@ -529,6 +529,111 @@ def chunk_documents(
     )
 
 
+def chunk_documents_tokens(
+    ds: rd.Dataset,
+    size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Token-aware chunking (round-5 variant of :func:`chunk_documents`):
+    windows of ``size`` TOKENS with ``overlap`` tokens of context, so a
+    chunk never exceeds a model's context budget no matter how long
+    the words are.  Token = space-delimited word (the deterministic,
+    SQL-twin-able core of the tokenizer family in :func:`token_counts`;
+    a BPE vocabulary would plug in here as a pre-pass that rewrites
+    ``text`` to space-joined BPE pieces).
+
+    Same per-CHUNK-INDEX vectorization as the char chunker, entirely in
+    Arrow list kernels: one ``split_pattern`` per batch, then chunk
+    ``k`` of every document is one ``list_slice`` + ``binary_join``
+    over the rows that have a k-th chunk.  Output one row per chunk:
+    ``(doc_id, chunk_idx, chunk_text, n_tokens)``."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(txt, " ")
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_chunks = 1 + np.maximum(
+            np.ceil((n - size) / float(stride)).astype(np.int64), 0
+        )
+        out_id, out_idx, out_txt, out_n = [], [], [], []
+        max_chunks = int(n_chunks.max()) if len(n_chunks) else 0
+        for k in range(max_chunks):
+            has = n_chunks > k
+            mask = pa.array(has)
+            window = pc.list_slice(
+                toks.filter(mask), k * stride, k * stride + size
+            )
+            out_txt.append(pc.binary_join(window, " "))
+            out_n.append(pc.list_value_length(window))
+            out_id.append(ids[has])
+            out_idx.append(np.full(int(has.sum()), k, dtype=np.int64))
+        if not out_id:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64()),
+                 "chunk_text": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+
+        def _flat(arrs):
+            return pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in arrs]
+            )
+
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "chunk_idx": pa.array(np.concatenate(out_idx)),
+                "chunk_text": _flat(out_txt),
+                "n_tokens": pc.cast(_flat(out_n), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def chunk_documents_tokens_sql(
+    size: int = 32, overlap: int = 8, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`chunk_documents_tokens` (1-based
+    list_slice over string_split)."""
+    stride = size - overlap
+    return f"""
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       array_to_string(
+         list_slice(string_split(text, ' '),
+                    CAST(k * {stride} + 1 AS BIGINT),
+                    CAST(k * {stride} + {size} AS BIGINT)), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(string_split(text, ' '),
+                           CAST(k * {stride} + 1 AS BIGINT),
+                           CAST(k * {stride} + {size} AS BIGINT)))
+            AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0,
+           1 + greatest(CAST(ceil((len(string_split(text, ' ')) - {size})
+                             / CAST({stride} AS DOUBLE)) AS BIGINT), 0)
+         )) AS k
+  FROM {table}
+)
+"""
+
+
 def chunk_documents_sql(
     size: int = 200, overlap: int = 40, table: str = "documents"
 ) -> str:

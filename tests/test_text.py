@@ -263,3 +263,75 @@ def test_chunk_documents_rejects_bad_overlap(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, size=10, overlap=10)
+
+
+def test_chunk_documents_tokens_windows_and_overlap(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        chunk_documents_tokens,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": [words, "one two", ""]}
+        )
+    )
+    out = (
+        chunk_documents_tokens(docs, size=6, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: 10 tokens, stride 4 -> token windows at 0 and 4
+    got1 = out[out.doc_id == 1]
+    assert got1.chunk_text.tolist() == [
+        " ".join(f"w{i}" for i in range(0, 6)),
+        " ".join(f"w{i}" for i in range(4, 10)),
+    ]
+    assert got1.n_tokens.tolist() == [6, 6]
+    # short doc: one whole chunk; empty text splits to one empty token
+    assert out[out.doc_id == 2].chunk_text.tolist() == ["one two"]
+    assert out[out.doc_id == 2].n_tokens.tolist() == [2]
+    assert out[out.doc_id == 3].chunk_text.tolist() == [""]
+    assert out[out.doc_id == 3].n_tokens.tolist() == [1]
+
+
+def test_chunk_documents_tokens_matches_naive(ray_session):
+    """Property: the vectorized per-chunk-index explode equals a naive
+    per-document recomputation on irregular token counts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.stages.text import (
+        chunk_documents_tokens,
+    )
+
+    size, overlap, stride = 5, 2, 3
+    texts = [
+        " ".join(f"t{j}" for j in range(n))
+        for n in [0, 1, 4, 5, 6, 8, 13, 23]
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = (
+        chunk_documents_tokens(docs, size=size, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for did, text in enumerate(texts):
+        toks = text.split(" ")
+        n_chunks = 1 + max(-(-(len(toks) - size) // stride), 0)
+        for k in range(n_chunks):
+            win = toks[k * stride: k * stride + size]
+            want.append((did, k, " ".join(win), len(win)))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+    )
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
