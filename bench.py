@@ -298,6 +298,14 @@ def main() -> None:
         "latest_state",
         lambda: agg.latest_state(enriched_transcripts(inp)).count()
     )
+    # bucketed expo-histogram finish over the full 12M-turn input
+    # (round-5: the final reduce no longer funnels through one worker)
+    queries["expo_histogram"], _ = _timed_min(
+        "expo_histogram",
+        lambda: agg.expo_latency_histogram(
+            enriched_transcripts(inp), "1h"
+        ).count(),
+    )
 
     # checkpointed sharded runner (per-shard manifests + resume)
     def sharded():
