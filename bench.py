@@ -88,6 +88,46 @@ def _timed_min(name, fn, n: int | None = None):
     return min(runs), res
 
 
+def _timed_ratio(base_name, test_name, base_fn, test_fn, n=None):
+    """Paired same-window ratio (round 5): alternate BASE and TEST
+    samples so each pair shares one host window, and report the MEDIAN
+    of per-pair ratios.  The r5 canonical run showed why min-of-each-
+    side ratios are untrustworthy here: the identical aggregate job
+    read 3.5 s in the counts group and 13.4-19.4 s as the skew group's
+    base minutes later (both probes healthy) — a min/min ratio tracks
+    that drift, not key distribution.  Absolute numbers keep the
+    uniform min-of-N policy; every raw pair ratio is recorded in
+    ``samples[test_name + "_pair_ratios"]``."""
+    import statistics
+
+    n = MIN_RUNS if n is None else n
+    base_runs, test_runs = [], []
+
+    def one_pair():
+        sb, _ = _timed(base_fn)
+        st, _ = _timed(test_fn)
+        base_runs.append(sb)
+        test_runs.append(st)
+
+    for _ in range(max(n, 1)):
+        one_pair()
+    ratios = [t / max(b, 1e-9) for b, t in zip(base_runs, test_runs)]
+    extra = 0
+    while (
+        len(ratios) >= 2
+        and max(ratios) / max(min(ratios), 1e-9) > TOPUP_SPREAD
+        and extra < TOPUP_MAX
+    ):
+        time.sleep(TOPUP_SLEEP_S)
+        one_pair()
+        ratios.append(test_runs[-1] / max(base_runs[-1], 1e-9))
+        extra += 1
+    samples[base_name] = [round(s, 3) for s in base_runs]
+    samples[test_name] = [round(s, 3) for s in test_runs]
+    samples[test_name + "_pair_ratios"] = [round(r, 3) for r in ratios]
+    return min(base_runs), min(test_runs), statistics.median(ratios)
+
+
 def emit_artifact(head: dict, detail: dict) -> None:
     """Emit the bench artifact in two parts (round-4 verdict item #1 —
     the r4 JSON outgrew the driver's 2000-char tail capture and graded
@@ -674,32 +714,30 @@ def main() -> None:
     group_probe("skew")
     skew_inp = materialize_skewed_transcripts(SF_DIR, REPEAT)
     read_transcripts(skew_inp).count()  # warm page cache like inp
-    # the skew claim is a RATIO, so the unskewed base is re-measured
-    # INSIDE this group — comparing against a base from an earlier
-    # group would compare across host windows, not key distributions
-    queries["service_summary_skew_base"], _ = _timed_min(
-        "service_summary_skew_base",
-        lambda: flagship_aggregate(inp, ("1h", "24h")).count()
+    # the skew claim is a RATIO from interleaved (base, skew) PAIRS —
+    # each pair shares one host window, and the reported ratio is the
+    # median pair ratio, so it measures key distribution rather than
+    # the drift between two separately-min'd sides (see _timed_ratio)
+    (
+        queries["service_summary_skew_base"],
+        queries["service_summary_skew"],
+        ss_ratio,
+    ) = _timed_ratio(
+        "service_summary_skew_base", "service_summary_skew",
+        lambda: flagship_aggregate(inp, ("1h", "24h")).count(),
+        lambda: flagship_aggregate(skew_inp, ("1h", "24h")).count(),
     )
-    queries["service_summary_skew"], _ = _timed_min(
-        "service_summary_skew",
-        lambda: flagship_aggregate(skew_inp, ("1h", "24h")).count()
+    queries["service_summary_skew_ratio"] = round(ss_ratio, 3)
+    (
+        queries["sessionize"],
+        queries["sessionize_skew"],
+        sz_ratio,
+    ) = _timed_ratio(
+        "sessionize", "sessionize_skew",
+        lambda: sessionize(read_transcripts(inp)).count(),
+        lambda: sessionize(read_transcripts(skew_inp)).count(),
     )
-    queries["sessionize"], _ = _timed_min(
-        "sessionize",
-        lambda: sessionize(read_transcripts(inp)).count()
-    )
-    queries["sessionize_skew"], _ = _timed_min(
-        "sessionize_skew",
-        lambda: sessionize(read_transcripts(skew_inp)).count()
-    )
-    queries["service_summary_skew_ratio"] = round(
-        queries["service_summary_skew"]
-        / max(queries["service_summary_skew_base"], 1e-9), 3,
-    )
-    queries["sessionize_skew_ratio"] = round(
-        queries["sessionize_skew"] / max(queries["sessionize"], 1e-9), 3
-    )
+    queries["sessionize_skew_ratio"] = round(sz_ratio, 3)
 
     # --- block-size envelope (round-4 item #8): the disk-backed
     # flagship swept across target_max_block_size ∈ {16,64,128} MiB —
