@@ -60,6 +60,16 @@ from ..stages.route import RouterConfig
 #              | Int(value) | Double(value) | String(value) | Len(value)
 #              | IsMatch(value, "re") | ConvertCase(value, "upper"|"lower")
 #              | Trim(value) | MD5(value)
+#              | Hour(value) | UnixSeconds(value)
+#              | TruncateTime(value, "1h") | FormatTime(value, "%Y-%m-%d")
+#   col       := name { "." name } { '["key"]' }
+#              (round 5: OTTL context paths — attributes["k"],
+#              resource.attributes["k"],
+#              instrumentation_scope.attributes["k"], the shapes the
+#              reference's own statements use,
+#              lsmintervalprocessor processor_test.go:77-80 — resolve
+#              to the dot-flattened column, e.g.
+#              resource.attributes.k; see _Parser.colref)
 #
 # merge_maps is the columnar reading of ottlfuncs merge_maps: a "map"
 # is a column-name prefix group, a per-row missing key is a NULL —
@@ -76,14 +86,14 @@ from ..stages.route import RouterConfig
 #                complete comparison)
 #
 # ``where`` masks the statement per row (pc.if_else against the
-# original column).  Everything else in real OTTL (map/slice values,
-# context paths, the full converter library) is a documented
-# non-goal — config validation rejects it loudly at build time.
+# original column).  Everything else in real OTTL (map/slice VALUES,
+# the full converter library) is a documented non-goal — config
+# validation rejects it loudly at build time.
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<str>"[^"]*")|(?P<num>-?\d+\.\d+|-?\d+)'
-    r'|(?P<name>[A-Za-z_]\w*)|(?P<op>==|!=|>=|<=|[(),\[\]><]))'
+    r'|(?P<name>[A-Za-z_][\w.]*)|(?P<op>==|!=|>=|<=|[(),\[\]><]))'
 )
 
 
@@ -120,6 +130,25 @@ class _Parser:
         self.i += 1
         return k, v
 
+    def colref(self, base: str) -> str:
+        """OTTL context path → flattened column name (round 5): the
+        reference's statements address attributes through context
+        paths — ``attributes["k"]``, ``resource.attributes["k"]``,
+        ``instrumentation_scope.attributes["k"]`` (the exact shapes in
+        lsmintervalprocessor processor_test.go:77-80) — and this
+        engine stores attribute maps as dot-flattened columns, so the
+        path ``resource.attributes["k"]`` IS the column
+        ``resource.attributes.k``.  Consumes any trailing
+        ``["key"]`` subscripts after a name token."""
+        while self.peek()[1] == "[" and (
+            self.i + 1 < len(self.toks) and self.toks[self.i + 1][0] == "str"
+        ):
+            self.next()
+            _, key = self.next(expect_kind="str")
+            self.next(expect_val="]")
+            base = f"{base}.{key[1:-1]}"
+        return base
+
     # value := literal | col | converter(...)
     def value(self):
         k, v = self.next()
@@ -137,7 +166,7 @@ class _Parser:
         nk, nv = self.peek()
         if nv == "(":  # converter
             return self.converter(v)
-        col = v
+        col = self.colref(v)
         return lambda t: t[col]
 
     def value_list(self):
@@ -230,6 +259,56 @@ class _Parser:
             return lambda t: pc.utf8_trim_whitespace(
                 pc.cast(v(t), pa.string())
             )
+        if name == "Hour":
+            # ottlfuncs Hour(target): the hour component as int64
+            v = self.value()
+            self.next(expect_val=")")
+            return lambda t: pc.cast(pc.hour(v(t)), pa.int64())
+        if name == "UnixSeconds":
+            # ottlfuncs UnixSeconds(target): Go Time.Unix() — whole
+            # seconds since epoch (truncation == floor for the
+            # non-negative timestamps this engine processes)
+            v = self.value()
+            self.next(expect_val=")")
+
+            def unix_s(t: pa.Table):
+                arr = pc.cast(v(t), pa.timestamp("us"), safe=False)
+                return pc.divide(pc.cast(arr, pa.int64()), 1_000_000)
+
+            return unix_s
+        if name == "TruncateTime":
+            # ottlfuncs TruncateTime(target, duration): Go
+            # Time.Truncate — floor to a multiple of the duration.
+            # Duration subset: <n><unit>, unit ∈ h|m|s|ms|us|ns
+            v = self.value()
+            self.next(expect_val=",")
+            _, dur = self.next(expect_kind="str")
+            self.next(expect_val=")")
+            m = re.fullmatch(r"(\d+)(h|m|s|ms|us|ns)", dur[1:-1])
+            if not m:
+                raise ValueError(
+                    f"TruncateTime duration must be <n><h|m|s|ms|us|ns>,"
+                    f" got {dur!r}"
+                )
+            mult = int(m.group(1))
+            unit = {
+                "h": "hour", "m": "minute", "s": "second",
+                "ms": "millisecond", "us": "microsecond",
+                "ns": "nanosecond",
+            }[m.group(2)]
+            return lambda t: pc.floor_temporal(
+                v(t), multiple=mult, unit=unit
+            )
+        if name == "FormatTime":
+            # ottlfuncs FormatTime(target, format) — strftime layout
+            # (the Go side takes a Go layout string; the columnar
+            # subset takes strftime, the layout DuckDB/Arrow share)
+            v = self.value()
+            self.next(expect_val=",")
+            _, fmt = self.next(expect_kind="str")
+            self.next(expect_val=")")
+            fmt_s = fmt[1:-1]
+            return lambda t: pc.strftime(v(t), format=fmt_s)
         if name == "IsMatch":
             # ottlfuncs IsMatch(target, pattern): RE2 search semantics
             # (Go regexp.MatchString); usable standalone in a where
@@ -275,7 +354,7 @@ class _Parser:
         elif k == "num":
             rhs = float(rv) if "." in rv else int(rv)
         elif k == "name":
-            rhs = ("__col__", rv)
+            rhs = ("__col__", self.colref(rv))
         else:
             raise ValueError(f"bad comparison operand {rv!r}")
         fn = {
@@ -338,6 +417,7 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
     if editor == "set":
         p.next(expect_val="(")
         _, col = p.next(expect_kind="name")
+        col = p.colref(col)
         p.next(expect_val=",")
         val = p.value()
         p.next(expect_val=")")
@@ -347,6 +427,7 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
     if editor == "concat":
         p.next(expect_val="(")
         _, col = p.next(expect_kind="name")
+        col = p.colref(col)
         p.next(expect_val=",")
         parts = p.value_list()
         p.next(expect_val=",")
@@ -366,6 +447,7 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
     if editor == "delete_key":
         p.next(expect_val="(")
         _, col = p.next(expect_kind="name")
+        col = p.colref(col)
         p.next(expect_val=")")
         tail_condition()
         if cond is not None:
@@ -402,11 +484,11 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
             p.next()
             p.next(expect_val="[")
             _, first = p.next(expect_kind="name")
-            prio.append(first)
+            prio.append(p.colref(first))
             while p.peek()[1] == ",":
                 p.next()
                 _, nxt = p.next(expect_kind="name")
-                prio.append(nxt)
+                prio.append(p.colref(nxt))
             p.next(expect_val="]")
         p.next(expect_val=")")
         tail_condition()
@@ -432,11 +514,11 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
         p.next(expect_val="[")
         keep = []
         _, first = p.next(expect_kind="name")
-        keep.append(first)
+        keep.append(p.colref(first))
         while p.peek()[1] == ",":
             p.next()
             _, nxt = p.next(expect_kind="name")
-            keep.append(nxt)
+            keep.append(p.colref(nxt))
         p.next(expect_val="]")
         p.next(expect_val=")")
         tail_condition()
@@ -469,6 +551,7 @@ def parse_statement(stmt: str) -> Callable[[pa.Table], pa.Table]:
     if editor == "replace_pattern":
         p.next(expect_val="(")
         _, col = p.next(expect_kind="name")
+        col = p.colref(col)
         p.next(expect_val=",")
         _, pat = p.next(expect_kind="str")
         p.next(expect_val=",")
@@ -592,16 +675,22 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     'set(text_len, Len(text))',
     'set(tool_kind, "compute") where IsMatch(tool, "^(calc|python|shell)")',
     'set(role_up, ConvertCase(role, "upper"))',
+    # round-5 tier: time-family converters over the event timestamp
+    # (ottlfuncs Hour/UnixSeconds/TruncateTime/FormatTime)
+    'set(ts_hour, Hour(ts))',
+    'set(ts_unix, UnixSeconds(ts))',
+    'set(ts_trunc, TruncateTime(ts, "1h"))',
+    'set(ts_fmt, FormatTime(ts, "%Y-%m-%d"))',
     'set(tmp_scratch, "x")',
     'delete_matching_keys("^tmp_")',
     "truncate_all(40)",
     'set(extra_junk, "zzz")',
     "keep_keys([conv_id, turn_idx, role, tool, text, tier, conv_turn,"
     " role3, turn_d, half_turn, label, text_len, tool_kind, role_up,"
-    " extra_junk])",
-    # 15 kept columns -> limit to 14 drops the lowest-priority one
+    " ts_hour, ts_unix, ts_trunc, ts_fmt, extra_junk])",
+    # 19 kept columns -> limit to 18 drops the lowest-priority one
     # (extra_junk, last in schema order)
-    "limit(14, [conv_id, turn_idx])",
+    "limit(18, [conv_id, turn_idx])",
     # round-5 tier: merge_maps strategies (prefix-as-map, null =
     # per-row missing key), replace_all_patterns in both modes,
     # String/MD5 converters
@@ -616,6 +705,16 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     'replace_all_patterns("key", "^probe$", "probe2")',
     'set(text_md5, MD5(text))',
     'set(turn_s, String(turn_idx))',
+    # round-5 tier: OTTL context paths — the reference's own statement
+    # shapes (lsmintervalprocessor processor_test.go:77-80) verbatim
+    # modulo attr names, addressing dot-flattened columns
+    'set(attributes["custom_dp_attr"], "dp")',
+    'set(resource.attributes["custom_res_attr"], "res")',
+    'set(instrumentation_scope.attributes["custom_scope_attr"], "scope")',
+    'set(resource.attributes["dependent_attr"],'
+    ' Concat([attributes["custom_dp_attr"], "dependent"], "-"))',
+    'set(attributes["role_attr"], role) where attributes["custom_dp_attr"]'
+    ' == "dp"',
 )
 
 # The DuckDB mirror of DEMO_STATEMENTS over the transcripts CTE.  Only
@@ -653,6 +752,10 @@ SELECT
                              '^(calc|python|shell)')
          THEN 'compute' END, 'zzz$', 'qqq', 'g') AS tool_kind,
   regexp_replace(upper(role), 'zzz$', 'qqq', 'g') AS role_up,
+  CAST(hour(ts) AS BIGINT) AS ts_hour,
+  CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix,
+  date_trunc('hour', ts) AS ts_trunc,
+  strftime(ts, '%Y-%m-%d') AS ts_fmt,
   CASE WHEN role = 'user' THEN 'keep' ELSE 'fill' END AS m1_a,
   'new' AS m1_b,
   'fill' AS m2_a,
@@ -660,7 +763,12 @@ SELECT
   'fill' AS m3_a,
   'vqqq' AS probe2,
   md5(regexp_replace(left(text, 40), 'zzz$', 'qqq', 'g')) AS text_md5,
-  CAST(turn_idx AS VARCHAR) AS turn_s
+  CAST(turn_idx AS VARCHAR) AS turn_s,
+  'dp' AS "attributes.custom_dp_attr",
+  'res' AS "resource.attributes.custom_res_attr",
+  'scope' AS "instrumentation_scope.attributes.custom_scope_attr",
+  'dp-dependent' AS "resource.attributes.dependent_attr",
+  regexp_replace(role, 'zzz$', 'qqq', 'g') AS "attributes.role_attr"
 FROM transcripts
 """
 

@@ -468,3 +468,99 @@ def test_string_converter_casts():
     fn = parse_statement("set(s, String(n))")
     t = fn(pa.table({"n": [1, 42]}))
     assert t["s"].to_pylist() == ["1", "42"]
+
+
+# --- round-5: OTTL context paths (processor_test.go:77-80 shapes) ---
+
+
+def test_context_paths_reference_statements_verbatim():
+    # the reference's own lsminterval test statements
+    # (lsmintervalprocessor/processor_test.go:77-80), addressing
+    # dot-flattened attribute columns
+    stmts = [
+        'set(resource.attributes["custom_res_attr"], "res")',
+        'set(instrumentation_scope.attributes["custom_scope_attr"],'
+        ' "scope")',
+        'set(attributes["custom_dp_attr"], "dp")',
+        'set(resource.attributes["dependent_attr"],'
+        ' Concat([attributes["aaa"], "dependent"], "-"))',
+    ]
+    t = pa.table({"attributes.aaa": ["a1", "a2"]})
+    for s in stmts:
+        t = parse_statement(s)(t)
+    assert t["resource.attributes.custom_res_attr"].to_pylist() == [
+        "res", "res",
+    ]
+    assert t[
+        "instrumentation_scope.attributes.custom_scope_attr"
+    ].to_pylist() == ["scope", "scope"]
+    assert t["attributes.custom_dp_attr"].to_pylist() == ["dp", "dp"]
+    assert t["resource.attributes.dependent_attr"].to_pylist() == [
+        "a1-dependent", "a2-dependent",
+    ]
+
+
+def test_context_path_in_where_and_comparison():
+    fn = parse_statement(
+        'set(tier, "hot") where attributes["k"] == "a" and n >= 2'
+    )
+    t = fn(pa.table({"attributes.k": ["a", "a", "b"], "n": [1, 2, 3]}))
+    assert t["tier"].to_pylist() == [None, "hot", None]
+
+
+def test_context_path_in_keep_keys_and_delete_key():
+    t = pa.table({"attributes.a": [1], "attributes.b": [2], "c": [3]})
+    t = parse_statement('delete_key(attributes["b"])')(t)
+    assert t.column_names == ["attributes.a", "c"]
+    t = parse_statement('keep_keys([attributes["a"]])')(t)
+    assert t.column_names == ["attributes.a"]
+
+
+def test_dotted_name_without_subscript_is_a_column():
+    fn = parse_statement('set(out, metric.name)')
+    t = fn(pa.table({"metric.name": ["m1", "m2"]}))
+    assert t["out"].to_pylist() == ["m1", "m2"]
+
+
+def test_subscript_requires_string_key_lists_still_parse():
+    # `[` after a name is a subscript ONLY when followed by a string;
+    # plain value lists (concat/keep_keys) are unaffected
+    fn = parse_statement('concat(out, [a, b], "-")')
+    t = fn(pa.table({"a": ["x"], "b": ["y"]}))
+    assert t["out"].to_pylist() == ["x-y"]
+    with pytest.raises(ValueError):
+        parse_statement('set(attributes[k], "v")')
+
+
+def test_time_family_converters():
+    import datetime as dt
+
+    ts = pa.array(
+        [dt.datetime(2026, 8, 18, 13, 45, 7),
+         dt.datetime(2026, 8, 18, 0, 0, 59)],
+        pa.timestamp("us"),
+    )
+    t = pa.table({"ts": ts})
+    t = parse_statement("set(h, Hour(ts))")(t)
+    t = parse_statement("set(u, UnixSeconds(ts))")(t)
+    t = parse_statement('set(tr, TruncateTime(ts, "1h"))')(t)
+    t = parse_statement('set(f, FormatTime(ts, "%Y-%m-%d"))')(t)
+    assert t["h"].to_pylist() == [13, 0]
+    assert t["u"].to_pylist() == [
+        int(dt.datetime(2026, 8, 18, 13, 45, 7,
+                        tzinfo=dt.timezone.utc).timestamp()),
+        int(dt.datetime(2026, 8, 18, 0, 0, 59,
+                        tzinfo=dt.timezone.utc).timestamp()),
+    ]
+    assert t["tr"].to_pylist() == [
+        dt.datetime(2026, 8, 18, 13, 0, 0),
+        dt.datetime(2026, 8, 18, 0, 0, 0),
+    ]
+    assert t["f"].to_pylist() == ["2026-08-18", "2026-08-18"]
+
+
+def test_truncate_time_rejects_bad_duration():
+    with pytest.raises(ValueError):
+        parse_statement('set(x, TruncateTime(ts, "1 hour"))')
+    with pytest.raises(ValueError):
+        parse_statement('set(x, TruncateTime(ts, "h"))')
