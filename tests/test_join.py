@@ -327,3 +327,62 @@ def test_filter_join_paths_agree_on_random_data(ray_session):
             left, right, on="k", mode=mode, broadcast=False, num_buckets=8
         ).to_pandas()
         assert sorted(a.v.tolist()) == sorted(b.v.tolist()), mode
+
+
+def test_filter_join_rows_exchange_matches_keys_exchange(ray_session):
+    """The full-row exchange fallback (exchange="rows") and the default
+    key-only exchange settle identical row sets, including null-free
+    string keys and keys unique to one side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        filter_join,
+    )
+
+    rng = np.random.RandomState(11)
+    left = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "k": [f"k{i}" for i in rng.randint(0, 80, 500)],
+                "v": np.arange(500),
+            }
+        )
+    ).repartition(4)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": [f"k{i}" for i in rng.randint(40, 120, 60)]})
+    ).repartition(3)
+    for mode in ("semi", "anti"):
+        keys_path = filter_join(
+            left, right, on="k", mode=mode, broadcast=False, num_buckets=8
+        ).to_pandas()
+        rows_path = filter_join(
+            left, right, on="k", mode=mode, broadcast=False, num_buckets=8,
+            exchange="rows",
+        ).to_pandas()
+        assert sorted(keys_path.v.tolist()) == sorted(
+            rows_path.v.tolist()
+        ), mode
+
+
+def test_filter_join_empty_right_distributed(ray_session):
+    """Empty right side through the key exchange: semi drops all rows,
+    anti keeps all rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_components_ray.functions.join import (
+        filter_join,
+    )
+
+    left = rd.from_pandas(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+    right = rd.from_pandas(pd.DataFrame({"k": ["a"]})).filter(
+        lambda r: False
+    )
+    assert filter_join(
+        left, right, on="k", mode="semi", broadcast=False
+    ).count() == 0
+    assert filter_join(
+        left, right, on="k", mode="anti", broadcast=False
+    ).count() == 2
