@@ -571,8 +571,19 @@ def main() -> None:
     )
 
     group_probe("anti_join")
+    # "bucketed" stays pinned to the full-row exchange for cross-round
+    # comparability; "keyexchange" is the round-5 default distributed
+    # path (matched-key intersection + broadcast is_in — wide rows
+    # never enter the all-to-all)
     queries["turns_anti_join_bucketed"], _ = _timed_min(
         "turns_anti_join_bucketed",
+        lambda: filter_join(
+            left, dirty, on="key", mode="anti", broadcast=False,
+            exchange="rows",
+        ).count()
+    )
+    queries["turns_anti_join_keyexchange"], _ = _timed_min(
+        "turns_anti_join_keyexchange",
         lambda: filter_join(
             left, dirty, on="key", mode="anti", broadcast=False
         ).count()

@@ -60,7 +60,10 @@ from ..stages.route import RouterConfig
 #              | Int(value) | Double(value) | String(value) | Len(value)
 #              | IsMatch(value, "re") | ConvertCase(value, "upper"|"lower")
 #              | Trim(value) | MD5(value)
-#              | Hour(value) | UnixSeconds(value)
+#              | Hour(value) | Minute(value) | Second(value)
+#              | Day(value) | Month(value) | Year(value)
+#              | UnixSeconds(value) | UnixMilli(value)
+#              | UnixMicro(value) | UnixNano(value)
 #              | TruncateTime(value, "1h") | FormatTime(value, "%Y-%m-%d")
 #   col       := name { "." name } { '["key"]' }
 #              (round 5: OTTL context paths — attributes["k"],
@@ -259,11 +262,36 @@ class _Parser:
             return lambda t: pc.utf8_trim_whitespace(
                 pc.cast(v(t), pa.string())
             )
-        if name == "Hour":
-            # ottlfuncs Hour(target): the hour component as int64
+        if name in ("Hour", "Minute", "Second", "Day", "Month", "Year"):
+            # ottlfuncs Hour/Minute/Second/Day/Month/Year(target):
+            # the timestamp component as int64
             v = self.value()
             self.next(expect_val=")")
-            return lambda t: pc.cast(pc.hour(v(t)), pa.int64())
+            kern = {
+                "Hour": pc.hour, "Minute": pc.minute,
+                "Second": pc.second, "Day": pc.day,
+                "Month": pc.month, "Year": pc.year,
+            }[name]
+            return lambda t: pc.cast(kern(v(t)), pa.int64())
+        if name in ("UnixMilli", "UnixMicro", "UnixNano"):
+            # ottlfuncs UnixMilli/UnixMicro/UnixNano(target): Go
+            # Time.UnixMilli/Micro/Nano — integer epoch at that
+            # resolution (truncation == floor for the non-negative
+            # timestamps this engine processes, same caveat as
+            # UnixSeconds)
+            v = self.value()
+            self.next(expect_val=")")
+
+            def unix_n(t: pa.Table, _name=name):
+                arr = pc.cast(v(t), pa.timestamp("us"), safe=False)
+                us = pc.cast(arr, pa.int64())
+                if _name == "UnixMilli":
+                    return pc.divide(us, 1000)
+                if _name == "UnixMicro":
+                    return us
+                return pc.multiply(us, 1000)
+
+            return unix_n
         if name == "UnixSeconds":
             # ottlfuncs UnixSeconds(target): Go Time.Unix() — whole
             # seconds since epoch (truncation == floor for the
@@ -681,16 +709,24 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     'set(ts_unix, UnixSeconds(ts))',
     'set(ts_trunc, TruncateTime(ts, "1h"))',
     'set(ts_fmt, FormatTime(ts, "%Y-%m-%d"))',
+    # round-5 tier 2: the rest of the ottlfuncs time family
+    'set(ts_min, Minute(ts))',
+    'set(ts_day, Day(ts))',
+    'set(ts_mon, Month(ts))',
+    'set(ts_year, Year(ts))',
+    'set(ts_ms, UnixMilli(ts))',
+    'set(ts_ns, UnixNano(ts))',
     'set(tmp_scratch, "x")',
     'delete_matching_keys("^tmp_")',
     "truncate_all(40)",
     'set(extra_junk, "zzz")',
     "keep_keys([conv_id, turn_idx, role, tool, text, tier, conv_turn,"
     " role3, turn_d, half_turn, label, text_len, tool_kind, role_up,"
-    " ts_hour, ts_unix, ts_trunc, ts_fmt, extra_junk])",
-    # 19 kept columns -> limit to 18 drops the lowest-priority one
+    " ts_hour, ts_unix, ts_trunc, ts_fmt, ts_min, ts_day, ts_mon,"
+    " ts_year, ts_ms, ts_ns, extra_junk])",
+    # 25 kept columns -> limit to 24 drops the lowest-priority one
     # (extra_junk, last in schema order)
-    "limit(18, [conv_id, turn_idx])",
+    "limit(24, [conv_id, turn_idx])",
     # round-5 tier: merge_maps strategies (prefix-as-map, null =
     # per-row missing key), replace_all_patterns in both modes,
     # String/MD5 converters
@@ -756,6 +792,12 @@ SELECT
   CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix,
   date_trunc('hour', ts) AS ts_trunc,
   strftime(ts, '%Y-%m-%d') AS ts_fmt,
+  CAST(minute(ts) AS BIGINT) AS ts_min,
+  CAST(day(ts) AS BIGINT) AS ts_day,
+  CAST(month(ts) AS BIGINT) AS ts_mon,
+  CAST(year(ts) AS BIGINT) AS ts_year,
+  epoch_ms(ts) AS ts_ms,
+  epoch_ns(ts) AS ts_ns,
   CASE WHEN role = 'user' THEN 'keep' ELSE 'fill' END AS m1_a,
   'new' AS m1_b,
   'fill' AS m2_a,

@@ -559,6 +559,33 @@ def test_time_family_converters():
     assert t["f"].to_pylist() == ["2026-08-18", "2026-08-18"]
 
 
+def test_time_component_and_unix_converters():
+    import datetime as dt
+
+    d = dt.datetime(2026, 8, 18, 13, 45, 7, 250000)
+    t = pa.table({"ts": pa.array([d], pa.timestamp("us"))})
+    for stmt, expect in [
+        ("set(x, Minute(ts))", 45),
+        ("set(x, Second(ts))", 7),
+        ("set(x, Day(ts))", 18),
+        ("set(x, Month(ts))", 8),
+        ("set(x, Year(ts))", 2026),
+    ]:
+        out = parse_statement(stmt)(t)
+        assert out["x"].to_pylist() == [expect], stmt
+    epoch_us = int(
+        d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    for stmt, expect in [
+        ("set(x, UnixMilli(ts))", epoch_us // 1000),
+        ("set(x, UnixMicro(ts))", epoch_us),
+        ("set(x, UnixNano(ts))", epoch_us * 1000),
+    ]:
+        out = parse_statement(stmt)(t)
+        assert out["x"].to_pylist() == [expect], stmt
+        assert out["x"].type == pa.int64()
+
+
 def test_truncate_time_rejects_bad_duration():
     with pytest.raises(ValueError):
         parse_statement('set(x, TruncateTime(ts, "1 hour"))')
