@@ -301,6 +301,10 @@ def main() -> None:
 
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         val = queries["flagship_e2e"]
+        # shutdown BEFORE printing: stops worker log streaming so no
+        # stray stderr/stdout line can land after the grade line (the
+        # driver parses the tail's last line)
+        ray.shutdown()
         emit_artifact(
             {
                 "metric": "flagship parse→enrich→route→aggregate e2e",
@@ -318,7 +322,6 @@ def main() -> None:
                 "malloc_tuning": malloc_tuning,
             },
         )
-        ray.shutdown()
         return
 
     group_probe("counts")
@@ -790,6 +793,9 @@ def main() -> None:
         pressure_info = {"error": str(exc)[-500:]}
 
     val = queries["flagship_e2e"]
+    # shutdown BEFORE printing (same rationale as the headline-only
+    # branch: the grade line must be the last thing on stdout)
+    ray.shutdown()
     emit_artifact(
         {
             "metric": "flagship parse→enrich→route→aggregate e2e",
@@ -813,7 +819,6 @@ def main() -> None:
             "malloc_tuning": malloc_tuning,
         },
     )
-    ray.shutdown()
 
 
 def pressure() -> None:
@@ -901,6 +906,7 @@ def pressure() -> None:
                 spilled_objects = max(spilled_objects, int(hits[-1][1]))
     except Exception:
         spilled_mib, spilled_objects = -1, -1
+    ray.shutdown()  # before printing: the parent parses the last line
     print(
         json.dumps(
             {
@@ -914,7 +920,6 @@ def pressure() -> None:
             }
         )
     )
-    ray.shutdown()
 
 
 def scaling() -> None:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from ..functions.sketches import HyperLogLog, hash64
@@ -117,202 +118,89 @@ FROM transcripts WHERE turn_idx < {k} GROUP BY conv_id
 
 
 def _detect_hot_convs(
-    ds: rd.Dataset, hot_threshold: int, batch_size: int
-) -> pd.DataFrame:
-    """Cheap pre-pass for :func:`sessionize` skew handling: per-conv
-    (row count, min ts, max ts) via a per-batch Arrow combiner + tree
-    merge, filtered to conversations holding more than
-    ``hot_threshold`` rows.  The result is bounded by construction
-    (at most total_rows / hot_threshold conversations qualify), so the
-    driver-side collect is safe at any input scale."""
-    import pyarrow as pa
+    ds: rd.Dataset, hot_threshold: int, batch_size: int, gap_us: int
+) -> dict:
+    """Pre-pass for :func:`sessionize` skew handling, upgraded in
+    round 5 from per-conv counts to a per-(conv, gap-width ts bin)
+    combiner.
 
+    The bin insight: with bins of exactly ``gap_us``, two timestamps
+    inside one bin can never differ by more than the gap, so every
+    session boundary falls BETWEEN bins — consecutive nonempty bins
+    ``b < b'`` of a conversation open a new session iff
+    ``min_ts[b'] - max_ts[b] > gap_us``.  Per-bin (count, min, max) —
+    cheap mergeable combiner state — therefore reconstructs the EXACT
+    session segmentation of a conversation without ever co-locating
+    its rows.  The hot path needs no shuffle at all: sessionize
+    broadcasts each hot conv's session-start array and labels rows
+    with one vectorized ``searchsorted`` (this replaced the round-4
+    ts-range-shard + two-phase-stitch machinery, whose extra full
+    input scan kept the measured skew ratio at ~1.5x).
+
+    Returns ``{conv_id: np.ndarray of session-start ts (int64 us,
+    ascending)}`` for conversations holding more than
+    ``hot_threshold`` rows and no null ts (a conv with ANY null ts
+    keeps the single-bucket path — the NaT sort-last contract is
+    bucket-local, and ``bin = f(ts)`` needs real ts).  Driver-side
+    size is bounded: at most total_rows / hot_threshold convs, each
+    with at most (ts span / gap) active bins.  Timestamps are assumed
+    non-negative (epoch us): integer division == floor.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.join import _isin_filter
     from .aggregate import merge_partials
 
     def cnt(batch: pa.Table) -> pa.Table:
-        t = pa.table({"conv_id": batch["conv_id"], "ts": batch["ts"]})
-        g = t.group_by(["conv_id"]).aggregate(
-            [([], "count_all"), ("ts", "min"), ("ts", "max"),
-             ("ts", "count")]
+        ts_us = pc.cast(
+            pc.cast(batch["ts"], pa.timestamp("us"), safe=False),
+            pa.int64(),
         )
-        return g.rename_columns(["conv_id", "n", "tmin", "tmax", "nn"])
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "bin": pc.divide(ts_us, gap_us),
+                "ts_us": ts_us,
+            }
+        )
+        g = t.group_by(["conv_id", "bin"]).aggregate(
+            [([], "count_all"), ("ts_us", "min"), ("ts_us", "max"),
+             ("ts_us", "count")]
+        )
+        return g.rename_columns(
+            ["conv_id", "bin", "n", "tmin", "tmax", "nn"]
+        )
 
     partials = ds.map_batches(
         cnt, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
+    # one row per (conv, active bin), five ints wide; materialized so
+    # the two derived consumptions below don't re-scan the input
     merged = merge_partials(
-        partials, ["conv_id"],
+        partials, ["conv_id", "bin"],
         [("n", "sum"), ("tmin", "min"), ("tmax", "max"), ("nn", "sum")],
-    )
-    out = merged.filter(expr=f"n > {hot_threshold}").to_pandas()
-    if out.empty:  # zero-row to_pandas may drop the schema entirely
-        return pd.DataFrame(columns=["conv_id", "n", "tmin", "tmax"])
-    # a conv with ANY null ts keeps the single-bucket path (the NaT
-    # sort-last contract is bucket-local); shard = f(ts) needs real ts
-    return out[out["n"] == out["nn"]].reset_index(drop=True)
-
-
-def _sessionize_hot(
-    ds: rd.Dataset,
-    hot: pd.DataFrame,
-    gap_us: int,
-    batch_size: int,
-    num_buckets: int,
-    hot_shard_rows: int,
-) -> rd.Dataset:
-    """Two-phase sessionization for the oversized conversations in
-    ``hot`` (cols: conv_id, n, tmin, tmax — all ts non-null).
-
-    Phase 1: rows of hot convs are ts-range-sharded (shard = a pure
-    function of ts, so equal timestamps never straddle shards), each
-    (conv, shard) group is locally sessionized in parallel, and the
-    labeled hot rows — bounded by the hot fraction of the input — are
-    materialized once.  Phase 2: a tiny per-(conv, shard) summary
-    (min/max ts, local boundary count) is combined on the driver into
-    per-shard session offsets (a shard junction is a boundary iff the
-    cross-shard ts gap exceeds ``gap_us``), and one streaming pass adds
-    the offsets.  This is the ``stages/packing.py`` block-scan pattern
-    applied to session boundaries."""
-    import math
-
-    import pyarrow as pa
-
-    from .aggregate import merge_partials
-
-    golden = np.uint64(0x9E3779B97F4A7C15)
-    tmin_d, width_d, nshard_d = {}, {}, {}
-    for cid, n, tmin, tmax in zip(
-        hot["conv_id"], hot["n"], hot["tmin"], hot["tmax"]
-    ):
-        ns = max(1, math.ceil(int(n) / hot_shard_rows))
-        t0 = int(np.datetime64(tmin, "us").astype(np.int64))
-        t1 = int(np.datetime64(tmax, "us").astype(np.int64))
-        tmin_d[cid] = t0
-        width_d[cid] = max(1, -(-(t1 - t0 + 1) // ns))
-        nshard_d[cid] = ns
-
-    def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["conv_id"].isin(tmin_d)]
-        df = df[["conv_id", "turn_idx", "ts"]].reset_index(drop=True)
-        if df.empty:
-            out = df.copy()
-            out["_shard"] = np.array([], dtype=np.int64)
-            out["_bucket"] = np.array([], dtype=np.int64)
-            return out
-        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(
-            np.int64
-        )
-        shard = np.zeros(len(df), dtype=np.int64)
-        conv = df["conv_id"].to_numpy(dtype=object)
-        for cid in tmin_d:  # few hot convs by construction
-            m = conv == cid
-            if m.any():
-                s = (ts_us[m] - tmin_d[cid]) // width_d[cid]
-                shard[m] = np.clip(s, 0, nshard_d[cid] - 1)
-        out = df.copy()
-        out["_shard"] = shard
-        out["_bucket"] = (
-            (hash64(conv) ^ (shard.view(np.uint64) * golden))
-            % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return out
-
-    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # same factorized lexsort as the single-bucket path, with the
-        # group key widened to (conv, shard): local session boundaries
-        # restart at every shard edge and are stitched in phase 2
-        df = df.drop(columns=["_bucket"]).reset_index(drop=True)
-        codes, _ = pd.factorize(df["conv_id"], sort=True)
-        shard = df["_shard"].to_numpy()
-        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(
-            np.int64
-        )
-        order = np.lexsort(
-            (df["turn_idx"].to_numpy(), ts_us, shard, codes)
-        )
-        df = df.iloc[order].reset_index(drop=True)
-        ts_s = ts_us[order]
-        grp_conv = codes[order]
-        grp_shard = shard[order]
-        new_grp = np.empty(len(df), dtype=bool)
-        new_grp[0:1] = True
-        new_grp[1:] = (grp_conv[1:] != grp_conv[:-1]) | (
-            grp_shard[1:] != grp_shard[:-1]
-        )
-        gap = np.empty(len(df), dtype=bool)
-        gap[0:1] = False
-        gap[1:] = (ts_s[1:] - ts_s[:-1]) > gap_us
-        boundary = (~new_grp) & gap
-        cum = np.cumsum(boundary.astype(np.int64))
-        start_cum = np.maximum.accumulate(np.where(new_grp, cum, 0))
-        df["_local"] = cum - start_cum
-        return df
-
-    partials = ds.map_batches(
-        hot_partial, batch_format="pandas", batch_size=batch_size
-    )
-    labeled = partials.groupby("_bucket").map_groups(
-        reduce_bucket, batch_format="pandas"
     ).materialize()
-
-    def summ(t: pa.Table) -> pa.Table:
-        g = t.group_by(["conv_id", "_shard"]).aggregate(
-            [("ts", "min"), ("ts", "max"), ("_local", "max")]
-        )
-        return g.rename_columns(
-            ["conv_id", "_shard", "tmin", "tmax", "nb"]
-        )
-
-    summary = merge_partials(
-        labeled.map_batches(
-            summ, batch_format="pyarrow", batch_size=batch_size,
-            zero_copy_batch=True,
-        ),
-        ["conv_id", "_shard"],
-        [("tmin", "min"), ("tmax", "max"), ("nb", "max")],
-    ).to_pandas()
-
-    # per-conv prefix scan over the (tiny, ≤ n/hot_shard_rows-row)
-    # shard summary: offset(s) = offset(prev) + boundaries(prev)
-    # + [junction gap > gap]
-    off_arrays: dict[object, np.ndarray] = {
-        cid: np.zeros(ns, dtype=np.int64) for cid, ns in nshard_d.items()
-    }
-    for cid, g in summary.groupby("conv_id", sort=False):
-        g = g.sort_values("_shard")
-        shards = g["_shard"].to_numpy()
-        tmins = g["tmin"].to_numpy().astype("datetime64[us]").astype(
-            np.int64
-        )
-        tmaxs = g["tmax"].to_numpy().astype("datetime64[us]").astype(
-            np.int64
-        )
-        nbs = g["nb"].to_numpy().astype(np.int64)
-        arr = off_arrays[cid]
-        off = 0
-        for i in range(len(g)):
-            if i > 0:
-                off += nbs[i - 1] + int(
-                    (tmins[i] - tmaxs[i - 1]) > gap_us
-                )
-            arr[shards[i]] = off
-
-    def add_offsets(df: pd.DataFrame) -> pd.DataFrame:
-        off = np.zeros(len(df), dtype=np.int64)
-        conv = df["conv_id"].to_numpy(dtype=object)
-        shard = df["_shard"].to_numpy()
-        for cid, arr in off_arrays.items():
-            m = conv == cid
-            if m.any():
-                off[m] = arr[shard[m]]
-        out = df[["conv_id", "turn_idx", "ts"]].copy()
-        out["session_idx"] = df["_local"].to_numpy() + off
-        return out
-
-    return labeled.map_batches(
-        add_offsets, batch_format="pandas", batch_size=batch_size
-    )
+    totals = merge_partials(
+        merged, ["conv_id"], [("n", "sum"), ("nn", "sum")]
+    ).filter(expr=f"n > {hot_threshold}").to_pandas()
+    if totals.empty or "conv_id" not in totals.columns:
+        return {}
+    hot_ids = totals.loc[totals["n"] == totals["nn"], "conv_id"].to_numpy()
+    if not len(hot_ids):
+        return {}
+    bins = _isin_filter(merged, "conv_id", hot_ids, True).to_pandas()
+    starts: dict = {}
+    for cid, grp in bins.groupby("conv_id"):  # few hot convs by construction
+        grp = grp.sort_values("bin")
+        tmin = grp["tmin"].to_numpy()
+        tmax = grp["tmax"].to_numpy()
+        newseg = np.empty(len(grp), dtype=bool)
+        newseg[0] = True
+        newseg[1:] = (tmin[1:] - tmax[:-1]) > gap_us
+        starts[cid] = tmin[newseg].astype(np.int64)
+    return starts
 
 
 def sessionize(
@@ -321,7 +209,6 @@ def sessionize(
     batch_size: int = 131072,
     num_buckets: int = 64,
     hot_threshold: int | None = 262144,
-    hot_shard_rows: int = 65536,
 ) -> rd.Dataset:
     """Split conversations into sessions at inactivity gaps > gap.
 
@@ -332,33 +219,27 @@ def sessionize(
     contract: (conv_id, ts, turn_idx) is the total order, matching the
     SQL window specification.
 
-    **Skew (round-5 fix)**: hash-bucketing whole conversations puts a
-    hot conversation (one conv holding ~10% of all rows) on one worker
-    — the round-4 driver artifact measured a 1.48× skew straggler.
-    Session boundaries only need the PREVIOUS ts within a conversation,
-    so conversations larger than ``hot_threshold`` rows (detected by a
-    cheap combiner pre-pass) are ts-range-partitioned into
-    ``ceil(n / hot_shard_rows)`` shards that scan in parallel, then
-    stitched with the two-phase prefix pattern of
-    ``stages/packing.py``: each shard reports (first_ts, last_ts,
-    n_boundaries), the driver computes per-shard session offsets from
-    that tiny table (a junction is a boundary iff the cross-shard ts
-    gap exceeds ``gap``), and one streaming pass adds the offsets.
-    Shard assignment is a pure function of ts, so equal timestamps can
-    never straddle shards and the stitched total order equals the
-    single-bucket (ts, turn_idx) order.  ``hot_threshold=None``
-    disables detection (single-phase path, no pre-pass).
-
-    Scale notes: the pre-pass streams one combiner over the input; the
-    hot branch re-executes the input once more (streaming filters, no
-    full-dataset materialization) and materializes only the HOT rows
-    (bounded by the hot fraction) for the summary + offset pass.
+    **Skew (round-5 design)**: hash-bucketing whole conversations puts
+    a hot conversation (one conv holding ~10% of all rows) on one
+    worker — the round-4 driver artifact measured a 1.48x skew
+    straggler, and the round-4 fix (ts-range-shard + two-phase
+    stitch) still paid an extra full input scan (~1.5x total).  Now a
+    cheap per-(conv, gap-width ts bin) combiner pre-pass
+    (:func:`_detect_hot_convs`) reconstructs each oversized
+    conversation's exact session segmentation from per-bin
+    (count, min, max) alone — a boundary can only fall between bins —
+    so hot rows are labeled DIRECTLY in the partial map via one
+    broadcast ``searchsorted`` against the conv's session-start array
+    and flow through the shuffle as uniformly-salted passthrough rows.
+    One scan, one balanced shuffle, no stitching.
+    ``hot_threshold=None`` disables detection (single-phase path, no
+    pre-pass).
     """
     gap_us = gap_seconds * 1_000_000
 
-    hot = pd.DataFrame()
+    hot_starts: dict = {}
     if hot_threshold is not None:
-        hot = _detect_hot_convs(ds, hot_threshold, batch_size)
+        hot_starts = _detect_hot_convs(ds, hot_threshold, batch_size, gap_us)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df[["conv_id", "turn_idx", "ts"]]
@@ -402,25 +283,73 @@ def sessionize(
         df["session_idx"] = cum - conv_start_cum
         return df
 
-    if hot.empty:
+    if not hot_starts:
         return _bucketed(
             ds, partial, reduce_bucket, batch_size, num_buckets
         )
 
-    hot_ids = set(hot["conv_id"])
+    starts_ref = ray.put(hot_starts)
 
-    def cold_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[
-            ~df["conv_id"].isin(hot_ids), ["conv_id", "turn_idx", "ts"]
-        ]
+    def partial_with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = partial(df).copy()
+        starts = ray.get(starts_ref)
+        sess = np.full(len(out), -1, dtype=np.int64)
+        bucket = (
+            hash64(out["conv_id"].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        hot_mask = out["conv_id"].isin(starts.keys()).to_numpy()
+        if hot_mask.any():
+            sub_conv = out.loc[hot_mask, "conv_id"]
+            keys = list(starts)
+            codes = pd.Categorical(sub_conv, categories=keys).codes
+            ts_us = (
+                out.loc[hot_mask, "ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            sub_sess = np.empty(len(codes), dtype=np.int64)
+            for k in np.unique(codes):  # few hot convs by construction
+                m = codes == k
+                sub_sess[m] = (
+                    np.searchsorted(starts[keys[k]], ts_us[m], side="right")
+                    - 1
+                )
+            sess[hot_mask] = sub_sess
+            # pre-labeled rows are reducer passthrough: spread them
+            # uniformly so no bucket inherits the hot conv's mass
+            bucket[hot_mask] = (
+                hash64(
+                    ts_us * np.int64(1_000_003)
+                    + out.loc[hot_mask, "turn_idx"].to_numpy(np.int64)
+                )
+                % np.uint64(num_buckets)
+            ).astype(np.int64)
+        out["session_idx"] = sess
+        out["_bucket"] = bucket
+        return out
 
-    cold = _bucketed(
-        ds, cold_partial, reduce_bucket, batch_size, num_buckets
+    def reduce_dispatch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"])
+        done = df["session_idx"].to_numpy() >= 0
+        if done.all():
+            return df
+        rest = reduce_bucket(
+            df.loc[~done, ["conv_id", "turn_idx", "ts"]]
+        )
+        if not done.any():
+            return rest
+        return pd.concat(
+            [rest, df.loc[done, rest.columns]], ignore_index=True
+        )
+
+    partials = ds.map_batches(
+        partial_with_bucket, batch_format="pandas", batch_size=batch_size
     )
-    hot_out = _sessionize_hot(
-        ds, hot, gap_us, batch_size, num_buckets, hot_shard_rows
+    return partials.groupby("_bucket").map_groups(
+        reduce_dispatch, batch_format="pandas"
     )
-    return cold.union(hot_out)
 
 
 SESSIONIZE_SQL = """

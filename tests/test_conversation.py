@@ -159,10 +159,12 @@ def test_sessionize_hot_conversation_correct(ray_session):
 
 
 def test_sessionize_hot_path_forced_matches_naive(ray_session):
-    """Force the round-5 two-phase hot path (tiny hot_threshold →
-    the hot conversation is ts-range-sharded and stitched) and check
-    it matches a naive per-conversation recomputation exactly,
-    including the cold/hot union covering every row once."""
+    """Force the round-5 hot path (tiny hot_threshold → the hot
+    conversation's session segmentation is reconstructed from the
+    per-(conv, gap-bin) combiner and applied shuffle-free via a
+    broadcast searchsorted) and check it matches a naive
+    per-conversation recomputation exactly, with every row covered
+    once."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
@@ -188,7 +190,6 @@ def test_sessionize_hot_path_forced_matches_naive(ray_session):
             rd.from_pandas(df).repartition(7),
             gap_seconds=1800,
             hot_threshold=500,
-            hot_shard_rows=256,
         )
         .to_pandas()
         .sort_values(["conv_id", "ts", "turn_idx", "session_idx"])
