@@ -89,15 +89,22 @@ def _timed_min(name, fn, n: int | None = None):
 
 
 def _timed_ratio(base_name, test_name, base_fn, test_fn, n=None):
-    """Paired same-window ratio (round 5): alternate BASE and TEST
-    samples so each pair shares one host window, and report the MEDIAN
-    of per-pair ratios.  The r5 canonical run showed why min-of-each-
-    side ratios are untrustworthy here: the identical aggregate job
-    read 3.5 s in the counts group and 13.4-19.4 s as the skew group's
-    base minutes later (both probes healthy) — a min/min ratio tracks
-    that drift, not key distribution.  Absolute numbers keep the
-    uniform min-of-N policy; every raw pair ratio is recorded in
-    ``samples[test_name + "_pair_ratios"]``."""
+    """Paired same-window skew ratio (round 5): alternate BASE and
+    TEST samples so the two sides sample the same sequence of host
+    windows, then report ``min(test) / min(base)`` — the steady-state
+    estimator the whole bench uses (min-of-N), made fair by the
+    interleaving.  Two failure modes drove this design: (a) separately
+    timed sides let a min/min ratio track the drift BETWEEN the two
+    measurement windows (the identical aggregate job read 3.5 s in the
+    counts group and 13.4-19.4 s as the skew group's base minutes
+    later, both probes healthy); interleaving removes that.  (b) the
+    median of per-pair ratios — the first round-5 design — inherits
+    the ±2x WITHIN-pair drift of this host's 4-18 s windows: the r5
+    canonical run recorded pair ratios [0.90, 1.63, 2.18, 1.08, 1.49]
+    for an aggregate whose group keys don't even include the skewed
+    conv_id, i.e. pure measurement noise.  Every raw pair ratio is
+    still recorded in ``samples[test_name + "_pair_ratios"]`` so a
+    reader can re-derive either estimator."""
     import statistics
 
     n = MIN_RUNS if n is None else n
@@ -125,7 +132,14 @@ def _timed_ratio(base_name, test_name, base_fn, test_fn, n=None):
     samples[base_name] = [round(s, 3) for s in base_runs]
     samples[test_name] = [round(s, 3) for s in test_runs]
     samples[test_name + "_pair_ratios"] = [round(r, 3) for r in ratios]
-    return min(base_runs), min(test_runs), statistics.median(ratios)
+    samples[test_name + "_ratio_median_pairs"] = [
+        round(statistics.median(ratios), 3)
+    ]
+    return (
+        min(base_runs),
+        min(test_runs),
+        min(test_runs) / max(min(base_runs), 1e-9),
+    )
 
 
 def emit_artifact(head: dict, detail: dict) -> None:
