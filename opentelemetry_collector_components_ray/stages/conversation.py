@@ -120,9 +120,7 @@ FROM transcripts WHERE turn_idx < {k} GROUP BY conv_id
 def _detect_hot_convs(
     ds: rd.Dataset, hot_threshold: int, batch_size: int, gap_us: int
 ) -> dict:
-    """Pre-pass for :func:`sessionize` skew handling, upgraded in
-    round 5 from per-conv counts to a per-(conv, gap-width ts bin)
-    combiner.
+    """Pre-pass for :func:`sessionize` skew handling.
 
     The bin insight: with bins of exactly ``gap_us``, two timestamps
     inside one bin can never differ by more than the gap, so every
@@ -133,33 +131,64 @@ def _detect_hot_convs(
     session segmentation of a conversation without ever co-locating
     its rows.  The hot path needs no shuffle at all: sessionize
     broadcasts each hot conv's session-start array and labels rows
-    with one vectorized ``searchsorted`` (this replaced the round-4
-    ts-range-shard + two-phase-stitch machinery, whose extra full
-    input scan kept the measured skew ratio at ~1.5x).
+    with one vectorized ``searchsorted``.
+
+    Cost discipline (round-5 measurement): the first cut of this
+    pre-pass ran per-(conv, bin) stats over the FULL-COLUMN dataset
+    for EVERY conv and merged the result distributed — 8.8 s of a
+    15.5 s query at 12M turns, tripling the unskewed base case; a
+    second cut split detection (conv_id-only scan) from exact bin
+    stats (second scan over candidates) and still paid two full
+    input reads on the skewed side (measured skew ratio 1.26 vs the
+    ≤1.2 bar).  Now ONE fused scan over the ``(conv_id, ts)``
+    projection emits three tiers per batch:
+
+    1. **Tier-1 lower-bound counts** (cutoff ``batch_len // 1024``):
+       a pigeonhole guarantee, not a sample — a conv above
+       ``max(hot_threshold, total_rows / 1024)`` rows MUST exceed
+       that cutoff in at least one batch, and truncation only shrinks
+       the summed lower bound, which the ``threshold // 2``
+       comparison absorbs.  ≤1024 rows per batch regardless of conv
+       cardinality.
+    2. **Speculative exact bin stats + a coverage marker** for
+       batch-local heavies (cutoff ``batch_len // 64``): group_by
+       (conv, bin) over just those convs' rows.  The unskewed base
+       case (many small convs, none near 1.6% of a batch) emits
+       nothing here and pays only the tier-1 group_by.
+    3. **One sentinel row per nonempty batch**, so the driver knows
+       the total batch count.
+
+    Driver-side soundness: a candidate whose coverage markers equal
+    the total batch count was captured as a local heavy in EVERY
+    batch, so its merged bin stats are provably complete — no second
+    scan.  Any candidate with partial coverage (possible under
+    adversarial row placement) gets the exact second pass over its
+    ids alone; a conv a tier could miss entirely just keeps the
+    (correct) bucketed path.
 
     Returns ``{conv_id: np.ndarray of session-start ts (int64 us,
     ascending)}`` for conversations holding more than
     ``hot_threshold`` rows and no null ts (a conv with ANY null ts
     keeps the single-bucket path — the NaT sort-last contract is
-    bucket-local, and ``bin = f(ts)`` needs real ts).  Driver-side
-    size is bounded: at most total_rows / hot_threshold convs, each
-    with at most (ts span / gap) active bins.  Timestamps are assumed
-    non-negative (epoch us): integer division == floor.
+    bucket-local, and ``bin = f(ts)`` needs real ts).  Timestamps are
+    assumed non-negative (epoch us): integer division == floor.
     """
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..functions.join import _isin_filter
-    from .aggregate import merge_partials
+    tier1_divisor = 1024
+    tier2_divisor = 64
+    K_BIN, K_COUNT, K_COVER, K_SENTINEL = 0, 1, 2, 3
 
-    def cnt(batch: pa.Table) -> pa.Table:
+    def _bin_table(sub: pa.Table) -> pa.Table:
+        """Exact per-(conv, bin) stats over the given rows."""
         ts_us = pc.cast(
-            pc.cast(batch["ts"], pa.timestamp("us"), safe=False),
-            pa.int64(),
+            pc.cast(sub["ts"], pa.timestamp("us"), safe=False), pa.int64()
         )
         t = pa.table(
             {
-                "conv_id": batch["conv_id"],
+                "conv_id": sub["conv_id"],
                 "bin": pc.divide(ts_us, gap_us),
                 "ts_us": ts_us,
             }
@@ -172,27 +201,142 @@ def _detect_hot_convs(
             ["conv_id", "bin", "n", "tmin", "tmax", "nn"]
         )
 
-    partials = ds.map_batches(
-        cnt, batch_format="pyarrow", batch_size=batch_size,
-        zero_copy_batch=True,
+    def _rows(kind, conv, bins=None, n=None, tmin=None, tmax=None, nn=None):
+        m = len(conv)
+        zero = pa.nulls(m, pa.int64()) if m else pa.array([], pa.int64())
+        return pa.table(
+            {
+                "kind": pa.array([kind] * m, pa.int64()),
+                "conv_id": conv,
+                "bin": bins if bins is not None else zero,
+                "n": n if n is not None else zero,
+                "tmin": tmin if tmin is not None else zero,
+                "tmax": tmax if tmax is not None else zero,
+                "nn": nn if nn is not None else zero,
+            }
+        )
+
+    def fused(batch: pa.Table) -> pa.Table:
+        cid_type = batch["conv_id"].type
+        parts = []
+        if len(batch):
+            g = batch.group_by(["conv_id"]).aggregate([([], "count_all")])
+            counts = pc.cast(g.column(1), pa.int64())
+            t1 = g.filter(
+                pc.greater_equal(counts, max(2, len(batch) // tier1_divisor))
+            )
+            if len(t1):
+                parts.append(
+                    _rows(K_COUNT, t1.column(0),
+                          n=pc.cast(t1.column(1), pa.int64()))
+                )
+            t2_mask = pc.greater_equal(
+                counts, max(2, len(batch) // tier2_divisor)
+            )
+            if pc.any(t2_mask).as_py():
+                heavy_ids = g.filter(t2_mask).column(0)
+                sub = batch.filter(
+                    pc.is_in(batch["conv_id"],
+                             value_set=heavy_ids.combine_chunks())
+                )
+                parts.append(_rows(K_BIN, *_bin_table(sub).columns))
+                parts.append(_rows(K_COVER, heavy_ids))
+            parts.append(
+                _rows(K_SENTINEL, pa.nulls(1, cid_type),
+                      n=pa.array([1], pa.int64()))
+            )
+        if not parts:
+            parts.append(_rows(K_SENTINEL, pa.nulls(0, cid_type)))
+        return pa.concat_tables(parts, promote_options="default")
+
+    meta = (
+        ds.select_columns(["conv_id", "ts"])
+        .map_batches(
+            fused, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .to_pandas()
     )
-    # one row per (conv, active bin), five ints wide; materialized so
-    # the two derived consumptions below don't re-scan the input
-    merged = merge_partials(
-        partials, ["conv_id", "bin"],
-        [("n", "sum"), ("tmin", "min"), ("tmax", "max"), ("nn", "sum")],
-    ).materialize()
-    totals = merge_partials(
-        merged, ["conv_id"], [("n", "sum"), ("nn", "sum")]
-    ).filter(expr=f"n > {hot_threshold}").to_pandas()
-    if totals.empty or "conv_id" not in totals.columns:
+    if meta.empty:
         return {}
-    hot_ids = totals.loc[totals["n"] == totals["nn"], "conv_id"].to_numpy()
-    if not len(hot_ids):
+    total_batches = int(meta.loc[meta["kind"] == K_SENTINEL, "n"].sum())
+    lower = (
+        meta[meta["kind"] == K_COUNT]
+        .groupby("conv_id", sort=False)["n"].sum()
+    )
+    cand_ids = lower.index[lower.to_numpy() > hot_threshold // 2]
+    if not len(cand_ids):
         return {}
-    bins = _isin_filter(merged, "conv_id", hot_ids, True).to_pandas()
+    cover = (
+        meta[meta["kind"] == K_COVER]
+        .groupby("conv_id", sort=False).size()
+    )
+    complete = [
+        c for c in cand_ids if cover.get(c, 0) == total_batches
+    ]
+    incomplete = [c for c in cand_ids if cover.get(c, 0) != total_batches]
+
+    bins_raw = meta[meta["kind"] == K_BIN]
+    bin_parts = []
+    if complete:
+        bin_parts.append(
+            bins_raw[bins_raw["conv_id"].isin(complete)]
+        )
+    if incomplete:
+        # adversarial placement (a candidate below the tier-2 cutoff
+        # or absent in some batch): exact second pass over its ids only
+        cand_arr = pa.array(np.asarray(incomplete, dtype=object))
+
+        def bin_stats(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch["conv_id"], value_set=cand_arr)
+            if not pc.any(mask).as_py():
+                return pa.table(
+                    {
+                        "conv_id": pa.array([], batch["conv_id"].type),
+                        "bin": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "tmin": pa.array([], pa.int64()),
+                        "tmax": pa.array([], pa.int64()),
+                        "nn": pa.array([], pa.int64()),
+                    }
+                )
+            return _bin_table(batch.filter(mask))
+
+        bin_parts.append(
+            ds.select_columns(["conv_id", "ts"])
+            .map_batches(
+                bin_stats, batch_format="pyarrow", batch_size=batch_size,
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
+    bins = pd.concat(
+        [p[["conv_id", "bin", "n", "tmin", "tmax", "nn"]]
+         for p in bin_parts],
+        ignore_index=True,
+    )
+    if bins.empty:
+        return {}
+    # dropna=False: a null-ts row lands in a null bin; dropping that
+    # group would silently restore n == nn and defeat the null gate
+    merged = (
+        bins.groupby(["conv_id", "bin"], sort=False, dropna=False)
+        .agg(n=("n", "sum"), tmin=("tmin", "min"),
+             tmax=("tmax", "max"), nn=("nn", "sum"))
+        .reset_index()
+    )
+    totals = merged.groupby("conv_id", sort=False)[["n", "nn"]].sum()
+    hot_ids = set(
+        totals.index[
+            (totals["n"] > hot_threshold) & (totals["n"] == totals["nn"])
+        ]
+    )
+    if not hot_ids:
+        return {}
     starts: dict = {}
-    for cid, grp in bins.groupby("conv_id"):  # few hot convs by construction
+    for cid, grp in merged.groupby("conv_id"):  # few hot convs
+        if cid not in hot_ids:
+            continue
         grp = grp.sort_values("bin")
         tmin = grp["tmin"].to_numpy()
         tmax = grp["tmax"].to_numpy()
