@@ -59,7 +59,7 @@ from ..stages.route import RouterConfig
 #              | Concat([value, ...], "sep") | Substring(value, i, n)
 #              | Int(value) | Double(value) | String(value) | Len(value)
 #              | IsMatch(value, "re") | ConvertCase(value, "upper"|"lower")
-#              | Trim(value) | MD5(value)
+#              | Trim(value) | MD5(value) | SHA256(value)
 #              | Hour(value) | Minute(value) | Second(value)
 #              | Day(value) | Month(value) | Year(value)
 #              | UnixSeconds(value) | UnixMilli(value)
@@ -235,6 +235,22 @@ class _Parser:
                 return md5_hex(arr)
 
             return md5_val
+        if name == "SHA256":
+            # ottlfuncs SHA256(target): lowercase hex digest
+            # (sha256vec.py: hashlib's hardware-SHA core over zero-copy
+            # Arrow buffer slices)
+            v = self.value()
+            self.next(expect_val=")")
+
+            def sha_val(t: pa.Table):
+                from ..functions.sha256vec import sha256_hex
+
+                arr = pc.cast(v(t), pa.string())
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                return sha256_hex(arr)
+
+            return sha_val
         if name == "Len":
             # ottlfuncs Len: length of a string value (codepoints)
             v = self.value()
@@ -740,6 +756,7 @@ DEMO_STATEMENTS: Tuple[str, ...] = (
     'replace_all_patterns("value", "zzz$", "qqq")',
     'replace_all_patterns("key", "^probe$", "probe2")',
     'set(text_md5, MD5(text))',
+    'set(conv_sha, SHA256(conv_id))',
     'set(turn_s, String(turn_idx))',
     # round-5 tier: OTTL context paths — the reference's own statement
     # shapes (lsmintervalprocessor processor_test.go:77-80) verbatim
@@ -805,6 +822,7 @@ SELECT
   'fill' AS m3_a,
   'vqqq' AS probe2,
   md5(regexp_replace(left(text, 40), 'zzz$', 'qqq', 'g')) AS text_md5,
+  sha256(regexp_replace(conv_id, 'zzz$', 'qqq', 'g')) AS conv_sha,
   CAST(turn_idx AS VARCHAR) AS turn_s,
   'dp' AS "attributes.custom_dp_attr",
   'res' AS "resource.attributes.custom_res_attr",
