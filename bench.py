@@ -939,9 +939,15 @@ def pressure() -> None:
 def scaling() -> None:
     """Two fresh-process parallelism levels on the same input.
 
-    Each level runs TWICE (headline only) and takes the per-level min —
-    cross-process runs vary ±20% with filesystem/page-cache state, and
-    the steady-state minimum is the defensible throughput number.
+    Levels run INTERLEAVED in (lo, hi) pairs — the same-window-pair
+    lesson the skew ratios learned in round 5: sequential level blocks
+    let host-window drift between the blocks masquerade as (or mask)
+    scaling loss; alternating them makes both levels sample the same
+    window sequence.  Efficiency is min(lo)/min(hi) normalized by the
+    level ratio (the steady-state estimator the whole bench uses), and
+    every raw sample plus per-pair ratio is printed so a reader can
+    re-derive either statistic.  Cross-process runs vary ±20% with
+    filesystem/page-cache state, hence ≥2 pairs.
 
     The scaling input defaults to 4× the full-bench input (48M turns):
     after the round-2 materialize optimization the 32-cpu headline
@@ -950,6 +956,16 @@ def scaling() -> None:
     in the throughput regime — runtime ≫ fixed cost at BOTH levels;
     the input is still identical across the two levels (strong
     scaling).  Override with GRAFT_BENCH_REPEAT.
+
+    Levels default to 8→32 and can be overridden with
+    GRAFT_SCALING_LEVELS="4,16" — the round-5 finding that motivates
+    the knob: this box's MEMORY system itself strong-scales at only
+    ~0.62 from 8 to 32 concurrent fill processes (58 → 144 GB/s
+    aggregate, allocprobe), so a 4× CPU pair on ONE box embeds a
+    hardware ceiling a real N→4N NODE cluster does not have (each
+    node brings its own memory controllers).  The artifact therefore
+    also stamps the measured fill-bandwidth ceiling for the chosen
+    pair so the engine's scaling can be read against the box's.
     """
     scale_repeat = os.environ.get("GRAFT_BENCH_REPEAT", str(REPEAT * 4))
 
@@ -988,23 +1004,50 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        return min((run_once(ncpu) for _ in range(2)),
-                   key=lambda r: r["value"])
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "8,32")
+    lo, hi = (int(x) for x in levels.split(","))
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    lo_runs, hi_runs = [], []
+    for _ in range(n_pairs):  # interleaved: both levels see the same
+        lo_runs.append(run_once(lo))  # window sequence
+        hi_runs.append(run_once(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+
+    # the box's own memory-system scaling for this pair (fresh-alloc
+    # fill aggregate at lo vs hi concurrent processes) — the hardware
+    # ceiling any memory-bound fraction of the job inherits on a
+    # single box, which a real N→4N NODE cluster does not
+    from opentelemetry_collector_components_ray.functions.allocprobe import (
+        effective_fill_rate,
+    )
+
+    fill_lo = effective_fill_rate(nproc=lo) * lo
+    fill_hi = effective_fill_rate(nproc=hi) * hi
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8→32 cpus)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "turns_per_sec_8": r_lo["turns_per_sec"],
-                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "metric": f"scaling efficiency ({lo}→{hi} cpus)",
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+                f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "samples_lo": [r["value"] for r in lo_runs],
+                "samples_hi": [r["value"] for r in hi_runs],
+                "pair_ratios": [
+                    round((a["value"] / b["value"]) / (hi / lo), 3)
+                    for a, b in zip(lo_runs, hi_runs)
+                ],
+                "membw_fill_aggregate_gbps": {
+                    str(lo): round(fill_lo, 1), str(hi): round(fill_hi, 1)
+                },
+                "membw_fill_scaling": round(
+                    (fill_hi / fill_lo) / (hi / lo), 3
+                ),
                 "n_turns": r_hi["n_turns"],
                 "malloc_tuning": malloc_tuning,
             }
